@@ -1,0 +1,113 @@
+"""Runtime configuration.
+
+Mirror of the reference's FConfig defaults (ref: inc/common.h:6-48), expressed
+as a frozen dataclass so a config instance is hashable and can be passed to
+jitted frame functions as a static argument. Fields whose value changes shader
+specialization in the reference (compile-time #defines like FRUSTUM_CULLING /
+VIEWMODE / MAX_LIGHTS_PER_CLUSTER, ref: SURVEY.md §5) become separate jit cache
+entries here for the same reason.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+class ViewMode:
+    """Debug visualization modes (ref: inc/demo.h:7-23)."""
+    NORMAL = 0
+    NAN_CHECK = 1
+    LIGHTING_ONLY = 2
+    ROUGHNESS = 3
+    METALLIC = 4
+    BASE_COLOR = 5
+    EMISSIVE = 6
+    REFLECTIONS = 7
+    OBJECT_IDS = 8
+    TRIANGLE_IDS = 9
+    NORMALMAP = 10
+    AMBIENT_OCCLUSION = 11
+    BENT_NORMALS = 12
+    LIGHT_CLUSTER_SLICES = 13
+
+
+class EnvSkyMode:
+    """Environment sky source (ref: inc/demo.h:25-29)."""
+    ENVIRONMENT_MAP = 0
+    DYNAMIC_SKY = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Content
+    model_filename: str = "DamagedHelmet.gltf"
+    hdri_filename: str = "lilienstein.hdr"
+    use_content_cache: bool = True
+
+    # Camera (ref: common.h:17-20)
+    fov: float = 0.25 * math.pi
+    exposure: float = 13.0          # EV100
+    camera_speed: float = 5.0
+    camera_near_plane: float = 1.0
+
+    # Modes
+    viewmode: int = ViewMode.NORMAL
+    env_sky_mode: int = EnvSkyMode.DYNAMIC_SKY
+    sky_brightness: float = 25000.0
+
+    # Feature toggles (ref: common.h:24-38)
+    enable_direct_lighting: bool = True
+    enable_sky_lighting: bool = True
+    enable_diffuse_ibl: bool = True
+    enable_specular_ibl: bool = True
+    path_trace: bool = False
+    forward_lighting: bool = False
+    frustum_culling: bool = True
+    enable_taa: bool = True
+    enable_hbao: bool = False
+    use_bent_normals: bool = False
+    use_meshlets: bool = True
+    freeze_culling: bool = False
+    show_light_bounds: bool = False
+    show_object_bounds: bool = False
+
+    # Clustered lighting (ref: common.h:34-38)
+    light_cluster_dim_x: int = 16
+    light_cluster_dim_y: int = 9
+    light_cluster_dim_z: int = 24
+    max_lights_per_cluster: int = 64
+    cluster_depth_extent: float = 200.0
+
+    # Path tracing (ref: common.h:39-42)
+    max_sample_count: int = 256
+    pathtracing_camera_aperture: float = 0.01
+    pathtracing_camera_focal_length: float = 7.0
+
+    # Sky / time-of-day (ref: common.h:43-47)
+    turbidity: float = 2.0
+    tod_enable: bool = True
+    tod_decimal_hours: float = 11.0
+    tod_julian_date: int = 200
+    tod_latitude: float = 42.5
+    envmap_resolution: int = 256
+
+    # --- TPU-rebuild-specific knobs (no reference equivalent) ---
+    # Software rasterizer tiling. A tile is TILE_H x TILE_W pixels; the fine
+    # raster Pallas kernel runs one grid step per tile. 128-wide tiles match
+    # the VPU lane count.
+    raster_tile_h: int = 32
+    raster_tile_w: int = 128
+    # Per-tile binned triangle capacity (static shape; overflow is counted in
+    # render stats). Binning replaces the reference's GPU atomic-append of
+    # indirect draws (ref: culling/batch-culling.hlsl:85-116).
+    bin_capacity: int = 2048
+    # Max screen tiles a single binned triangle may span before it is routed
+    # to the per-frame "big triangle" list that every tile processes.
+    bin_max_span: int = 16
+    big_tri_capacity: int = 512
+    # Texture atlas resolution cap (textures are resized to at most this).
+    texture_max_dim: int = 2048
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
