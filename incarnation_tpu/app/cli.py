@@ -1,0 +1,112 @@
+"""Command-line renderer: load a glTF scene, render frames to PNG.
+
+The batch-mode replacement for the reference's interactive Win32 loop
+(ref: source/demo-exe/main.cpp): all FConfig toggles are flags, the camera
+comes from the scene's glTF camera 0 (like FView::Reset,
+ref: src/demo.cpp:172-197) or --lookat overrides.
+
+Usage:
+  python -m incarnation_tpu.app.cli \
+      --model /root/reference/content/models/damaged-helmet/DamagedHelmet.gltf \
+      --out /tmp/helmet.png --width 1280 --height 720 --sun 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..core.view import View
+from ..kernels.raster import RasterParams
+from ..renderer import frame as frame_mod
+from ..scene import load_scene
+from ..utils import imageio as io_mod
+
+
+def build_view(host, width, height, cfg: Config, lookat=None) -> View:
+    aspect = width / height
+    if lookat is not None:
+        eye, target = lookat
+        return View.from_lookat(eye, target, aspect=aspect, fov=cfg.fov,
+                                near=cfg.camera_near_plane)
+    if host.cameras:
+        c = host.cameras[0]
+        v = View(position=c["position"], right=c["right"], up=c["up"],
+                 look=c["look"], fov=c["yfov"], aspect=aspect,
+                 near=cfg.camera_near_plane)
+        v.orthonormalize()
+        return v
+    return View.default(aspect=aspect, fov=cfg.fov,
+                        near=cfg.camera_near_plane)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--out", default="frame.png")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--viewmode", type=int, default=0)
+    ap.add_argument("--exposure", type=float, default=13.0)
+    ap.add_argument("--sun", type=float, default=0.0,
+                    help="directional sun intensity (0 = scene lights only)")
+    ap.add_argument("--sun-dir", type=float, nargs=3, default=None)
+    ap.add_argument("--lookat", type=float, nargs=6, default=None,
+                    metavar=("EX", "EY", "EZ", "TX", "TY", "TZ"))
+    ap.add_argument("--texture-max-dim", type=int, default=2048)
+    ap.add_argument("--bin-capacity", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=1,
+                    help="render N frames (timing: first is compile)")
+    args = ap.parse_args(argv)
+
+    cfg = Config(viewmode=args.viewmode, exposure=args.exposure)
+    t0 = time.time()
+    host = load_scene(args.model, texture_max_dim=args.texture_max_dim)
+    print(f"[scene] {host.name}: {host.scene.meta.num_triangles} tris, "
+          f"{host.scene.meta.num_primitives} prims, "
+          f"load {time.time() - t0:.1f}s")
+
+    view = build_view(host, args.width, args.height, cfg,
+                      lookat=(args.lookat[:3], args.lookat[3:])
+                      if args.lookat else None)
+    params = RasterParams(width=args.width, height=args.height,
+                          bin_capacity=args.bin_capacity)
+
+    sun_ci = None
+    sun_dir = np.asarray(host.scene.sun_dir)
+    if args.sun > 0:
+        sun_ci = [1.0, 1.0, 1.0, args.sun]
+        if args.sun_dir is not None:
+            sun_dir = np.asarray(args.sun_dir, np.float32)
+            sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    elif host.directional_light_index >= 0:
+        i = host.directional_light_index
+        sun_ci = list(np.asarray(host.scene.lights.color[i])) + [
+            float(host.scene.lights.intensity[i])]
+
+    fc = frame_mod.FrameConstants.make(view, cfg, sun_dir=sun_dir,
+                                       sun_color_intensity=sun_ci)
+
+    t0 = time.time()
+    out = frame_mod.render_frame_jit(host.scene, fc, cfg, params)
+    out["color"].block_until_ready()
+    print(f"[frame] first frame (incl. compile): {time.time() - t0:.1f}s")
+
+    for _ in range(max(0, args.frames - 1)):
+        t0 = time.time()
+        out = frame_mod.render_frame_jit(host.scene, fc, cfg, params)
+        out["color"].block_until_ready()
+        print(f"[frame] {1e3 * (time.time() - t0):.1f} ms")
+
+    stats = {k: int(v) for k, v in out["stats"].items()}
+    covered = float(np.mean(np.asarray(out["vis"]) != -4096))
+    print(f"[stats] {stats} coverage={covered:.3f}")
+    io_mod.save_png(args.out, np.asarray(out["color"]))
+    print(f"[out] {args.out}")
+
+
+if __name__ == "__main__":
+    main()

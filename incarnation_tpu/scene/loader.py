@@ -60,6 +60,7 @@ class Scene:
     uvs: jnp.ndarray             # (V, 2) f32
     tri_vtx: jnp.ndarray         # (T, 3) i32 global vertex ids
     tri_prim: jnp.ndarray        # (T,) i32 owning primitive (-1 = padding)
+    vtx_mesh: jnp.ndarray        # (V,) i32 mesh-instance (transform) index
     # Primitives
     prim_mesh: jnp.ndarray       # (P,) i32 mesh-instance (transform) index
     prim_material: jnp.ndarray   # (P,) i32
@@ -143,7 +144,7 @@ def load_scene(path, texture_max_dim: int = 2048,
 
     # ---- geometry packing ---------------------------------------------------
     positions, normals, tangents, uvs = [], [], [], []
-    tri_vtx, tri_prim = [], []
+    tri_vtx, tri_prim, vtx_mesh = [], [], []
     prim_mesh, prim_material, prim_tri_offset, prim_tri_count = [], [], [], []
     prim_bsphere, prim_double_sided, prim_is_decal, prim_alpha = [], [], [], []
     mesh_transforms = []
@@ -199,6 +200,7 @@ def load_scene(path, texture_max_dim: int = 2048,
             uvs.append(uv)
             tri_vtx.append(tris + vert_base)
             tri_prim.append(np.full(ntris, prim_id, np.int64))
+            vtx_mesh.append(np.full(count, mesh_id, np.int64))
             prim_mesh.append(mesh_id)
             prim_material.append(mat_id)
             prim_tri_offset.append(tri_base)
@@ -227,6 +229,7 @@ def load_scene(path, texture_max_dim: int = 2048,
     uvs = np.concatenate(uvs)
     tri_vtx = np.concatenate(tri_vtx).astype(np.int32)
     tri_prim = np.concatenate(tri_prim).astype(np.int32)
+    vtx_mesh = np.concatenate(vtx_mesh).astype(np.int32)
 
     nv, nt, npr = positions.shape[0], tri_vtx.shape[0], len(prim_mesh)
     pv, pt, pp = _bucket(nv, 4096), _bucket(nt, 4096), _bucket(npr, 64)
@@ -270,6 +273,7 @@ def load_scene(path, texture_max_dim: int = 2048,
         uvs=jnp.asarray(pad(uvs, pv)),
         tri_vtx=jnp.asarray(pad(tri_vtx, pt)),
         tri_prim=jnp.asarray(pad(tri_prim, pt, fill=-1)),
+        vtx_mesh=jnp.asarray(pad(vtx_mesh, pv)),
         prim_mesh=jnp.asarray(pad(np.asarray(prim_mesh, np.int32), pp)),
         prim_material=jnp.asarray(
             pad(np.asarray(prim_material, np.int32), pp)),

@@ -1,0 +1,109 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from incarnation_tpu.core import View, mathutils as mu
+from incarnation_tpu.kernels import raster
+from scene_util import make_scene
+
+W, H = 128, 64
+PARAMS = raster.RasterParams(width=W, height=H, tile_h=16, tile_w=128,
+                             bin_capacity=64, bin_max_span=4,
+                             big_tri_capacity=16, chunk=8)
+EYE4 = jnp.eye(4)
+
+
+def run(scene, params=PARAMS, view=None):
+    if view is None:
+        view = View.default(aspect=W / H)
+    vp = jnp.asarray(view.view_proj())
+    vis, depth, clip, world, stats = raster.render_visibility(
+        scene, scene.vtx_mesh, EYE4, vp,
+        jnp.ones(scene.prim_mesh.shape, bool), params)
+    return np.asarray(vis), np.asarray(depth), stats
+
+
+def tri_facing_camera(z=5.0, scale=4.0):
+    """A triangle at depth z facing the default camera (look +z).
+
+    glTF front faces are CCW seen from the camera side; camera looks +z so
+    the camera sees the -z side: wind CCW when viewed from -z.
+    """
+    return np.array([
+        [-scale, -scale * 0.5, z],
+        [scale, -scale * 0.5, z],
+        [0.0, scale, z],
+    ], np.float32)
+
+
+def test_single_triangle_coverage_and_depth():
+    scene = make_scene(tri_facing_camera(z=5.0), [[0, 1, 2]])
+    vis, depth, _ = run(scene)
+    cx, cy = W // 2, H // 2
+    assert vis[cy, cx] == mu.encode_primitive_visibility(0, 0)
+    # depth = near / view_z = 1/20 (camera at -15, tri at +5)
+    np.testing.assert_allclose(depth[cy, cx], 1.0 / 20.0, rtol=1e-4)
+    # corners uncovered
+    assert vis[0, 0] == mu.VIS_CLEAR_INT32
+    assert depth[0, 0] == 0.0
+    # roughly the right number of pixels covered (triangle area in pixels)
+    covered = (vis != mu.VIS_CLEAR_INT32).sum()
+    assert 100 < covered < 2000
+
+
+def test_closer_triangle_wins():
+    p1 = tri_facing_camera(z=5.0)
+    p2 = tri_facing_camera(z=2.0, scale=2.0)  # closer, smaller
+    scene = make_scene(np.concatenate([p1, p2]), [[0, 1, 2], [3, 4, 5]])
+    vis, depth, _ = run(scene)
+    cy, cx = H // 2, W // 2
+    assert vis[cy, cx] == mu.encode_primitive_visibility(0, 1)
+    np.testing.assert_allclose(depth[cy, cx], 1.0 / 17.0, rtol=1e-4)
+
+
+def test_backface_culled():
+    p = tri_facing_camera()
+    scene = make_scene(p, [[0, 2, 1]])  # reversed winding -> back face
+    vis, _, _ = run(scene)
+    assert (vis == mu.VIS_CLEAR_INT32).all()
+    # ... but drawn when double-sided
+    scene2 = make_scene(p, [[0, 2, 1]], double_sided=True)
+    vis2, _, _ = run(scene2)
+    assert (vis2 != mu.VIS_CLEAR_INT32).any()
+
+
+def test_behind_camera_culled():
+    scene = make_scene(tri_facing_camera(z=-30.0), [[0, 1, 2]])
+    vis, _, stats = run(scene)
+    assert (vis == mu.VIS_CLEAR_INT32).all()
+    assert int(stats["culled_triangles"]) >= 1
+
+
+def test_big_triangle_path():
+    # A triangle covering most of the screen spans > bin_max_span tiles and
+    # must be routed through the big-triangle list.
+    scene = make_scene(tri_facing_camera(z=5.0, scale=40.0), [[0, 1, 2]])
+    vis, _, stats = run(scene)
+    assert vis[H // 2, W // 2] == mu.encode_primitive_visibility(0, 0)
+    assert int(stats["big_overflow"]) == 0
+
+
+def test_visibility_id_uses_prim_local_triangle():
+    p1 = tri_facing_camera(z=5.0)
+    p2 = tri_facing_camera(z=2.0, scale=2.0)
+    scene = make_scene(
+        np.concatenate([p1, p2]), [[0, 1, 2], [3, 4, 5]],
+        tri_prim=np.array([0, 1], np.int32), num_prims=2,
+        prim_tri_offset=np.array([0, 1], np.int32))
+    vis, _, _ = run(scene)
+    # center pixel: prim 1, local triangle 0
+    assert vis[H // 2, W // 2] == mu.encode_primitive_visibility(1, 0)
+
+
+def test_adjacent_triangles_no_gap():
+    # A quad split into two triangles must leave no seam pixels.
+    q = np.array([[-4, -4, 5], [4, -4, 5], [4, 4, 5], [-4, 4, 5]], np.float32)
+    scene = make_scene(q, [[0, 1, 2], [0, 2, 3]])
+    vis, _, _ = run(scene)
+    interior = vis[H // 2 - 10:H // 2 + 10, W // 2 - 10:W // 2 + 10]
+    assert (interior != mu.VIS_CLEAR_INT32).all()
