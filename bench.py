@@ -1,0 +1,75 @@
+"""Benchmark: Sponza-class scene, 1080p raster path, frames/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >= 30 FPS raster on one chip.
+
+Scene: Sponza when its geometry is present; otherwise a 4x4 grid of
+DamagedHelmet instances (247k triangles — Sponza-scale: 262k) since the
+reference checkout ships Sponza.gltf without its (LFS) Sponza.bin.
+"""
+
+import json
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+
+SPONZA = pathlib.Path("/root/reference/content/models/sponza/Sponza.gltf")
+HELMET = pathlib.Path(
+    "/root/reference/content/models/damaged-helmet/DamagedHelmet.gltf")
+TARGET_FPS = 30.0
+
+
+def load_bench_scene():
+    from incarnation_tpu.scene.cache import load_scene_cached
+    from incarnation_tpu.scene import instancing
+    if SPONZA.exists() and SPONZA.with_suffix(".bin").exists():
+        host = load_scene_cached(SPONZA, texture_max_dim=1024)
+        return host, host.scene, "sponza"
+    host = load_scene_cached(HELMET, texture_max_dim=1024)
+    scene = instancing.replicate_scene(
+        host.scene, instancing.grid_offsets(4, 4, 3.0))
+    return host, scene, "helmet_grid16"
+
+
+def main():
+    from incarnation_tpu.config import Config
+    from incarnation_tpu.core.view import View
+    from incarnation_tpu.kernels.raster import RasterParams
+    from incarnation_tpu.renderer import frame as frame_mod
+
+    width, height = 1920, 1088  # 1080p padded to whole 16-row tiles
+
+    host, scene, name = load_bench_scene()
+    cfg = Config()
+    params = RasterParams(width=width, height=height, bin_capacity=2048)
+    view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
+                            aspect=width / height)
+    fc = frame_mod.FrameConstants.make(
+        view, cfg, sun_dir=np.asarray(host.scene.sun_dir),
+        sun_color_intensity=[1.0, 1.0, 1.0, 100.0])
+
+    out = frame_mod.render_frame_jit(scene, fc, cfg, params)
+    out["color"].block_until_ready()
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        out = frame_mod.render_frame_jit(scene, fc, cfg, params)
+    out["color"].block_until_ready()
+    dt = (time.time() - t0) / n
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"{name}_1080p_raster_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Multi-chip scaling: screen-band sharding over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.4); this is the new TPU-native
+scale-out design: the image is split into horizontal bands, one per device,
+each device runs the FULL raster pipeline on its band, and outputs concatenate
+over ICI. The trick that keeps the pipeline unmodified: each device applies a
+post-projection band matrix that maps its NDC y-slice to the full [-1, 1]
+range, so setup/binning/rasterize/resolve all see an ordinary
+(H/n, W) viewport. Collectives: stats are psum-reduced; later passes (SPP
+accumulation for the path tracer, SH reduction) ride the same mesh.
+
+Works on the virtual CPU mesh for tests (SURVEY.md §4) and on real ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..kernels import raster as raster_mod
+from ..renderer import frame as frame_mod
+
+
+def band_projection(n_bands: int, band_index):
+    """Post-projection matrix mapping band `band_index`'s NDC y-range to
+    [-1, 1] (row-vector convention: clip' = clip @ J). Band 0 is the top of
+    the image (NDC y near +1)."""
+    t = (1.0 - n_bands + 2.0 * band_index).astype(jnp.float32)
+    j = jnp.eye(4, dtype=jnp.float32)
+    j = j.at[1, 1].set(float(n_bands))
+    j = j.at[3, 1].set(t)
+    return j
+
+
+def make_mesh(n_devices: int = None, devices=None, axis: str = "band"):
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
+                         mesh: Mesh, axis: str = "band"):
+    """Render with the image sharded into horizontal bands over `mesh`.
+
+    params describes the FULL image; each device renders height/n rows.
+    Returns the same dict as render_frame with 'color'/'vis'/'depth'/'hdr'
+    assembled full-size (stats psum-reduced across devices).
+    """
+    n = mesh.shape[axis]
+    if params.height % (n * params.tile_h) != 0:
+        raise ValueError(
+            f"height {params.height} must divide into {n} bands of whole "
+            f"{params.tile_h}-row tiles")
+    band_params = raster_mod.RasterParams(
+        width=params.width, height=params.height // n,
+        tile_h=params.tile_h, tile_w=params.tile_w,
+        bin_capacity=params.bin_capacity, bin_max_span=params.bin_max_span,
+        big_tri_capacity=params.big_tri_capacity, chunk=params.chunk)
+
+    def body(scene, fc):
+        idx = jax.lax.axis_index(axis)
+        j = band_projection(n, idx)
+        fc_band = frame_mod.FrameConstants(
+            view_proj=fc.view_proj @ j,
+            eye=fc.eye,
+            scene_rotation=fc.scene_rotation,
+            exposure=fc.exposure,
+            sun_dir=fc.sun_dir,
+            sun_color_intensity=fc.sun_color_intensity)
+        out = frame_mod.render_frame(scene, fc_band, config=config,
+                                     params=band_params)
+        stats = {k: jax.lax.psum(v, axis) for k, v in out["stats"].items()}
+        return dict(color=out["color"], vis=out["vis"], depth=out["depth"],
+                    hdr=out["hdr"], stats=stats)
+
+    out_specs = dict(color=P(axis), vis=P(axis), depth=P(axis), hdr=P(axis),
+                     stats=P())
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=out_specs, check_vma=False)
+    return fn(scene, fc)
+
+
+def render_frame_sharded_jit(scene, fc, config, params, mesh, axis="band"):
+    f = jax.jit(functools.partial(render_frame_sharded, config=config,
+                                  params=params, mesh=mesh, axis=axis))
+    return f(scene, fc)
