@@ -36,6 +36,8 @@ def load_bench_scene():
 
 
 def main():
+    from incarnation_tpu.utils import jaxinit
+    jaxinit.setup()
     from incarnation_tpu.config import Config
     from incarnation_tpu.core.view import View
     from incarnation_tpu.kernels.raster import RasterParams

@@ -60,9 +60,17 @@ def main(argv=None):
     ap.add_argument("--bin-capacity", type=int, default=1024)
     ap.add_argument("--frames", type=int, default=1,
                     help="render N frames (timing: first is compile)")
+    ap.add_argument("--no-sky", action="store_true",
+                    help="disable sky lighting + background")
     args = ap.parse_args(argv)
+    from ..utils import jaxinit
+    jaxinit.setup()
 
-    cfg = Config(viewmode=args.viewmode, exposure=args.exposure)
+    cfg = Config(viewmode=args.viewmode, exposure=args.exposure,
+                 enable_sky_lighting=not args.no_sky)
+    if args.no_sky:
+        from ..config import EnvSkyMode
+        cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
     t0 = time.time()
     host = load_scene(args.model, texture_max_dim=args.texture_max_dim)
     print(f"[scene] {host.name}: {host.scene.meta.num_triangles} tris, "
@@ -90,19 +98,32 @@ def main(argv=None):
     fc = frame_mod.FrameConstants.make(view, cfg, sun_dir=sun_dir,
                                        sun_color_intensity=sun_ci)
 
+    probe = env_brdf = None
+    if cfg.enable_sky_lighting:
+        from ..kernels import ibl, sky
+        t0 = time.time()
+        latlong = sky.sky_latlong(fc.sun_dir, cfg.turbidity, 256, 128)
+        probe = ibl.build_probe(latlong, envmap_size=cfg.envmap_resolution)
+        env_brdf = ibl.env_brdf_lut(512)
+        import jax
+        jax.block_until_ready((probe.sh, env_brdf))
+        print(f"[probe] dynamic-sky probe + BRDF LUT: {time.time() - t0:.1f}s")
+
     t0 = time.time()
-    out = frame_mod.render_frame_jit(host.scene, fc, cfg, params)
+    out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
+                                     env_brdf)
     out["color"].block_until_ready()
     print(f"[frame] first frame (incl. compile): {time.time() - t0:.1f}s")
 
     for _ in range(max(0, args.frames - 1)):
         t0 = time.time()
-        out = frame_mod.render_frame_jit(host.scene, fc, cfg, params)
+        out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
+                                         env_brdf)
         out["color"].block_until_ready()
         print(f"[frame] {1e3 * (time.time() - t0):.1f} ms")
 
     stats = {k: int(v) for k, v in out["stats"].items()}
-    covered = float(np.mean(np.asarray(out["vis"]) != -4096))
+    covered = float(np.mean(np.asarray(out["tri"]) >= 0))
     print(f"[stats] {stats} coverage={covered:.3f}")
     io_mod.save_png(args.out, np.asarray(out["color"]))
     print(f"[out] {args.out}")

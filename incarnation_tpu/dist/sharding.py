@@ -14,6 +14,7 @@ Works on the virtual CPU mesh for tests (SURVEY.md §4) and on real ICI.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -67,20 +68,20 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
     def body(scene, fc):
         idx = jax.lax.axis_index(axis)
         j = band_projection(n, idx)
-        fc_band = frame_mod.FrameConstants(
-            view_proj=fc.view_proj @ j,
-            eye=fc.eye,
-            scene_rotation=fc.scene_rotation,
-            exposure=fc.exposure,
-            sun_dir=fc.sun_dir,
-            sun_color_intensity=fc.sun_color_intensity)
+        # inv(vp @ J) = inv(J) @ inv(vp); J is diagonal + one shear term.
+        j_inv = jnp.eye(4, dtype=jnp.float32)
+        j_inv = j_inv.at[1, 1].set(1.0 / n)
+        j_inv = j_inv.at[3, 1].set(-j[3, 1] / n)
+        fc_band = dataclasses.replace(
+            fc, view_proj=fc.view_proj @ j,
+            inv_view_proj=j_inv @ fc.inv_view_proj)
         out = frame_mod.render_frame(scene, fc_band, config=config,
                                      params=band_params)
         stats = {k: jax.lax.psum(v, axis) for k, v in out["stats"].items()}
-        return dict(color=out["color"], vis=out["vis"], depth=out["depth"],
+        return dict(color=out["color"], tri=out["tri"], depth=out["depth"],
                     hdr=out["hdr"], stats=stats)
 
-    out_specs = dict(color=P(axis), vis=P(axis), depth=P(axis), hdr=P(axis),
+    out_specs = dict(color=P(axis), tri=P(axis), depth=P(axis), hdr=P(axis),
                      stats=P())
     fn = shard_map(body, mesh=mesh, in_specs=(P(), P()),
                    out_specs=out_specs, check_vma=False)

@@ -414,6 +414,7 @@ jax.tree_util.register_pytree_node(
     lambda aux, ch: EnvironmentProbe(*ch))
 
 
+@functools.partial(jax.jit, static_argnames=("envmap_size", "num_samples"))
 def build_probe(latlong, envmap_size: int = 256,
                 num_samples: int = 1024) -> EnvironmentProbe:
     """lat-long radiance -> probe. Matches the reference chain: cube at

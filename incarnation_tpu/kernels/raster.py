@@ -111,7 +111,9 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams):
       setup_t: (_SETUP_ROWS, T) f32 — rows 0-2/3-5/6-8 the three edge
                coefficient triples (a, b, c) over pixel coords (px, py, 1),
                rows 9-11 the depth plane (z_ndc = a*px + b*py + c).
-      ids:     (T,) int32 visibility ids (prim << 20 | local_tri).
+      ids:     (T,) int32 global triangle indices (the raster output; the
+               reference's prim << 20 | tri visibility encoding is derived
+               from these on demand — see visibility_from_tri).
       valid:   (T,) bool — in front of camera, front-facing or double-sided,
                non-degenerate, bbox intersects screen, primitive visible.
       bbox:    (T, 4) int32 — inclusive pixel-space x0, y0, x1, y1.
@@ -168,14 +170,76 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams):
     valid &= (mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
     valid &= (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1)
 
-    local_tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (prim.shape[0], 1), 0)[:, 0]
-        - scene.prim_tri_offset[safe_prim])
-    ids = mu.encode_primitive_visibility(safe_prim, local_tri)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (prim.shape[0], 1), 0)[:, 0]
 
     setup_t = jnp.concatenate([e0.T, e1.T, e2.T, zplane.T], axis=0)
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
     return setup_t.astype(jnp.float32), ids, valid, bbox
+
+
+# Attribute-plane row layout (triangle_attributes): 32 f32 per triangle.
+ATTR_ROWS = 32
+# slices: uv numerator planes (0:6), world-normal planes (6:15),
+# world-tangent planes (15:24), denominator plane (24:27),
+# tangent sign (27), material id (28), uv at vertex 0 for degenerate
+# fallback (29:31), spare (31)
+
+
+def triangle_attributes(clip, scene, world_n_v, world_t_v,
+                        params: RasterParams):
+    """Per-triangle screen-space attribute planes (T, 32).
+
+    With 2D-homogeneous edge forms E_i, any vertex attribute f interpolates
+    perspective-correctly as f(p) = sum_i E_i(p) f_i / sum_i E_i(p) — so each
+    attribute channel needs only the 3-coefficient numerator plane
+    sum_i f_i e_i, and one shared denominator plane sum_i e_i. This replaces
+    the reference's per-pixel triangle fetch + CalcBarycentrics
+    (ref: gbuffer-compute.hlsl:23-47, 94-121) with per-triangle setup that the
+    resolve reads back with a single gather per pixel — per-pixel random
+    access is the scarce resource on TPU, not FLOPs.
+    """
+    w, h = params.width, params.height
+    tv = scene.tri_vtx
+    c0, c1, c2 = clip[tv[:, 0]], clip[tv[:, 1]], clip[tv[:, 2]]
+
+    def screen_h(c):
+        sx = (0.5 * c[:, 0] + 0.5 * c[:, 3]) * w
+        sy = (-0.5 * c[:, 1] + 0.5 * c[:, 3]) * h
+        return jnp.stack([sx, sy, c[:, 3]], axis=-1)
+
+    p0, p1, p2 = screen_h(c0), screen_h(c1), screen_h(c2)
+    e0 = jnp.cross(p1, p2)
+    e1 = jnp.cross(p2, p0)
+    e2 = jnp.cross(p0, p1)
+    det = jnp.sum(p0 * e0, axis=-1)
+    s = jnp.where(det >= 0.0, 1.0, -1.0)[:, None]
+    e0, e1, e2 = e0 * s, e1 * s, e2 * s
+
+    def planes(f0, f1, f2):
+        # (T, C) per-channel -> (T, C, 3) numerator planes
+        return (f0[..., None] * e0[:, None, :]
+                + f1[..., None] * e1[:, None, :]
+                + f2[..., None] * e2[:, None, :])
+
+    i0, i1, i2 = tv[:, 0], tv[:, 1], tv[:, 2]
+    uv_p = planes(scene.uvs[i0], scene.uvs[i1], scene.uvs[i2])
+    wn_p = planes(world_n_v[i0], world_n_v[i1], world_n_v[i2])
+    wt_p = planes(world_t_v[i0], world_t_v[i1], world_t_v[i2])
+    denom = e0 + e1 + e2
+
+    t = tv.shape[0]
+    prim = jnp.maximum(scene.tri_prim, 0)
+    attr = jnp.concatenate([
+        uv_p.reshape(t, 6),
+        wn_p.reshape(t, 9),
+        wt_p.reshape(t, 9),
+        denom,
+        scene.tangents[i0][:, 3:4],
+        scene.prim_material[prim].astype(jnp.float32)[:, None],
+        scene.uvs[i0],
+        jnp.zeros((t, 1), jnp.float32),
+    ], axis=-1)
+    return attr.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +338,7 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(counts_ref, bigcount_ref, setup_ref, ids_ref,
-                   big_setup_ref, big_ids_ref, vis_ref, z_ref,
+                   big_setup_ref, big_ids_ref, tri_ref, z_ref,
                    *, params: RasterParams):
     p = params
     ti = pl.program_id(0)
@@ -288,8 +352,7 @@ def _raster_kernel(counts_ref, bigcount_ref, setup_ref, ids_ref,
     colf = (px + tx * p.tile_w).astype(jnp.float32) + 0.5
     rowf = (py + ty * p.tile_h).astype(jnp.float32) + 0.5
 
-    neg = jnp.full((1, n), -1.0, jnp.float32)
-    clear = jnp.full((1, n), mu.VIS_CLEAR_INT32, jnp.int32)
+    clear = jnp.full((1, n), -1, jnp.int32)
 
     def eval_chunk(rows, rid, zb, vb):
         """rows: (K, 12) coefficient slab; rid: (K, 1) ids."""
@@ -328,13 +391,13 @@ def _raster_kernel(counts_ref, bigcount_ref, setup_ref, ids_ref,
     zb, vb = jax.lax.fori_loop(
         0, pl.cdiv(bigcount_ref[0], p.chunk), big_body, (zb, vb))
 
-    vis_ref[:, :] = vb.reshape(p.tile_h, p.tile_w)
+    tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
 
 
 def rasterize_tiles(bins: Bins, params: RasterParams):
-    """Run the fine-raster kernel. Returns (vis (H,W) i32, depth (H,W) f32)
-    cropped to the requested resolution."""
+    """Run the fine-raster kernel. Returns (tri (H,W) i32 global triangle
+    index, -1 = no geometry; depth (H,W) f32) cropped to the resolution."""
     p = params
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -354,7 +417,7 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
                          lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
         ],
     )
-    vis, depth = pl.pallas_call(
+    tri, depth = pl.pallas_call(
         functools.partial(_raster_kernel, params=p),
         grid_spec=grid_spec,
         out_shape=[
@@ -366,7 +429,7 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
         interpret=_should_interpret(),
     )(bins.counts, bins.big_count, bins.setup, bins.ids,
       bins.big_setup, bins.big_ids)
-    return vis[:p.height, :p.width], depth[:p.height, :p.width]
+    return tri[:p.height, :p.width], depth[:p.height, :p.width]
 
 
 def _should_interpret() -> bool:
@@ -388,7 +451,7 @@ def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
                       prim_visible, params: RasterParams):
     """Full visibility-buffer pass: transform, setup, bin, rasterize.
 
-    Returns (vis, depth, clip, world, stats_dict).
+    Returns (tri (H,W) i32, depth, clip, world, stats_dict).
     """
     clip, world = vertex_transform(scene.positions, vtx_mesh,
                                    scene.mesh_transforms, scene_rotation,
@@ -396,7 +459,20 @@ def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
     setup_t, ids, valid, bbox = triangle_setup(clip, scene, prim_visible,
                                                params)
     bins = bin_triangles(setup_t, ids, valid, bbox, params)
-    vis, depth = rasterize_tiles(bins, params)
+    tri, depth = rasterize_tiles(bins, params)
     stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,
                  culled_triangles=jnp.sum(~valid))
-    return vis, depth, clip, world, stats
+    return tri, depth, clip, world, stats
+
+
+def visibility_from_tri(tri, scene):
+    """Global triangle index map -> the reference's visibility-buffer ids
+    (prim << 20 | local_tri, clear 0xFFFFF000 —
+    ref: shaders/geo-raster/encoding.hlsli). Used by debug view modes and
+    parity tests; the hot path consumes the triangle index directly."""
+    mask = tri >= 0
+    safe = jnp.maximum(tri, 0)
+    prim = jnp.maximum(scene.tri_prim[safe], 0)
+    local = safe - scene.prim_tri_offset[prim]
+    vis = mu.encode_primitive_visibility(prim, local)
+    return jnp.where(mask, vis, mu.VIS_CLEAR_INT32)

@@ -1,17 +1,31 @@
-"""GBuffer material resolve: visibility buffer -> shaded surface attributes.
+"""GBuffer material resolve: triangle-index buffer -> shaded surface attrs.
 
-Port of the reference's fullscreen compute material resolve
-(ref: shaders/geo-raster/gbuffer-compute.hlsl): decode the visibility id,
-fetch the triangle's vertices, reconstruct perspective-correct screen-space
-barycentrics analytically (ref: gbuffer-compute.hlsl:23-47, after
-filmicworlds' visibility-buffer article), interpolate attributes, evaluate
-the material (ref: shaders/material/common.hlsli EvaluateMaterialProperties),
-and emit base color / octahedral normal / metallic-roughness-AO gbuffers plus
-emissive into the HDR color target (x20000, ref: gbuffer-compute.hlsl:247).
+The reference's fullscreen material resolve decodes the visibility id,
+re-fetches the triangle's three vertices, and reconstructs perspective-correct
+barycentrics analytically per pixel (ref: shaders/geo-raster/
+gbuffer-compute.hlsl). A literal port costs ~20 random gathers per pixel —
+and per-pixel random access, not FLOPs, is the scarce TPU resource. The
+TPU-native restructuring:
 
-On TPU this is a fused elementwise+gather pixel pipeline (XLA handles the
-fusion); the per-pixel triangle-data fetch is a flat gather into the packed
-scene arrays instead of bindless accessor chasing.
+- Triangle setup precomputes screen-space *attribute planes* per triangle
+  (kernels/raster.py triangle_attributes): every interpolant becomes
+  numerator/denominator linear forms in pixel coordinates, mathematically
+  identical to the reference's CalcBarycentrics interpolation
+  (ref: gbuffer-compute.hlsl:23-67).
+- The resolve gathers ONE 32-float attribute row per pixel and evaluates the
+  planes (pure VPU math). UV screen derivatives for mip selection fall out
+  analytically from the same planes.
+- World position is reconstructed from depth + inverse view-projection, as
+  the reference's lighting passes do (ref: lighting/sky-lighting.hlsl:66-77)
+  instead of interpolating it.
+- All material texture slots come back in one interleaved stack fetch
+  (scene/textures.py sample_material_stack) plus one packed factor row
+  (materials.py pack_material_params): 4-8 gathers total for texturing vs the
+  reference's 9 separate bindless samples.
+
+Output gbuffer matches the reference: base color, octahedral world normal,
+metallic/roughness/ao/aoblend, emissive x20000
+(ref: gbuffer-compute.hlsl:245-250).
 """
 
 from __future__ import annotations
@@ -23,6 +37,7 @@ import jax.numpy as jnp
 
 from ..core import mathutils as mu
 from ..scene import textures as tex_mod
+from .raster import ATTR_ROWS  # noqa: F401  (layout contract lives there)
 
 
 class GBuffer(NamedTuple):
@@ -31,52 +46,106 @@ class GBuffer(NamedTuple):
     mrao: jnp.ndarray          # (H, W, 4) f32 metallic, roughness, ao, aoblend
     emissive: jnp.ndarray      # (H, W, 3) f32 (already x20000)
     mask: jnp.ndarray          # (H, W) bool geometry coverage
-    world_pos: jnp.ndarray     # (H, W, 3) f32 reconstructed world position
+    world_pos: jnp.ndarray     # (H, W, 3) f32 reconstructed from depth
     uv: jnp.ndarray            # (H, W, 2) f32 (debug / alpha passes)
+    extras: jnp.ndarray        # (H, W, 3) f32 transmission, clearcoat, ccrough
 
 
-def calc_barycentrics(p0, p1, p2, pixel_ndc):
-    """Screen-space perspective-correct barycentrics + NDC-space derivative
-    helpers (ref: gbuffer-compute.hlsl:23-47). p_i: (..., 4) clip coords.
-
-    Returns (lambda (...,3), ddx (...,3), ddy (...,3), interp_w (...,)).
-    """
-    inv_w = 1.0 / jnp.stack([p0[..., 3], p1[..., 3], p2[..., 3]], axis=-1)
-    ndc0 = p0[..., :2] * inv_w[..., 0:1]
-    ndc1 = p1[..., :2] * inv_w[..., 1:2]
-    ndc2 = p2[..., :2] * inv_w[..., 2:3]
-
-    a = ndc2 - ndc1
-    b = ndc0 - ndc1
-    det = a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
-    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)[..., None]
-
-    ddx = jnp.stack([ndc1[..., 1] - ndc2[..., 1],
-                     ndc2[..., 1] - ndc0[..., 1],
-                     ndc0[..., 1] - ndc1[..., 1]], axis=-1) * inv_det * inv_w
-    ddy = jnp.stack([ndc2[..., 0] - ndc1[..., 0],
-                     ndc0[..., 0] - ndc2[..., 0],
-                     ndc1[..., 0] - ndc0[..., 0]], axis=-1) * inv_det * inv_w
-    ddx_sum = jnp.sum(ddx, axis=-1, keepdims=True)
-    ddy_sum = jnp.sum(ddy, axis=-1, keepdims=True)
-
-    delta = pixel_ndc - ndc0
-    interp_inv_w = (inv_w[..., 0] + delta[..., 0] * ddx_sum[..., 0]
-                    + delta[..., 1] * ddy_sum[..., 0])
-    interp_w = jnp.where(jnp.abs(interp_inv_w) > 1e-20,
-                         1.0 / interp_inv_w, 0.0)
-
-    lam0 = interp_w * (inv_w[..., 0] + delta[..., 0] * ddx[..., 0]
-                       + delta[..., 1] * ddy[..., 0])
-    lam1 = interp_w * (delta[..., 0] * ddx[..., 1]
-                       + delta[..., 1] * ddy[..., 1])
-    lam2 = interp_w * (delta[..., 0] * ddx[..., 2]
-                       + delta[..., 1] * ddy[..., 2])
-    return (jnp.stack([lam0, lam1, lam2], axis=-1), ddx, ddy, interp_w)
+def world_from_depth(depth, inv_view_proj, width: int, height: int):
+    """Reconstruct world position from reverse-Z depth
+    (ref: sky-lighting.hlsl:66-77)."""
+    xs = (jax.lax.broadcasted_iota(jnp.float32, depth.shape, 1) + 0.5)
+    ys = (jax.lax.broadcasted_iota(jnp.float32, depth.shape, 0) + 0.5)
+    ndc = jnp.stack([2.0 * xs / width - 1.0, -2.0 * ys / height + 1.0,
+                     depth, jnp.ones_like(depth)], axis=-1)
+    wp = ndc @ inv_view_proj
+    return wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:]) > 1e-20,
+                                   wp[..., 3:], 1.0)
 
 
-def _interp(v0, v1, v2, lam):
-    return (v0 * lam[..., 0:1] + v1 * lam[..., 1:2] + v2 * lam[..., 2:3])
+def resolve_gbuffer(tri, depth, scene, attr, inv_view_proj,
+                    width: int, height: int,
+                    trilinear: bool = True) -> GBuffer:
+    """tri: (H, W) int32 global triangle indices (-1 = background);
+    attr: (T, 32) f32 per-triangle attribute planes."""
+    mask = tri >= 0
+    safe = jnp.maximum(tri, 0)
+    row = attr[safe]                                  # (H, W, 32) ONE gather
+
+    xs = (jax.lax.broadcasted_iota(jnp.float32, tri.shape, 1) + 0.5)
+    ys = (jax.lax.broadcasted_iota(jnp.float32, tri.shape, 0) + 0.5)
+
+    def lin(c):   # evaluate a plane (..., 3) at the pixel
+        return c[..., 0] * xs + c[..., 1] * ys + c[..., 2]
+
+    denom = lin(row[..., 24:27])
+    inv_d = jnp.where(jnp.abs(denom) > 1e-20, 1.0 / denom, 0.0)
+
+    def interp(start):
+        return lin(row[..., start:start + 3]) * inv_d
+
+    u = interp(0)
+    v = interp(3)
+    uv = jnp.stack([u, v], axis=-1)
+    wn = jnp.stack([interp(6), interp(9), interp(12)], axis=-1)
+    wt = jnp.stack([interp(15), interp(18), interp(21)], axis=-1)
+    sign = row[..., 27:28]
+    mat_id = row[..., 28].astype(jnp.int32)
+
+    n = mu.normalize(wn)
+    t = mu.normalize(wt)
+    b = mu.normalize(jnp.cross(n, t) * sign)
+
+    # Analytic UV screen derivatives for mip selection: for f = P.p / D.p,
+    # df/dx = (P_x - f * D_x) / D.p — exact, unlike hardware quad diffs.
+    meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
+    size_f = meta[..., 1].astype(jnp.float32)
+    dudx = (row[..., 0] - u * row[..., 24]) * inv_d
+    dudy = (row[..., 1] - u * row[..., 25]) * inv_d
+    dvdx = (row[..., 3] - v * row[..., 24]) * inv_d
+    dvdy = (row[..., 4] - v * row[..., 25]) * inv_d
+    rho = jnp.maximum(jnp.sqrt(dudx * dudx + dvdx * dvdx),
+                      jnp.sqrt(dudy * dudy + dvdy * dvdy)) * size_f
+    lod = jnp.log2(jnp.maximum(rho, 1e-8))
+
+    # One interleaved fetch for every texture slot
+    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
+                                          lod=lod, trilinear=trilinear)
+    tx = tex_mod.decode_stack_channels(chans)
+    fac = scene.mat_params[jnp.maximum(mat_id, 0)]     # (H, W, 16)
+
+    base_color = fac[..., 3:6] * tx["base_rgb"]
+    opacity = fac[..., 6] * tx["opacity"]
+    emissive = fac[..., 0:3] * tx["emissive_rgb"]
+    metallic = fac[..., 7] * tx["metallic"]
+    roughness = fac[..., 8] * tx["roughness"]
+    ao = tx["ao"]
+    ao_blend = fac[..., 9]
+
+    # Normal mapping (z reconstructed from xy like the reference's BC5 path,
+    # ref: material/common.hlsli:50-58)
+    nxy = tx["normal_xy"] * fac[..., 10:11]
+    nz = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(nxy * nxy, -1), 1e-6))
+    n_mapped = mu.normalize(nxy[..., 0:1] * t + nxy[..., 1:2] * b
+                            + nz[..., None] * n)
+
+    wp = world_from_depth(depth, inv_view_proj, width, height)
+
+    m = mask[..., None]
+    return GBuffer(
+        base_color=jnp.where(
+            m, jnp.concatenate([base_color, opacity[..., None]], -1), 0.0),
+        normals=jnp.where(m, mu.oct_encode(n_mapped), 0.0),
+        mrao=jnp.where(m, jnp.stack(
+            [metallic, roughness, ao, ao_blend], -1), 0.0),
+        emissive=jnp.where(m, emissive * 20000.0, 0.0),
+        mask=mask,
+        world_pos=jnp.where(m, wp, 0.0),
+        uv=uv,
+        extras=jnp.where(m, jnp.stack(
+            [fac[..., 13] * tx["transmission"], fac[..., 14] * tx["clearcoat"],
+             fac[..., 15]], -1), 0.0),
+    )
 
 
 def vertex_world_attributes(scene, scene_rotation):
@@ -91,125 +160,3 @@ def vertex_world_attributes(scene, scene_rotation):
     wn = jnp.einsum("vi,vij->vj", scene.normals, r)
     wt = jnp.einsum("vi,vij->vj", scene.tangents[:, :3], r)
     return wn, wt
-
-
-def resolve_gbuffer(vis, scene, clip, world_pos_v, world_n_v, world_t_v,
-                    width: int, height: int) -> GBuffer:
-    """vis: (H, W) int32 visibility buffer; clip/world*: per-vertex arrays."""
-    mask = vis != mu.VIS_CLEAR_INT32
-    prim, ltri = mu.decode_primitive_visibility(jnp.where(mask, vis, 0))
-    gtri = scene.prim_tri_offset[prim] + ltri
-    gtri = jnp.clip(gtri, 0, scene.tri_vtx.shape[0] - 1)
-    tv = scene.tri_vtx[gtri]                      # (H, W, 3)
-    i0, i1, i2 = tv[..., 0], tv[..., 1], tv[..., 2]
-
-    p0, p1, p2 = clip[i0], clip[i1], clip[i2]     # (H, W, 4)
-
-    # Pixel NDC (ref: gbuffer-compute.hlsl:222-226)
-    xs = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5)
-    ys = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5)
-    pixel_ndc = jnp.stack([2.0 * xs / width - 1.0,
-                           -2.0 * ys / height + 1.0], axis=-1)
-
-    lam, ddx, ddy, _ = calc_barycentrics(p0, p1, p2, pixel_ndc)
-
-    n = mu.normalize(_interp(world_n_v[i0], world_n_v[i1], world_n_v[i2],
-                             lam))
-    t = mu.normalize(_interp(world_t_v[i0], world_t_v[i1], world_t_v[i2],
-                             lam))
-    sign = scene.tangents[i0][..., 3:4]
-    b = mu.normalize(jnp.cross(n, t) * sign)
-    uv = _interp(scene.uvs[i0], scene.uvs[i1], scene.uvs[i2], lam)
-    wp = _interp(world_pos_v[i0], world_pos_v[i1], world_pos_v[i2], lam)
-
-    # Texture lod from analytic UV derivatives: with g_i the screen-linear
-    # numerators, d(uv)/dndc = w * (sum ddx_i uv_i - uv * sum ddx_i).
-    uvs3 = jnp.stack([scene.uvs[i0], scene.uvs[i1], scene.uvs[i2]], axis=-2)
-    interp_w = 1.0  # folded into lam already; recompute derivative directly
-    duv_dx = (jnp.sum(ddx[..., None] * uvs3, axis=-2)
-              - uv * jnp.sum(ddx, axis=-1, keepdims=True))
-    duv_dy = (jnp.sum(ddy[..., None] * uvs3, axis=-2)
-              - uv * jnp.sum(ddy, axis=-1, keepdims=True))
-    # NDC -> pixel scale; perspective factor w applied via lam's scale is
-    # approximated with the lam-normalized derivative (adequate for mip
-    # selection).
-    size = scene.atlas.meta.size
-    texel_dx = duv_dx * (2.0 / width) * size
-    texel_dy = duv_dy * (2.0 / height) * size
-    rho = jnp.maximum(jnp.linalg.norm(texel_dx, axis=-1),
-                      jnp.linalg.norm(texel_dy, axis=-1))
-    lod = jnp.log2(jnp.maximum(rho, 1e-8))
-
-    mat_id = scene.prim_material[prim]
-    gb = evaluate_material(scene, mat_id, uv, lod, n, t, b)
-
-    oct_n = mu.oct_encode(gb["normal"])
-    zero = jnp.zeros_like(gb["base_color"][..., :1])
-    m = mask[..., None]
-    return GBuffer(
-        base_color=jnp.where(
-            m, jnp.concatenate([gb["base_color"], gb["opacity"][..., None]],
-                               axis=-1), 0.0),
-        normals=jnp.where(m, oct_n, 0.0),
-        mrao=jnp.where(m, jnp.stack(
-            [gb["metallic"], gb["roughness"], gb["ao"], gb["aoblend"]],
-            axis=-1), 0.0),
-        emissive=jnp.where(m, gb["emissive"] * 20000.0, 0.0),
-        mask=mask,
-        world_pos=jnp.where(m, wp, 0.0),
-        uv=uv,
-    )
-
-
-def evaluate_material(scene, mat_id, uv, lod, n, t, b) -> dict:
-    """EvaluateMaterialProperties (ref: shaders/material/common.hlsli:28-117)
-    over pixel arrays; all texture slots sampled through the scene atlas."""
-    mt = scene.materials
-    atlas = scene.atlas
-
-    def sample(tex_ids):
-        return tex_mod.sample_atlas(atlas, tex_ids, uv, lod=lod)
-
-    def pick(tex_ids, sampled, fallback):
-        has = (tex_ids >= 0)[..., None]
-        return jnp.where(has, sampled, fallback)
-
-    # Emissive
-    t_em = mt.tex_emissive[mat_id]
-    emissive = mt.emissive_factor[mat_id] * pick(
-        t_em, sample(t_em)[..., :3], 1.0)
-
-    # Base color + opacity
-    t_bc = mt.tex_base_color[mat_id]
-    bc_sample = sample(t_bc)
-    base_color = mt.base_color_factor[mat_id][..., :3] * pick(
-        t_bc, bc_sample[..., :3], 1.0)
-    opacity = jnp.where(t_bc >= 0, bc_sample[..., 3],
-                        mt.base_color_factor[mat_id][..., 3])
-
-    # Normal map (glTF: rgb = tangent-space normal; the reference
-    # reconstructs z from BC5 xy — ref: material/common.hlsli:50-58)
-    t_nm = mt.tex_normal[mat_id]
-    nm = sample(t_nm)
-    nxy = (nm[..., :2] * 2.0 - 1.0) * mt.normal_scale[mat_id][..., None]
-    nz = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(nxy * nxy, axis=-1), 1e-6))
-    n_ts = jnp.concatenate([nxy, nz[..., None]], axis=-1)
-    # tangentToWorld rows T, B, N (ref: gbuffer-compute.hlsl:238-241)
-    n_mapped = mu.normalize(
-        n_ts[..., 0:1] * t + n_ts[..., 1:2] * b + n_ts[..., 2:3] * n)
-    normal = jnp.where((t_nm >= 0)[..., None], n_mapped, n)
-
-    # Metallic (B) / roughness (G) per glTF spec (the reference swizzles
-    # metallic into R at import; same values either way)
-    t_mr = mt.tex_metallic_roughness[mat_id]
-    mr = sample(t_mr)
-    metallic = jnp.where(t_mr >= 0, mr[..., 2], mt.metallic_factor[mat_id])
-    roughness = jnp.where(t_mr >= 0, mr[..., 1], mt.roughness_factor[mat_id])
-
-    # AO
-    t_ao = mt.tex_ao[mat_id]
-    ao = jnp.where(t_ao >= 0, sample(t_ao)[..., 0], 1.0)
-
-    return dict(emissive=emissive, base_color=base_color, opacity=opacity,
-                normal=normal, metallic=metallic, roughness=roughness,
-                ao=ao, aoblend=mt.ao_strength[mat_id])

@@ -1,0 +1,76 @@
+"""Sky / image-based lighting pass + environment background.
+
+Port of the reference's SkyLightingPass (ref: shaders/lighting/
+sky-lighting.hlsl): diffuse = SH9 cosine-convolved irradiance x5, specular =
+GGX-prefiltered envmap by roughness x env-BRDF LUT, both scaled by
+SkyBrightness, AO-blended, additive into the HDR target. Background pixels
+get the environment map (x SkyBrightness, ref: environment-sky/envmap.hlsl)
+or the analytic Preetham sky (x1000, ref: environment-sky/preetham.hlsl:133).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import mathutils as mu
+from . import ibl, shading, sky as sky_mod
+
+
+def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
+                 sky_brightness, hbao=None, bent_normals=None,
+                 diffuse_ibl: bool = True, specular_ibl: bool = True,
+                 lighting_only: bool = False):
+    """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl)."""
+    base = (jnp.full_like(gb.base_color[..., :3], 0.5) if lighting_only
+            else gb.base_color[..., :3])  # ref: sky-lighting.hlsl:57-59
+    metallic = gb.mrao[..., 0:1]
+    roughness = gb.mrao[..., 1]
+    ao = gb.mrao[..., 2:3]
+    ao_blend = gb.mrao[..., 3:4]
+
+    radiance = jnp.zeros_like(base)
+
+    if diffuse_ibl:
+        sampling_n = bent_normals if bent_normals is not None else n
+        albedo = (1.0 - metallic) * base
+        sh_diffuse = (albedo * mu.INV_PI
+                      * ibl.sh_irradiance(sampling_n, probe.sh) * 5.0)
+        radiance += sky_brightness * (
+            sh_diffuse * (1 - ao_blend) + ao * sh_diffuse * ao_blend)
+
+    if specular_ibl:
+        no_v = jnp.maximum(jnp.sum(n * v, -1), 0.01)
+        f0 = metallic * base + (1.0 - metallic) * 0.04
+        r = mu.normalize(2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v)
+        mips = probe.prefiltered.num_levels
+        pre = ibl.sample_cube(probe.prefiltered, r,
+                              lod=roughness * (mips - 1))
+        ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
+        spec = pre * (f0 * ab[..., 0:1] + ab[..., 1:2])
+        radiance += sky_brightness * (
+            spec * (1 - ao_blend) + ao * spec * ao_blend)
+
+    if hbao is not None:
+        radiance = radiance * hbao[..., None]
+    return jnp.where(gb.mask[..., None], radiance, 0.0)
+
+
+def environment_background(mask, eye, inv_view_proj, width, height,
+                           probe=None, sun_dir=None, turbidity: float = 2.0,
+                           sky_brightness=25000.0,
+                           dynamic_sky: bool = True):
+    """Background radiance for uncovered pixels (rendered at far depth with
+    GREATER_EQUAL in the reference — here a mask select).
+
+    dynamic_sky: True -> 1000 x Preetham (ref: preetham.hlsl:133);
+    False -> sky_brightness x envmap cube sample (ref: envmap.hlsl:50-53).
+    """
+    from .resolve import world_from_depth
+    wp = world_from_depth(jnp.full((height, width), 1e-4, jnp.float32),
+                          inv_view_proj, width, height)
+    d = mu.normalize(wp - eye)
+    if dynamic_sky:
+        rad = 1000.0 * sky_mod.sky_radiance(sun_dir, d, turbidity)
+    else:
+        rad = sky_brightness * ibl.sample_cube(probe.envmap, d)
+    return jnp.where(mask[..., None], 0.0, rad)

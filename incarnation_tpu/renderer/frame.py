@@ -7,6 +7,11 @@ ordering is SSA data flow and XLA fuses/schedules (SURVEY.md §2.4). Transient
 surfaces (vis buffer, gbuffers, HDR target) are just intermediate arrays —
 the fence-pooled transient allocator (ref: backend-d3d12.cpp:616-789) has no
 equivalent because XLA buffer-assigns them.
+
+Frame graph (raster path, mirroring renderer.cpp:1676-2041):
+  frustum cull -> visibility raster -> attribute resolve -> sky lighting
+  (IBL probe) -> direct sun -> punctual lights -> environment background ->
+  tonemap. Ray-traced passes (sun shadows, HBAO) attach when the BVH lands.
 """
 
 from __future__ import annotations
@@ -18,9 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, ViewMode
+from ..config import Config, EnvSkyMode, ViewMode
 from ..core import mathutils as mu
-from ..kernels import post, raster, resolve, shading
+from ..kernels import cull, post, raster, resolve, shading, skylight
 from ..scene import lights as lights_mod
 
 
@@ -30,18 +35,23 @@ class FrameConstants:
     """Per-frame constants (the analogue of FViewConstants + FSceneConstants
     uploads, ref: src/renderer.cpp:1597-1672)."""
     view_proj: jnp.ndarray       # (4, 4)
+    inv_view_proj: jnp.ndarray   # (4, 4)
     eye: jnp.ndarray             # (3,)
     scene_rotation: jnp.ndarray  # (4, 4)
     exposure: jnp.ndarray        # () EV100
     sun_dir: jnp.ndarray         # (3,) toward the sun
     sun_color_intensity: jnp.ndarray  # (4,) rgb + intensity; intensity<=0
     #                                   disables the directional sun pass
+    sky_brightness: jnp.ndarray  # ()
+    turbidity: jnp.ndarray       # ()
 
     @staticmethod
     def make(view, config: Config, sun_dir=None, sun_color_intensity=None,
              scene_rotation=None, jitter=None):
+        vp = view.view_proj(jitter)
         return FrameConstants(
-            view_proj=jnp.asarray(view.view_proj(jitter)),
+            view_proj=jnp.asarray(vp),
+            inv_view_proj=jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
             eye=jnp.asarray(np.asarray(view.position, np.float32)),
             scene_rotation=jnp.asarray(
                 np.eye(4, dtype=np.float32) if scene_rotation is None
@@ -54,35 +64,38 @@ class FrameConstants:
                 np.asarray([1.0, 1.0, 1.0, 0.0], np.float32)
                 if sun_color_intensity is None
                 else np.asarray(sun_color_intensity, np.float32)),
+            sky_brightness=jnp.asarray(np.float32(config.sky_brightness)),
+            turbidity=jnp.asarray(np.float32(config.turbidity)),
         )
 
 
 def render_frame(scene, fc: FrameConstants, *, config: Config,
-                 params: raster.RasterParams):
-    """Full raster-path frame: visibility -> gbuffer -> lighting -> tonemap.
+                 params: raster.RasterParams, probe=None, env_brdf=None):
+    """Full raster-path frame. probe: optional EnvironmentProbe + env_brdf
+    LUT enable the sky-lighting pass and envmap background.
 
     Returns dict with 'color' (H, W, 3) uint8 sRGB plus intermediate buffers
     and stats (the render-stats analogue, ref: inc/gpu-shared-types.h:251-255).
     """
-    prim_visible = jnp.ones(scene.prim_mesh.shape, bool)
-    prim_visible &= scene.prim_is_decal == 0
+    prim_visible = scene.prim_is_decal == 0
+    culled_prims = jnp.int32(0)
+    if config.frustum_culling:
+        inside, culled_prims = cull.cull_primitives(
+            scene.prim_bsphere, scene.prim_mesh, scene.mesh_transforms,
+            scene.mesh_visible, fc.scene_rotation, fc.view_proj)
+        prim_visible &= inside
 
-    vis, depth, clip, _, stats = raster.render_visibility(
+    tri, depth, clip, _, stats = raster.render_visibility(
         scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
         prim_visible, params)
+    stats["culled_primitives"] = culled_prims
 
-    # Per-vertex world attributes for the resolve
-    world_rot = jnp.einsum("mij,jk->mik", scene.mesh_transforms,
-                           fc.scene_rotation)
-    h = jnp.concatenate([scene.positions,
-                         jnp.ones_like(scene.positions[:, :1])], axis=-1)
-    world_pos_v = jnp.einsum(
-        "vi,vij->vj", h, world_rot[scene.vtx_mesh])[:, :3]
     world_n_v, world_t_v = resolve.vertex_world_attributes(
         scene, fc.scene_rotation)
-
-    gb = resolve.resolve_gbuffer(vis, scene, clip, world_pos_v, world_n_v,
-                                 world_t_v, params.width, params.height)
+    attr = raster.triangle_attributes(clip, scene, world_n_v, world_t_v,
+                                      params)
+    gb = resolve.resolve_gbuffer(tri, depth, scene, attr, fc.inv_view_proj,
+                                 params.width, params.height)
 
     hdr = gb.emissive
     n = mu.oct_decode(gb.normals)
@@ -91,6 +104,14 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     metallic = gb.mrao[..., 0]
     roughness = gb.mrao[..., 1]
     m3 = gb.mask[..., None]
+
+    # Sky / IBL (ref: render-jobs/sky-lighting.inl)
+    if probe is not None and config.enable_sky_lighting \
+            and env_brdf is not None:
+        hdr = hdr + skylight.sky_lighting(
+            gb, n, v, probe, env_brdf, fc.sky_brightness,
+            diffuse_ibl=config.enable_diffuse_ibl,
+            specular_ibl=config.enable_specular_ibl)
 
     # Deferred direct (sun) lighting (ref: lighting/direct-lighting.hlsl;
     # shadow rays arrive with the BVH milestone)
@@ -117,12 +138,23 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
 
         hdr = jax.lax.fori_loop(0, nl, add_light, hdr)
 
-    color = _apply_viewmode(config, gb, n, depth, vis, hdr, fc)
-    return dict(color=post.to_uint8(color), hdr=hdr, vis=vis, depth=depth,
+    # Environment background at far depth (ref: renderer.cpp:1928-1960)
+    if config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY:
+        hdr = hdr + skylight.environment_background(
+            gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
+            sun_dir=fc.sun_dir, turbidity=config.turbidity,
+            dynamic_sky=True)
+    elif probe is not None:
+        hdr = hdr + skylight.environment_background(
+            gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
+            probe=probe, sky_brightness=fc.sky_brightness, dynamic_sky=False)
+
+    color = _apply_viewmode(config, scene, gb, n, depth, tri, hdr, fc)
+    return dict(color=post.to_uint8(color), hdr=hdr, tri=tri, depth=depth,
                 gbuffer=gb, stats=stats)
 
 
-def _apply_viewmode(config: Config, gb, n, depth, vis, hdr, fc):
+def _apply_viewmode(config: Config, scene, gb, n, depth, tri, hdr, fc):
     """Debug visualization modes (ref: postprocess/debug-visualization.hlsl,
     inc/demo.h:7-23) resolved at trace time — each mode is its own jit cache
     entry like the reference's VIEWMODE shader define."""
@@ -144,9 +176,10 @@ def _apply_viewmode(config: Config, gb, n, depth, vis, hdr, fc):
     if vm == ViewMode.AMBIENT_OCCLUSION:
         return jnp.repeat(gb.mrao[..., 2:3], 3, axis=-1)
     if vm in (ViewMode.OBJECT_IDS, ViewMode.TRIANGLE_IDS):
-        prim, tri = mu.decode_primitive_visibility(
+        vis = raster.visibility_from_tri(tri, scene)
+        prim, ltri = mu.decode_primitive_visibility(
             jnp.where(gb.mask, vis, 0))
-        key = prim if vm == ViewMode.OBJECT_IDS else tri
+        key = prim if vm == ViewMode.OBJECT_IDS else ltri
         return jnp.where(gb.mask[..., None], _hash_color(key), 0.0)
     return post.tonemap(hdr, fc.exposure)
 
@@ -163,5 +196,7 @@ def _hash_color(key):
 
 
 @functools.partial(jax.jit, static_argnames=("config", "params"))
-def render_frame_jit(scene, fc, config: Config, params: raster.RasterParams):
-    return render_frame(scene, fc, config=config, params=params)
+def render_frame_jit(scene, fc, config: Config, params: raster.RasterParams,
+                     probe=None, env_brdf=None):
+    return render_frame(scene, fc, config=config, params=params, probe=probe,
+                        env_brdf=env_brdf)

@@ -76,7 +76,8 @@ class Scene:
     mesh_visible: jnp.ndarray    # (M,) i32
     # Tables
     materials: materials_mod.MaterialTable
-    atlas: textures_mod.TextureAtlas
+    mat_params: jnp.ndarray      # (NM, 16) f32 packed factors (one gather)
+    mat_stack: textures_mod.MaterialTextureStack
     lights: lights_mod.LightTable
     sun_dir: jnp.ndarray         # (3,) f32 toward the sun
     meta: SceneMeta = dataclasses.field(metadata=dict(static=True),
@@ -239,16 +240,9 @@ def load_scene(path, texture_max_dim: int = 2048,
         out[:a.shape[0]] = a
         return out
 
-    # ---- textures ----------------------------------------------------------
-    images = []
-    srgb = materials_mod.texture_srgb_flags(g)
-    modes = []
-    for ti, tex in enumerate(g.textures):
-        src = tex.get("source", 0)
-        images.append(textures_mod.decode_image(g.image_bytes(src)))
-        modes.append(textures_mod.gltf_sampler_modes(g, tex))
-    atlas = textures_mod.build_atlas(images, srgb, modes,
-                                     max_dim=texture_max_dim)
+    # ---- textures (interleaved per-material stacks) ------------------------
+    mat_stack = textures_mod.build_material_stacks(
+        g, max_dim=texture_max_dim)
 
     # ---- lights / sun -------------------------------------------------------
     lights = lights_mod.build_light_table(light_defs, light_transforms)
@@ -292,8 +286,9 @@ def load_scene(path, texture_max_dim: int = 2048,
         mesh_transforms=jnp.asarray(
             np.stack(mesh_transforms).astype(np.float32)),
         mesh_visible=jnp.ones((len(mesh_transforms),), jnp.int32),
-        materials=materials_mod.build_material_table(g),
-        atlas=atlas,
+        materials=(mat_table := materials_mod.build_material_table(g)),
+        mat_params=materials_mod.pack_material_params(mat_table),
+        mat_stack=mat_stack,
         lights=lights,
         sun_dir=jnp.asarray(sun),
         meta=meta,

@@ -152,6 +152,25 @@ def build_material_table(gltf) -> MaterialTable:
     )
 
 
+def pack_material_params(t: MaterialTable) -> jnp.ndarray:
+    """Pack per-material scalar factors into one (NM, 16) f32 row so the
+    resolve fetches everything with a single gather (per-pixel random access
+    is the scarce TPU resource). Layout:
+      0-2 emissive_factor, 3-6 base_color_factor, 7 metallic, 8 roughness,
+      9 ao_strength, 10 normal_scale, 11 alpha_cutoff, 12 alpha_mode,
+      13 transmission, 14 clearcoat, 15 clearcoat_roughness."""
+    return jnp.stack([
+        t.emissive_factor[:, 0], t.emissive_factor[:, 1],
+        t.emissive_factor[:, 2],
+        t.base_color_factor[:, 0], t.base_color_factor[:, 1],
+        t.base_color_factor[:, 2], t.base_color_factor[:, 3],
+        t.metallic_factor, t.roughness_factor, t.ao_strength,
+        t.normal_scale, t.alpha_cutoff, t.alpha_mode.astype(jnp.float32),
+        t.transmission_factor, t.clearcoat_factor,
+        t.clearcoat_roughness_factor,
+    ], axis=-1)
+
+
 def texture_srgb_flags(gltf) -> list:
     """Which glTF textures hold sRGB data: basecolor + emissive slots
     (ref: src/scene.cpp:1020-1102 picks BC3-sRGB for albedo/emissive)."""

@@ -1,0 +1,90 @@
+"""Synthetic scene construction for tests, dry runs, and examples."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .loader import Scene, SceneMeta
+from . import materials as materials_mod
+from . import lights as lights_mod
+from . import textures as textures_mod
+
+
+def neutral_material_stack(n_materials: int = 1
+                           ) -> textures_mod.MaterialTextureStack:
+    """A 1x1 all-neutral texel per material (white base, flat normal)."""
+    flat = np.tile(textures_mod._NEUTRAL_TEXEL[None], (n_materials, 1))
+    meta = np.stack([
+        np.arange(n_materials, dtype=np.int32),          # base
+        np.ones(n_materials, np.int32),                  # size
+        np.ones(n_materials, np.int32),                  # levels
+        np.zeros(n_materials, np.int32),                 # address (wrap)
+    ], axis=-1)
+    return textures_mod.MaterialTextureStack(
+        flat=jnp.asarray(flat.view(np.int32)), meta=jnp.asarray(meta))
+
+
+def default_material_table() -> materials_mod.MaterialTable:
+    class _G:
+        materials = [{}]
+    return materials_mod.build_material_table(_G)
+
+
+def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
+               double_sided=False, transform=None, materials=None,
+               lights=None, tri_prim=None, num_prims=1,
+               prim_tri_offset=None) -> Scene:
+    """positions (V,3), tris (T,3) -> minimal Scene with neutral materials."""
+    positions = np.asarray(positions, np.float32)
+    tris = np.asarray(tris, np.int32)
+    v, t = positions.shape[0], tris.shape[0]
+    if normals is None:
+        normals = np.tile([0, 0, -1.0], (v, 1)).astype(np.float32)
+    if uvs is None:
+        uvs = np.zeros((v, 2), np.float32)
+    if tangents is None:
+        tangents = np.tile([1, 0, 0, 1.0], (v, 1)).astype(np.float32)
+    if transform is None:
+        transform = np.eye(4, dtype=np.float32)
+    if tri_prim is None:
+        tri_prim = np.zeros((t,), np.int32)
+    if prim_tri_offset is None:
+        prim_tri_offset = np.zeros((num_prims,), np.int32)
+    if materials is None:
+        materials = default_material_table()
+    if lights is None:
+        lights = lights_mod.build_light_table([], [])
+
+    p = num_prims
+    meta = SceneMeta(num_vertices=v, num_triangles=t, num_primitives=p,
+                     num_meshes=1, padded_vertices=v, padded_triangles=t,
+                     padded_primitives=p)
+    counts = np.bincount(np.asarray(tri_prim), minlength=p).astype(np.int32)
+    return Scene(
+        positions=jnp.asarray(positions),
+        normals=jnp.asarray(np.asarray(normals, np.float32)),
+        tangents=jnp.asarray(np.asarray(tangents, np.float32)),
+        uvs=jnp.asarray(np.asarray(uvs, np.float32)),
+        tri_vtx=jnp.asarray(tris),
+        tri_prim=jnp.asarray(np.asarray(tri_prim, np.int32)),
+        vtx_mesh=jnp.zeros((v,), jnp.int32),
+        prim_mesh=jnp.zeros((p,), jnp.int32),
+        prim_material=jnp.zeros((p,), jnp.int32),
+        prim_tri_offset=jnp.asarray(np.asarray(prim_tri_offset, np.int32)),
+        prim_tri_count=jnp.asarray(counts),
+        prim_bsphere=jnp.asarray(
+            np.tile([0, 0, 0, 1e6], (p, 1)).astype(np.float32)),
+        prim_double_sided=jnp.full((p,), int(double_sided), jnp.int32),
+        prim_is_decal=jnp.zeros((p,), jnp.int32),
+        prim_alpha_mode=jnp.zeros((p,), jnp.int32),
+        mesh_transforms=jnp.asarray(np.asarray(transform, np.float32)[None]),
+        mesh_visible=jnp.ones((1,), jnp.int32),
+        materials=materials,
+        mat_params=materials_mod.pack_material_params(materials),
+        mat_stack=neutral_material_stack(
+            int(np.asarray(materials.metallic_factor).shape[0])),
+        lights=lights,
+        sun_dir=jnp.asarray(lights_mod.DEFAULT_SUN_DIR),
+        meta=meta,
+    )

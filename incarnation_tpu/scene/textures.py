@@ -266,6 +266,233 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv, lod=None,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Material texture stack: all of a material's texture slots interleaved into
+# one texel row, so the resolve fetches EVERY slot with a single gather.
+# Per-pixel random access (not bandwidth or FLOPs) is the scarce resource on
+# TPU — the reference's 9 independent bindless texture fetches
+# (ref: material/common.hlsli EvaluateMaterialProperties) become 4 (bilinear)
+# or 8 (trilinear) row gathers for all slots together.
+#
+# Texel row = 4 x uint32 (16 B), little-endian u8 packing:
+#   w0 = base.r | base.g<<8 | base.b<<16 | base.a<<24      (rgb sRGB-encoded)
+#   w1 = normal.x | normal.y<<8 | metallic<<16 | rough<<24 (glTF channels)
+#   w2 = emissive.r | .g<<8 | .b<<16 | ao<<24              (rgb sRGB-encoded)
+#   w3 = transmission | clearcoat<<8 | ccRoughness<<16
+# Missing slots store neutral values (255 / flat normal 128) so factors
+# multiply through without per-slot branches.
+# ---------------------------------------------------------------------------
+
+_NEUTRAL_TEXEL = np.array(
+    [0xFFFFFFFF, 0xFFFF8080, 0xFFFFFFFF, 0x00FFFFFF], np.uint32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MaterialTextureStack:
+    flat: jnp.ndarray       # (K, 4) uint32 texel rows
+    meta: jnp.ndarray       # (NM, 4) int32: base, size, num_levels, address
+
+
+def _slot_image(gltf, tex_index, size, srgb, default):
+    """Decode + linearize + resize one slot to (size, size, 4) float [0,1]."""
+    if tex_index < 0:
+        return np.broadcast_to(
+            np.asarray(default, np.float32) / 255.0, (size, size, 4)).copy()
+    tex = gltf.textures[tex_index]
+    img = decode_image(gltf.image_bytes(tex.get("source", 0)))
+    f = img.astype(np.float32) / 255.0
+    if srgb:
+        f = np.concatenate([_srgb_to_linear_np(f[..., :3]), f[..., 3:]], -1)
+    return _resize_rgba_f32(f, size)
+
+
+def build_material_stacks(gltf, max_dim: int = 1024,
+                          min_dim: int = 4) -> MaterialTextureStack:
+    """Build the interleaved per-material texture stack from glTF materials."""
+    mats = list(gltf.materials) or [{}]
+    rows = []
+    meta = np.zeros((len(mats), 4), np.int32)
+    offset = 0
+    for mi, m in enumerate(mats):
+        pbr = m.get("pbrMetallicRoughness", {})
+        ext = m.get("extensions", {})
+        tr = ext.get("KHR_materials_transmission", {}) or {}
+        cc = ext.get("KHR_materials_clearcoat", {}) or {}
+
+        def tex_id(info):
+            return info["index"] if info else -1
+
+        slots = dict(
+            base=tex_id(pbr.get("baseColorTexture")),
+            mr=tex_id(pbr.get("metallicRoughnessTexture")),
+            normal=tex_id(m.get("normalTexture")),
+            ao=tex_id(m.get("occlusionTexture")),
+            emissive=tex_id(m.get("emissiveTexture")),
+            transmission=tex_id(tr.get("transmissionTexture")),
+            clearcoat=tex_id(cc.get("clearcoatTexture")),
+        )
+
+        # Stack resolution = largest referenced texture (capped). Size probe
+        # via PIL header read, no full decode.
+        size = min_dim
+        from PIL import Image
+        import io as _io
+        for t in slots.values():
+            if t >= 0:
+                src = gltf.textures[t].get("source", 0)
+                with Image.open(_io.BytesIO(gltf.image_bytes(src))) as im:
+                    size = max(size, _pow2_ceil(max(im.size)))
+        size = min(size, max_dim)
+
+        base_f = _slot_image(gltf, slots["base"], size, True,
+                             [255, 255, 255, 255])
+        mr_f = _slot_image(gltf, slots["mr"], size, False,
+                           [255, 255, 255, 255])
+        nm_f = _slot_image(gltf, slots["normal"], size, False,
+                           [128, 128, 255, 255])
+        ao_f = _slot_image(gltf, slots["ao"], size, False,
+                           [255, 255, 255, 255])
+        em_f = _slot_image(gltf, slots["emissive"], size, True,
+                           [255, 255, 255, 255])
+        tr_f = _slot_image(gltf, slots["transmission"], size, False,
+                           [255, 255, 255, 255])
+        cc_f = _slot_image(gltf, slots["clearcoat"], size, False,
+                           [255, 255, 255, 255])
+
+        # address mode from the basecolor sampler (dominant slot)
+        address = ADDRESS_WRAP
+        if slots["base"] >= 0:
+            address = gltf_sampler_modes(
+                gltf, gltf.textures[slots["base"]])[0]
+
+        num_levels = int(np.log2(size)) + 1
+        meta[mi] = [offset, size, num_levels, address]
+
+        chans = np.concatenate([
+            base_f,                                    # 0-3 (linear rgb here)
+            nm_f[..., 0:2], mr_f[..., 2:3], mr_f[..., 1:2],  # 4-7
+            em_f[..., 0:3], ao_f[..., 0:1],            # 8-11
+            tr_f[..., 0:1], cc_f[..., 0:1],            # 12-13
+            np.zeros((size, size, 2), np.float32),     # 14-15 spare
+        ], axis=-1)
+
+        cur = chans
+        for _ in range(num_levels):
+            u8 = np.clip(cur * 255.0 + 0.5, 0, 255).astype(np.uint32)
+            # re-encode color channels to sRGB for u8 storage precision
+            srgb_u8 = np.clip(_linear_to_srgb_np(cur) * 255.0 + 0.5,
+                              0, 255).astype(np.uint32)
+            u8 = u8.copy()
+            u8[..., 0:3] = srgb_u8[..., 0:3]
+            u8[..., 8:11] = srgb_u8[..., 8:11]
+            w0 = (u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)
+                  | (u8[..., 3] << 24))
+            w1 = (u8[..., 4] | (u8[..., 5] << 8) | (u8[..., 6] << 16)
+                  | (u8[..., 7] << 24))
+            w2 = (u8[..., 8] | (u8[..., 9] << 8) | (u8[..., 10] << 16)
+                  | (u8[..., 11] << 24))
+            w3 = (u8[..., 12] | (u8[..., 13] << 8) | (u8[..., 14] << 16))
+            rows.append(np.stack([w0, w1, w2, w3], -1).reshape(-1, 4))
+            offset += rows[-1].shape[0]
+            if cur.shape[0] > 1:
+                cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                              + cur[0::2, 1::2] + cur[1::2, 1::2])
+
+    return MaterialTextureStack(
+        flat=jnp.asarray(np.concatenate(rows, 0).view(np.int32)),
+        meta=jnp.asarray(meta))
+
+
+def _level_offset(size, level):
+    """Texel offset of mip `level` within a material's block:
+    sum_{j<l} (S>>j)^2 = (4*S^2 - 4*(S>>l)^2) / 3 (exact integer)."""
+    s_l = size >> level
+    return (4 * size * size - 4 * s_l * s_l) // 3
+
+
+def _unpack_u8(word, shift):
+    return ((word >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+
+
+def _stack_bilinear(flat, base, s, uv, address):
+    """One-level bilinear fetch of the full interleaved texel row.
+    Returns (..., 16) float channel values (storage space)."""
+    sf = s.astype(jnp.float32)
+    fx = uv[..., 0] * sf - 0.5
+    fy = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    xs = [_address(x0, s, address), _address(x0 + 1, s, address)]
+    ys = [_address(y0, s, address), _address(y0 + 1, s, address)]
+
+    def fetch(x, y):
+        w = flat[base + y * s + x].astype(jnp.uint32)   # (..., 4) u32
+        chans = []
+        for wi in range(4):
+            for shift in (0, 8, 16, 24):
+                chans.append(_unpack_u8(w[..., wi], shift))
+        return jnp.stack(chans, axis=-1)                 # (..., 16)
+
+    c00 = fetch(xs[0], ys[0])
+    c10 = fetch(xs[1], ys[0])
+    c01 = fetch(xs[0], ys[1])
+    c11 = fetch(xs[1], ys[1])
+    top = c00 * (1 - tx) + c10 * tx
+    bot = c01 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
+                          trilinear: bool = True):
+    """Sample all material texture slots at once.
+
+    mat_id: (...,) int32; uv: (..., 2); lod: (...,) float mip or None.
+    Returns (..., 16) float channels in storage space (base/emissive rgb are
+    still sRGB-encoded; use decode_stack_channels to finish).
+    """
+    meta = stack.meta[jnp.maximum(mat_id, 0)]            # (..., 4)
+    base = meta[..., 0]
+    size = meta[..., 1]
+    levels = meta[..., 2]
+    address = meta[..., 3]
+
+    if lod is None:
+        return _stack_bilinear(stack.flat, base, size, uv, address)
+    lod = jnp.clip(lod, 0.0, (levels - 1).astype(jnp.float32))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    b0 = base + _level_offset(size, l0)
+    s0 = jnp.maximum(size >> l0, 1)
+    out0 = _stack_bilinear(stack.flat, b0, s0, uv, address)
+    if not trilinear:
+        return out0
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    b1 = base + _level_offset(size, l1)
+    s1 = jnp.maximum(size >> l1, 1)
+    out1 = _stack_bilinear(stack.flat, b1, s1, uv, address)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    return out0 * (1 - frac) + out1 * frac
+
+
+def decode_stack_channels(c):
+    """(..., 16) storage channels -> dict of linear material inputs."""
+    base_rgb = srgb_to_linear(c[..., 0:3])
+    em_rgb = srgb_to_linear(c[..., 8:11])
+    return dict(
+        base_rgb=base_rgb,
+        opacity=c[..., 3],
+        normal_xy=c[..., 4:6] * 2.0 - 1.0,
+        metallic=c[..., 6],
+        roughness=c[..., 7],
+        emissive_rgb=em_rgb,
+        ao=c[..., 11],
+        transmission=c[..., 12],
+        clearcoat=c[..., 13],
+    )
+
+
 def gltf_sampler_modes(gltf, texture: dict) -> tuple:
     """Map a glTF texture's sampler wrap modes to our address constants."""
     s = texture.get("sampler")

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from incarnation_tpu.config import Config
+from incarnation_tpu.config import Config, EnvSkyMode
 from incarnation_tpu.core import View
 from incarnation_tpu.dist import sharding
 from incarnation_tpu.kernels.raster import RasterParams
@@ -27,7 +27,7 @@ def make_test_scene():
 
 def test_band_sharded_matches_single(cpu_devices):
     scene = make_test_scene()
-    cfg = Config()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
     view = View.default(aspect=W / H)
     fc = frame_mod.FrameConstants.make(
         view, cfg, sun_dir=[0, 0, -1.0],
@@ -37,8 +37,8 @@ def test_band_sharded_matches_single(cpu_devices):
     mesh = sharding.make_mesh(devices=cpu_devices[:4])
     sharded = sharding.render_frame_sharded_jit(scene, fc, cfg, PARAMS, mesh)
 
-    np.testing.assert_array_equal(np.asarray(sharded["vis"]),
-                                  np.asarray(single["vis"]))
+    np.testing.assert_array_equal(np.asarray(sharded["tri"]),
+                                  np.asarray(single["tri"]))
     np.testing.assert_allclose(np.asarray(sharded["depth"]),
                                np.asarray(single["depth"]), atol=1e-6)
     # color allows tiny float divergence from the band projection matmul
@@ -61,7 +61,7 @@ def test_band_projection_partition():
 
 def test_stats_are_psummed(cpu_devices):
     scene = make_test_scene()
-    cfg = Config()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
     fc = frame_mod.FrameConstants.make(View.default(aspect=W / H), cfg)
     mesh = sharding.make_mesh(devices=cpu_devices[:2])
     out = sharding.render_frame_sharded_jit(scene, fc, cfg, PARAMS, mesh)

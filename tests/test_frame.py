@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from incarnation_tpu.config import Config, ViewMode
+from incarnation_tpu.config import Config, EnvSkyMode, ViewMode
 from incarnation_tpu.core import View, mathutils as mu
 from incarnation_tpu.kernels.raster import RasterParams
 from incarnation_tpu.renderer import frame as frame_mod
@@ -21,7 +21,12 @@ def tri_scene():
     return make_scene(pts, [[0, 1, 2]])
 
 
+def no_sky(cfg):
+    return cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
+
+
 def render(cfg, scene=None, sun=(1.0, 1.0, 1.0, 100.0)):
+    cfg = no_sky(cfg)
     scene = scene or tri_scene()
     view = View.default(aspect=W / H)
     fc = frame_mod.FrameConstants.make(

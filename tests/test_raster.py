@@ -17,9 +17,10 @@ def run(scene, params=PARAMS, view=None):
     if view is None:
         view = View.default(aspect=W / H)
     vp = jnp.asarray(view.view_proj())
-    vis, depth, clip, world, stats = raster.render_visibility(
+    tri, depth, clip, world, stats = raster.render_visibility(
         scene, scene.vtx_mesh, EYE4, vp,
         jnp.ones(scene.prim_mesh.shape, bool), params)
+    vis = raster.visibility_from_tri(tri, scene)
     return np.asarray(vis), np.asarray(depth), stats
 
 

@@ -43,10 +43,13 @@ def test_helmet_materials(helmet):
     mt = helmet.scene.materials
     assert int(mt.tex_base_color[0]) >= 0
     assert int(mt.tex_normal[0]) >= 0
-    # albedo/emissive sRGB, data maps linear
-    srgb = np.asarray(helmet.scene.atlas.srgb)
-    assert srgb[int(mt.tex_base_color[0])] == 1.0
-    assert srgb[int(mt.tex_metallic_roughness[0])] == 0.0
+    # interleaved material texture stack built at the capped size
+    meta = np.asarray(helmet.scene.mat_stack.meta)
+    assert meta.shape == (1, 4)
+    assert meta[0, 1] == 256  # size capped by texture_max_dim
+    assert meta[0, 2] == 9    # mip levels
+    # packed factor row carries the base color factor
+    assert np.asarray(helmet.scene.mat_params).shape == (1, 16)
 
 
 def test_helmet_world_transform_is_lh(helmet):
