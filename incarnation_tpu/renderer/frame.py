@@ -25,7 +25,8 @@ import numpy as np
 
 from ..config import Config, EnvSkyMode, ViewMode
 from ..core import mathutils as mu
-from ..kernels import cull, post, raster, resolve, shading, skylight
+from ..kernels import (clustered, cull, post, raster, resolve, shading,
+                       skylight, taa)
 from ..scene import lights as lights_mod
 
 
@@ -36,6 +37,7 @@ class FrameConstants:
     uploads, ref: src/renderer.cpp:1597-1672)."""
     view_proj: jnp.ndarray       # (4, 4)
     inv_view_proj: jnp.ndarray   # (4, 4)
+    proj: jnp.ndarray            # (4, 4) projection only (cluster z slices)
     eye: jnp.ndarray             # (3,)
     scene_rotation: jnp.ndarray  # (4, 4)
     exposure: jnp.ndarray        # () EV100
@@ -44,14 +46,18 @@ class FrameConstants:
     #                                   disables the directional sun pass
     sky_brightness: jnp.ndarray  # ()
     turbidity: jnp.ndarray       # ()
+    prev_view_proj: jnp.ndarray  # (4, 4) last frame's view-proj (TAA)
+    history_valid: jnp.ndarray   # () f32: 1 after the first frame
 
     @staticmethod
     def make(view, config: Config, sun_dir=None, sun_color_intensity=None,
-             scene_rotation=None, jitter=None):
+             scene_rotation=None, jitter=None, prev_view_proj=None,
+             history_valid=False):
         vp = view.view_proj(jitter)
         return FrameConstants(
             view_proj=jnp.asarray(vp),
             inv_view_proj=jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
+            proj=jnp.asarray(view.projection_transform()),
             eye=jnp.asarray(np.asarray(view.position, np.float32)),
             scene_rotation=jnp.asarray(
                 np.eye(4, dtype=np.float32) if scene_rotation is None
@@ -66,11 +72,15 @@ class FrameConstants:
                 else np.asarray(sun_color_intensity, np.float32)),
             sky_brightness=jnp.asarray(np.float32(config.sky_brightness)),
             turbidity=jnp.asarray(np.float32(config.turbidity)),
+            prev_view_proj=jnp.asarray(
+                vp if prev_view_proj is None else prev_view_proj),
+            history_valid=jnp.asarray(np.float32(history_valid)),
         )
 
 
 def render_frame(scene, fc: FrameConstants, *, config: Config,
-                 params: raster.RasterParams, probe=None, env_brdf=None):
+                 params: raster.RasterParams, probe=None, env_brdf=None,
+                 history=None):
     """Full raster-path frame. probe: optional EnvironmentProbe + env_brdf
     LUT enable the sky-lighting pass and envmap background.
 
@@ -122,21 +132,17 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                                     fc.sun_dir, radiance_in)
         hdr = hdr + jnp.where(m3, sun, 0.0)
 
-    # Brute-force punctual lights until the clustered path lands
-    # (ref: lighting/clustered-lighting.hlsl iterates per-cluster lists)
+    # Clustered punctual lighting (ref: render-jobs/light-culling.inl +
+    # clustered-lighting.inl): cull to the cluster bitmask grid, then shade
     nl = scene.lights.type.shape[0]
     if config.enable_direct_lighting and nl > 0:
-        def add_light(i, acc):
-            lt = scene.lights
-            l, radiance = shading.punctual_light(
-                lt.type[i], lt.transform[i], lt.color[i], lt.intensity[i],
-                lt.range[i], lt.spot_angles[i], gb.world_pos)
-            lit = shading.brdf_response(base, metallic, roughness, n, v, l,
-                                        radiance)
-            on = (i < lt.count) & (lt.type[i] != lights_mod.LIGHT_DIRECTIONAL)
-            return acc + jnp.where(on & gb.mask[..., None], lit, 0.0)
-
-        hdr = jax.lax.fori_loop(0, nl, add_light, hdr)
+        mask_grid, culled_lights = clustered.build_light_clusters(
+            scene.lights, config, fc.proj, fc.inv_view_proj,
+            config.camera_near_plane)
+        hdr = hdr + clustered.clustered_lighting(
+            gb, n, v, depth, scene.lights, mask_grid, config,
+            config.camera_near_plane, params.width, params.height)
+        stats["culled_lights"] = culled_lights
 
     # Environment background at far depth (ref: renderer.cpp:1928-1960)
     if config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY:
@@ -149,8 +155,18 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
             probe=probe, sky_brightness=fc.sky_brightness, dynamic_sky=False)
 
-    color = _apply_viewmode(config, scene, gb, n, depth, tri, hdr, fc)
-    return dict(color=post.to_uint8(color), hdr=hdr, tri=tri, depth=depth,
+    # TAA resolve (ref: render-jobs/taa-resolve.inl): reproject + clamp +
+    # blend into the accumulation buffer, which becomes the display source
+    accumulation = hdr
+    if config.enable_taa and history is not None:
+        accumulation = taa.taa_resolve(
+            hdr, history, depth, fc.inv_view_proj, fc.prev_view_proj,
+            fc.history_valid, params.width, params.height)
+
+    color = _apply_viewmode(config, scene, gb, n, depth, tri, accumulation,
+                            fc)
+    return dict(color=post.to_uint8(color), hdr=hdr,
+                accumulation=accumulation, tri=tri, depth=depth,
                 gbuffer=gb, stats=stats)
 
 
@@ -197,6 +213,6 @@ def _hash_color(key):
 
 @functools.partial(jax.jit, static_argnames=("config", "params"))
 def render_frame_jit(scene, fc, config: Config, params: raster.RasterParams,
-                     probe=None, env_brdf=None):
+                     probe=None, env_brdf=None, history=None):
     return render_frame(scene, fc, config=config, params=params, probe=probe,
-                        env_brdf=env_brdf)
+                        env_brdf=env_brdf, history=history)
