@@ -47,7 +47,7 @@ def main():
 
     host, scene, name = load_bench_scene()
     cfg = Config()
-    params = RasterParams(width=width, height=height, bin_capacity=2048)
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 21)
     view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
                             aspect=width / height)
     fc = frame_mod.FrameConstants.make(

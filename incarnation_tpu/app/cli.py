@@ -57,7 +57,7 @@ def main(argv=None):
     ap.add_argument("--lookat", type=float, nargs=6, default=None,
                     metavar=("EX", "EY", "EZ", "TX", "TY", "TZ"))
     ap.add_argument("--texture-max-dim", type=int, default=2048)
-    ap.add_argument("--bin-capacity", type=int, default=1024)
+    ap.add_argument("--pair-capacity", type=int, default=1 << 20)
     ap.add_argument("--frames", type=int, default=1,
                     help="render N frames (timing: first is compile)")
     ap.add_argument("--no-sky", action="store_true",
@@ -81,7 +81,7 @@ def main(argv=None):
                       lookat=(args.lookat[:3], args.lookat[3:])
                       if args.lookat else None)
     params = RasterParams(width=args.width, height=args.height,
-                          bin_capacity=args.bin_capacity)
+                          pair_capacity=args.pair_capacity)
 
     sun_ci = None
     sun_dir = np.asarray(host.scene.sun_dir)

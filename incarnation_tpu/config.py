@@ -98,10 +98,10 @@ class Config:
     # the VPU lane count.
     raster_tile_h: int = 32
     raster_tile_w: int = 128
-    # Per-tile binned triangle capacity (static shape; overflow is counted in
-    # render stats). Binning replaces the reference's GPU atomic-append of
-    # indirect draws (ref: culling/batch-culling.hlsl:85-116).
-    bin_capacity: int = 2048
+    # Total (tile, triangle) pair capacity for the binner (static shape;
+    # overflow is counted in render stats). Binning replaces the reference's
+    # GPU atomic-append of indirect draws (ref: culling/batch-culling.hlsl).
+    pair_capacity: int = 1 << 20
     # Max screen tiles a single binned triangle may span before it is routed
     # to the per-frame "big triangle" list that every tile processes.
     bin_max_span: int = 16

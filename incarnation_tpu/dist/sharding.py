@@ -62,7 +62,7 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
     band_params = raster_mod.RasterParams(
         width=params.width, height=params.height // n,
         tile_h=params.tile_h, tile_w=params.tile_w,
-        bin_capacity=params.bin_capacity, bin_max_span=params.bin_max_span,
+        pair_capacity=params.pair_capacity, bin_max_span=params.bin_max_span,
         big_tri_capacity=params.big_tri_capacity, chunk=params.chunk)
 
     def body(scene, fc):

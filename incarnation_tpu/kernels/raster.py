@@ -49,10 +49,10 @@ class RasterParams(NamedTuple):
     height: int
     tile_h: int = 16
     tile_w: int = 128
-    bin_capacity: int = 1024
+    pair_capacity: int = 1 << 20  # total (tile, triangle) pairs per frame
     bin_max_span: int = 16
     big_tri_capacity: int = 512
-    chunk: int = 32           # triangles evaluated per kernel inner step
+    chunk: int = 128          # triangles per kernel DMA chunk (multiple of 8)
 
     @property
     def tiles_x(self) -> int:
@@ -91,12 +91,17 @@ def vertex_transform(positions, vtx_mesh, mesh_transforms, scene_rotation,
     local_to_world = jnp.einsum("mij,jk->mik", mesh_transforms,
                                 scene_rotation)
     local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
-    h = jnp.concatenate(
-        [positions, jnp.ones_like(positions[:, :1])], axis=-1)
-    m_clip = local_to_clip[vtx_mesh]       # (V, 4, 4)
-    m_world = local_to_world[vtx_mesh]
-    clip = jnp.einsum("vi,vij->vj", h, m_clip)
-    world = jnp.einsum("vi,vij->vj", h, m_world)[:, :3]
+    # One wide-row gather of both matrices per vertex, then explicit
+    # multiply-adds (cheaper than per-vertex batched matmuls on TPU).
+    packed = jnp.concatenate([local_to_clip.reshape(-1, 16),
+                              local_to_world.reshape(-1, 16)], axis=-1)
+    m = packed[vtx_mesh]                   # (V, 32)
+    mc = m[:, :16].reshape(-1, 4, 4)
+    mw = m[:, 16:].reshape(-1, 4, 4)
+    x, y, z = positions[:, 0:1], positions[:, 1:2], positions[:, 2:3]
+    clip = x * mc[:, 0] + y * mc[:, 1] + z * mc[:, 2] + mc[:, 3]
+    world = (x * mw[:, 0, :3] + y * mw[:, 1, :3] + z * mw[:, 2, :3]
+             + mw[:, 3, :3])
     return clip, world
 
 
@@ -215,28 +220,31 @@ def triangle_attributes(clip, scene, world_n_v, world_t_v,
     s = jnp.where(det >= 0.0, 1.0, -1.0)[:, None]
     e0, e1, e2 = e0 * s, e1 * s, e2 * s
 
-    def planes(f0, f1, f2):
-        # (T, C) per-channel -> (T, C, 3) numerator planes
-        return (f0[..., None] * e0[:, None, :]
-                + f1[..., None] * e1[:, None, :]
-                + f2[..., None] * e2[:, None, :])
+    # Packed per-vertex attribute rows: ONE wide gather per corner instead of
+    # four narrow ones (uv/wn/wt/sign).
+    v = scene.positions.shape[0]
+    vattr = jnp.concatenate([
+        scene.uvs, world_n_v, world_t_v, scene.tangents[:, 3:4],
+    ], axis=-1)                                    # (V, 9)
+    a0, a1, a2 = vattr[tv[:, 0]], vattr[tv[:, 1]], vattr[tv[:, 2]]
 
-    i0, i1, i2 = tv[:, 0], tv[:, 1], tv[:, 2]
-    uv_p = planes(scene.uvs[i0], scene.uvs[i1], scene.uvs[i2])
-    wn_p = planes(world_n_v[i0], world_n_v[i1], world_n_v[i2])
-    wt_p = planes(world_t_v[i0], world_t_v[i1], world_t_v[i2])
+    def planes(s0, s1, s2):
+        # (T, C) per-channel -> (T, C, 3) numerator planes
+        return (s0[..., None] * e0[:, None, :]
+                + s1[..., None] * e1[:, None, :]
+                + s2[..., None] * e2[:, None, :])
+
+    ch_p = planes(a0[:, :8], a1[:, :8], a2[:, :8])  # uv(2) + wn(3) + wt(3)
     denom = e0 + e1 + e2
 
     t = tv.shape[0]
     prim = jnp.maximum(scene.tri_prim, 0)
     attr = jnp.concatenate([
-        uv_p.reshape(t, 6),
-        wn_p.reshape(t, 9),
-        wt_p.reshape(t, 9),
+        ch_p.reshape(t, 24),
         denom,
-        scene.tangents[i0][:, 3:4],
+        a0[:, 8:9],                                   # tangent sign
         scene.prim_material[prim].astype(jnp.float32)[:, None],
-        scene.uvs[i0],
+        a0[:, 0:2],                                   # uv at v0 (fallback)
         jnp.zeros((t, 1), jnp.float32),
     ], axis=-1)
     return attr.astype(jnp.float32)
@@ -250,19 +258,31 @@ _INVALID_ROW = np.zeros((_SETUP_ROWS,), np.float32)
 _INVALID_ROW[2] = -1.0  # E0 == -1 everywhere -> never covered
 
 
+_PAIR_STRIDE = 16   # f32 lanes per pair: 12 coefficients + id + 3 spare
+_PAIRS_PER_ROW = 8  # 8 pairs x 16 lanes = one full 128-lane row, so the
+#                     kernel's per-chunk DMA slices are Mosaic-aligned at any
+#                     row offset without padding each pair to 128 lanes
+
+
 class Bins(NamedTuple):
-    setup: jnp.ndarray        # (NT, C, _SETUP_ROWS) f32
-    ids: jnp.ndarray          # (NT, C, 1) i32
-    counts: jnp.ndarray       # (NT,) i32 (clamped to C)
+    # CSR layout: pairs sorted by tile; tile i owns pair indices
+    # [starts[i], starts[i] + counts[i]). Pairs are packed 8 to a 128-lane
+    # row (pair j of a row at lanes 16j..16j+12: 12 setup coefficients +
+    # bitcast triangle id); the fine-raster kernel streams whole rows with
+    # double-buffered DMA and masks leading/trailing pairs — no dense
+    # per-tile padding is ever materialized.
+    setup: jnp.ndarray        # (P_cap/8 + pad, 128) f32
+    starts: jnp.ndarray       # (NT,) i32 pair index
+    counts: jnp.ndarray       # (NT,) i32
     big_setup: jnp.ndarray    # (BIG, _SETUP_ROWS) f32
     big_ids: jnp.ndarray      # (BIG, 1) i32
     big_count: jnp.ndarray    # (1,) i32
-    overflow: jnp.ndarray     # () i32 — dropped tile-list entries
+    overflow: jnp.ndarray     # () i32 — dropped pairs (pair_capacity hit)
     big_overflow: jnp.ndarray  # () i32 — dropped big triangles
 
 
 def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
-    """Build bounded per-tile triangle lists (replaces GPU atomic appends,
+    """Build per-tile triangle lists (replaces GPU atomic appends,
     ref: culling/batch-culling.hlsl:85-116)."""
     p = params
     t = ids.shape[0]
@@ -285,31 +305,56 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
     dx = k - dy * span_w[:, None]
     tile = (ty0[:, None] + dy) * p.tiles_x + tx0[:, None] + dx
     pair_ok = small[:, None] & (k < span[:, None])
-    keys = jnp.where(pair_ok, tile, p.num_tiles).reshape(-1)
-    vals = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), (t, span_cap)
-    ).reshape(-1)
+    tri_iota2 = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), (t, span_cap))
 
-    keys_s, tri_s = jax.lax.sort_key_val(keys, vals)
+    # Pack (tile, tri) into one int32 key when the bits fit — a single-array
+    # sort is substantially cheaper than a key-value sort.
+    tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+    tile_bits = int(np.ceil(np.log2(p.num_tiles + 1)))
+    if tri_bits + tile_bits <= 31:
+        packed = jnp.where(pair_ok, (tile << tri_bits) | tri_iota2,
+                           p.num_tiles << tri_bits).reshape(-1)
+        keys_s = jnp.sort(packed)
+        tri_s = keys_s & ((1 << tri_bits) - 1)
+        tile_keys = keys_s >> tri_bits
+    else:
+        keys = jnp.where(pair_ok, tile, p.num_tiles).reshape(-1)
+        tile_keys, tri_s = jax.lax.sort_key_val(keys, tri_iota2.reshape(-1))
+
+    # Truncate the sorted pair list at pair_capacity (valid pairs sort before
+    # the sentinel, so truncation only drops pairs when the total exceeds the
+    # capacity; dropped pairs are counted in `overflow`).
+    cap_pairs = p.pair_capacity
+    n_pairs = jnp.sum(pair_ok)
+    overflow = jnp.maximum(n_pairs - cap_pairs, 0)
+    total = tri_s.shape[0]
+    if total >= cap_pairs:
+        tri_s = tri_s[:cap_pairs]
+        tile_keys = tile_keys[:cap_pairs]
+    else:
+        tri_s = jnp.pad(tri_s, (0, cap_pairs - total))
+        tile_keys = jnp.pad(tile_keys, (0, cap_pairs - total),
+                            constant_values=p.num_tiles)
 
     tile_range = jax.lax.broadcasted_iota(jnp.int32, (p.num_tiles, 1), 0)[:, 0]
-    starts = jnp.searchsorted(keys_s, tile_range, side="left")
-    ends = jnp.searchsorted(keys_s, tile_range, side="right")
-    counts_full = (ends - starts).astype(jnp.int32)
-    counts = jnp.minimum(counts_full, p.bin_capacity)
-    overflow = jnp.sum(counts_full - counts)
+    starts = jnp.searchsorted(tile_keys, tile_range, side="left") \
+        .astype(jnp.int32)
+    ends = jnp.searchsorted(tile_keys, tile_range, side="right") \
+        .astype(jnp.int32)
+    counts = ends - starts
 
-    slot = jax.lax.broadcasted_iota(jnp.int32, (p.num_tiles, p.bin_capacity),
-                                    1)
-    gather_idx = jnp.clip(starts[:, None] + slot, 0, keys_s.shape[0] - 1)
-    tri_dense = tri_s[gather_idx]                      # (NT, C)
-    slot_ok = slot < counts[:, None]
-
-    # Gather setup rows; invalid slots get the never-covered row.
-    binned = setup_t.T[tri_dense]                      # (NT, C, 12)
-    binned = jnp.where(slot_ok[..., None], binned,
-                       jnp.asarray(_INVALID_ROW)[None, None, :])
-    ids_dense = jnp.where(slot_ok, ids[tri_dense], 0)[..., None]
+    # One flat gather of setup rows in sorted-pair order, id bitcast into
+    # lane 12, packed 8 pairs per 128-lane row (+ slack rows so the kernel's
+    # fixed-size DMAs never run off the end).
+    flat = jnp.concatenate([
+        setup_t.T[tri_s],
+        jax.lax.bitcast_convert_type(ids[tri_s], jnp.float32)[:, None],
+    ], axis=-1)                                        # (P_cap, 13)
+    flat = jnp.pad(flat, ((0, 0), (0, _PAIR_STRIDE - flat.shape[1])))
+    flat = flat.reshape(cap_pairs // _PAIRS_PER_ROW,
+                        _PAIRS_PER_ROW * _PAIR_STRIDE)
+    flat = jnp.pad(flat, ((0, p.chunk // _PAIRS_PER_ROW + 1), (0, 0)))
 
     # Big-triangle list via cumsum compaction (no atomics on TPU).
     big_i = big.astype(jnp.int32)
@@ -327,7 +372,7 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
                           jnp.asarray(_INVALID_ROW)[None, :])
     big_ids = jnp.where(big_slot_ok, ids[big_tris], 0)[:, None]
 
-    return Bins(setup=binned, ids=ids_dense, counts=counts,
+    return Bins(setup=flat, starts=starts, counts=counts,
                 big_setup=big_setup, big_ids=big_ids,
                 big_count=big_count.reshape(1).astype(jnp.int32),
                 overflow=overflow, big_overflow=n_big - big_count)
@@ -337,10 +382,16 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
 # 4. Fine raster (Pallas)
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(counts_ref, bigcount_ref, setup_ref, ids_ref,
+def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
                    big_setup_ref, big_ids_ref, tri_ref, z_ref,
+                   setup_scratch, sems,
                    *, params: RasterParams):
+    """Per-tile fine raster. The CSR pair arrays stay in HBM; each tile
+    streams its contiguous slice with double-buffered async DMA (the Pallas
+    analogue of ExecuteIndirect consuming GPU-built draw lists,
+    ref: visibility-pass.inl:160-187)."""
     p = params
+    k = p.chunk
     ti = pl.program_id(0)
     ty = ti // p.tiles_x
     tx = ti - ty * p.tiles_x
@@ -353,43 +404,85 @@ def _raster_kernel(counts_ref, bigcount_ref, setup_ref, ids_ref,
     rowf = (py + ty * p.tile_h).astype(jnp.float32) + 0.5
 
     clear = jnp.full((1, n), -1, jnp.int32)
+    start = starts_ref[ti]
+    count = counts_ref[ti]
+    # Chunks are defined on whole packed rows; the tile's range may start
+    # mid-row, so chunk pair-slots are masked against [row_off, row_off+count)
+    row_start = start // _PAIRS_PER_ROW
+    row_off = start - row_start * _PAIRS_PER_ROW
+    kr = k // _PAIRS_PER_ROW                      # rows per chunk
+    nch = pl.cdiv(count + row_off, k)
 
-    def eval_chunk(rows, rid, zb, vb):
-        """rows: (K, 12) coefficient slab; rid: (K, 1) ids."""
-        e0 = rows[:, 0:1] * colf + rows[:, 1:2] * rowf + rows[:, 2:3]
-        e1 = rows[:, 3:4] * colf + rows[:, 4:5] * rowf + rows[:, 5:6]
-        e2 = rows[:, 6:7] * colf + rows[:, 7:8] * rowf + rows[:, 8:9]
-        z = rows[:, 9:10] * colf + rows[:, 10:11] * rowf + rows[:, 11:12]
-        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-        mz = jnp.where(cov, z, -1.0)                     # (K, n)
-        zc = jnp.max(mz, axis=0, keepdims=True)          # (1, n)
-        win = (mz >= zc) & cov                           # ties: max id wins
-        idc = jnp.max(jnp.where(win, rid, jnp.int32(-2**31)),
+    def eval_slab(rows13, rid, slot_ok, best_z, best_id):
+        """rows13: (K/8, 13) one pair-slab; rid: (K/8, 1); running best."""
+        e0 = rows13[:, 0:1] * colf + rows13[:, 1:2] * rowf + rows13[:, 2:3]
+        e1 = rows13[:, 3:4] * colf + rows13[:, 4:5] * rowf + rows13[:, 5:6]
+        e2 = rows13[:, 6:7] * colf + rows13[:, 7:8] * rowf + rows13[:, 8:9]
+        z = (rows13[:, 9:10] * colf + rows13[:, 10:11] * rowf
+             + rows13[:, 11:12])
+        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & slot_ok
+        mz = jnp.where(cov, z, -1.0)
+        upd = mz > best_z
+        return jnp.where(upd, mz, best_z), jnp.where(upd, rid, best_id)
+
+    def merge(best_z, best_id, zb, vb):
+        zc = jnp.max(best_z, axis=0, keepdims=True)
+        win = best_z >= zc
+        idc = jnp.max(jnp.where(win, best_id, jnp.int32(-2**31)),
                       axis=0, keepdims=True)
         passed = (zc >= 0.0) & (zc >= zb)
-        return (jnp.where(passed, zc, zb),
-                jnp.where(passed, idc, vb))
+        return (jnp.where(passed, zc, zb), jnp.where(passed, idc, vb))
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            setup_hbm.at[pl.ds(row_start + c * kr, kr), :],
+            setup_scratch.at[slot], sems.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma(0, 0).start()
 
     def chunk_body(c, carry):
         zb, vb = carry
-        base = c * p.chunk
-        rows = setup_ref[0, pl.ds(base, p.chunk), :]
-        rid = ids_ref[0, pl.ds(base, p.chunk), :]
-        return eval_chunk(rows, rid, zb, vb)
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+            dma(1 - slot, c + 1).start()
+
+        dma(slot, c).wait()
+        rows = setup_scratch[slot]                # (K/8, 128)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (kr, 1), 0)
+        best_z = jnp.full((kr, n), -1.0, jnp.float32)
+        best_id = jnp.full((kr, n), jnp.int32(-2**31), jnp.int32)
+        for j in range(_PAIRS_PER_ROW):
+            sl = rows[:, _PAIR_STRIDE * j:_PAIR_STRIDE * j + 13]
+            rid = pltpu.bitcast(sl[:, 12:13], jnp.int32)
+            gidx = c * k + riota * _PAIRS_PER_ROW + j
+            slot_ok = (gidx >= row_off) & (gidx < row_off + count)
+            best_z, best_id = eval_slab(sl[:, :13], rid, slot_ok,
+                                        best_z, best_id)
+        return merge(best_z, best_id, zb, vb)
+
+    zb, vb = jax.lax.fori_loop(
+        0, nch, chunk_body, (jnp.zeros((1, n), jnp.float32), clear))
 
     def big_body(c, carry):
         zb, vb = carry
-        base = c * p.chunk
-        rows = big_setup_ref[pl.ds(base, p.chunk), :]
-        rid = big_ids_ref[pl.ds(base, p.chunk), :]
-        return eval_chunk(rows, rid, zb, vb)
+        base = c * k
+        rows = big_setup_ref[pl.ds(base, k), :]
+        rid = big_ids_ref[pl.ds(base, k), :]
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                  < bigcount_ref[0] - base)
+        best_z = jnp.full((k, n), -1.0, jnp.float32)
+        best_id = jnp.full((k, n), jnp.int32(-2**31), jnp.int32)
+        best_z, best_id = eval_slab(
+            jnp.concatenate([rows, jnp.zeros((k, 1), jnp.float32)], axis=1),
+            rid, row_ok, best_z, best_id)
+        return merge(best_z, best_id, zb, vb)
 
-    count = counts_ref[ti]
     zb, vb = jax.lax.fori_loop(
-        0, pl.cdiv(count, p.chunk), chunk_body,
-        (jnp.zeros((1, n), jnp.float32), clear))
-    zb, vb = jax.lax.fori_loop(
-        0, pl.cdiv(bigcount_ref[0], p.chunk), big_body, (zb, vb))
+        0, pl.cdiv(bigcount_ref[0], k), big_body, (zb, vb))
 
     tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
@@ -400,12 +493,10 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
     index, -1 = no geometry; depth (H,W) f32) cropped to the resolution."""
     p = params
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(p.num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, p.bin_capacity, _SETUP_ROWS),
-                         lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, p.bin_capacity, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # setup pairs (HBM)
             pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
                          lambda i, *_: (0, 0)),
             pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
@@ -415,6 +506,11 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
                          lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
             pl.BlockSpec((p.tile_h, p.tile_w),
                          lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
+                        _PAIRS_PER_ROW * _PAIR_STRIDE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     tri, depth = pl.pallas_call(
@@ -427,7 +523,7 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
                                  jnp.float32),
         ],
         interpret=_should_interpret(),
-    )(bins.counts, bins.big_count, bins.setup, bins.ids,
+    )(bins.starts, bins.counts, bins.big_count, bins.setup,
       bins.big_setup, bins.big_ids)
     return tri[:p.height, :p.width], depth[:p.height, :p.width]
 

@@ -15,7 +15,7 @@ from scene_util import make_scene
 
 W, H = 128, 64
 PARAMS = RasterParams(width=W, height=H, tile_h=8, tile_w=128,
-                      bin_capacity=64, bin_max_span=8, big_tri_capacity=16,
+                      pair_capacity=256, bin_max_span=8, big_tri_capacity=16,
                       chunk=8)
 
 

@@ -8,7 +8,7 @@ from scene_util import make_scene
 
 W, H = 128, 64
 PARAMS = raster.RasterParams(width=W, height=H, tile_h=16, tile_w=128,
-                             bin_capacity=64, bin_max_span=4,
+                             pair_capacity=256, bin_max_span=4,
                              big_tri_capacity=16, chunk=8)
 EYE4 = jnp.eye(4)
 
