@@ -62,6 +62,10 @@ def main(argv=None):
                     help="render N frames (timing: first is compile)")
     ap.add_argument("--no-sky", action="store_true",
                     help="disable sky lighting + background")
+    ap.add_argument("--pathtrace", action="store_true",
+                    help="progressive path tracing instead of raster")
+    ap.add_argument("--spp", type=int, default=16,
+                    help="path-tracing samples per pixel to accumulate")
     args = ap.parse_args(argv)
     from ..utils import jaxinit
     jaxinit.setup()
@@ -108,6 +112,36 @@ def main(argv=None):
         import jax
         jax.block_until_ready((probe.sh, env_brdf))
         print(f"[probe] dynamic-sky probe + BRDF LUT: {time.time() - t0:.1f}s")
+
+    if args.pathtrace:
+        import jax.numpy as jnp
+        from ..kernels import bvh as bvh_mod
+        t0 = time.time()
+        bvh = bvh_mod.build_scene_bvh(host.scene)
+        print(f"[bvh] LBVH over {host.scene.meta.num_triangles} tris: "
+              f"{time.time() - t0:.1f}s")
+        cfg = cfg.replace(max_sample_count=max(args.spp, 1))
+        history = jnp.zeros((args.height, args.width, 3))
+        t0 = time.time()
+        for s in range(args.spp):
+            out = frame_mod.render_pathtrace_jit(
+                host.scene, bvh, fc, history, jnp.asarray(s, jnp.uint32),
+                cfg, args.width, args.height, probe)
+            history = out["history"]
+            if s == 0:
+                out["color"].block_until_ready()
+                print(f"[pt] first sample (incl. compile): "
+                      f"{time.time() - t0:.1f}s")
+                t0 = time.time()
+        out["color"].block_until_ready()
+        if args.spp > 1:
+            dt = (time.time() - t0) / (args.spp - 1)
+            mrays = args.width * args.height * (1 + 4) / dt / 1e6
+            print(f"[pt] {dt * 1e3:.0f} ms/sample (~{mrays:.1f} Mrays/s "
+                  f"incl. shadow rays)")
+        io_mod.save_png(args.out, np.asarray(out["color"]))
+        print(f"[out] {args.out}")
+        return
 
     t0 = time.time()
     out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,

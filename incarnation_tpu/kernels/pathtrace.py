@@ -1,0 +1,292 @@
+"""Progressive wavefront path tracer.
+
+Port of the reference's DXR path tracer (ref: shaders/raytracing/
+pathtracing.hlsl + raytracing/common.hlsli + render-jobs/path-tracing.inl)
+restructured wavefront-style for TPU (SURVEY.md §2.4): instead of recursive
+TraceRay, one ray array per bounce is traced against the LBVH, shaded, and
+respawned — the recursion becomes a python loop of at most MAX_BOUNCES
+(ref: pathtracing.hlsl MAX_RECURSION_DEPTH) over fully vectorized batches.
+
+Faithfully reproduced reference behavior:
+- thin-lens camera with aperture disk sampling + focal plane
+  (ref: raytracing/common.hlsli:25-53 GenerateCameraRay)
+- correlated multi-jittered sample sequences per (pixel, sample-set)
+  (ref: common.hlsli:8-22)
+- emissive x20000 with scattering damped by emissive
+  (ref: pathtracing.hlsl:210-212)
+- NEE over all lights with shadow rays (ref: pathtracing.hlsl:231-243)
+- cosine-sampled sky with the reference's world-axis hemisphere quirk and
+  CosineHemispherePdf(L.z) division (ref: pathtracing.hlsl:246-251,
+  lighting/common.hlsli GetSkyRadiance)
+- 50/50 cosine / GGX-half-vector bounce with averaged pdf
+  (ref: common.hlsli:56-131 GenerateIndirectRadianceRay)
+- miss = skyBrightness x envmap or 1000 x Preetham
+  (ref: pathtracing.hlsl:304-319)
+- progressive accumulation history = ((n-1) h + cur) / n
+  (ref: pathtrace-integrate.hlsl:16-31)
+- textures sampled at mip 0 (ref: material/common.hlsli TEX_SAMPLE in
+  PATH_TRACING mode)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import mathutils as mu
+from ..scene import lights as lights_mod
+from ..scene import textures as tex_mod
+from . import bvh as bvh_mod
+from . import ibl, sampling, shading, sky as sky_mod
+
+RAY_OFFSET = 1e-3   # ref: raytracing/common.hlsli k_rayOffset
+MAX_BOUNCES = 4     # ref: pathtracing.hlsl:29 MAX_RECURSION_DEPTH
+
+
+def _hit_attributes(scene, world_n_v, world_t_v, tri, u, v):
+    """Interpolated uv / world TBN at ray hits (ref: pathtracing.hlsl
+    chsMain vertex fetch + HitAttribute lerp)."""
+    safe = jnp.maximum(tri, 0)
+    tv = scene.tri_vtx[safe]
+    i0, i1, i2 = tv[..., 0], tv[..., 1], tv[..., 2]
+    w_ = (1.0 - u - v)[..., None]
+    uu = u[..., None]
+    vv = v[..., None]
+
+    def lerp(a):
+        return a[i0] + uu * (a[i1] - a[i0]) + vv * (a[i2] - a[i0])
+
+    n = mu.normalize(lerp(world_n_v))
+    t = mu.normalize(lerp(world_t_v))
+    sign = scene.tangents[i0][..., 3:4]
+    b = jnp.cross(n, t) * sign
+    uv = scene.uvs[i0] + uu * (scene.uvs[i1] - scene.uvs[i0]) \
+        + vv * (scene.uvs[i2] - scene.uvs[i0])
+    mat_id = scene.prim_material[jnp.maximum(scene.tri_prim[safe], 0)]
+    del w_
+    return uv, n, t, b, mat_id
+
+
+def _eval_material(scene, mat_id, uv):
+    """Material at hit points, mip 0 (ref: EvaluateMaterialProperties via
+    TEX_SAMPLE SampleLevel 0)."""
+    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
+                                          lod=None)
+    tx = tex_mod.decode_stack_channels(chans)
+    fac = scene.mat_params[jnp.maximum(mat_id, 0)]
+    return dict(
+        base_color=fac[..., 3:6] * tx["base_rgb"],
+        emissive=fac[..., 0:3] * tx["emissive_rgb"],
+        metallic=fac[..., 7] * tx["metallic"],
+        roughness=fac[..., 8] * tx["roughness"],
+        normal_xy=tx["normal_xy"] * fac[..., 10:11],
+    )
+
+
+def _tangent_mul(v3, t, b, n):
+    """mul(v, float3x3(T, B, N)) row-vector semantics."""
+    return v3[..., 0:1] * t + v3[..., 1:2] * b + v3[..., 2:3] * n
+
+
+def _direct_radiance(light_i, lights, wp, base, metallic, roughness, n, v,
+                     bvh):
+    """GetDirectRadiance for one light with shadow ray
+    (ref: lighting/common.hlsli:8-145; PATH_TRACING traces shadows for all
+    light types)."""
+    lt = lights.type[light_i]
+    xform = lights.transform[light_i]
+    is_dir = lt == lights_mod.LIGHT_DIRECTIONAL
+    l_dir = jnp.broadcast_to(lights_mod.light_direction_toward(xform),
+                             wp.shape)
+    l_pn, rad_pn = shading.punctual_light(
+        lt, xform, lights.color[light_i], lights.intensity[light_i],
+        lights.range[light_i], lights.spot_angles[light_i], wp)
+    rad_dir = shading.directional_light_radiance(
+        lights.color[light_i], lights.intensity[light_i])
+    l = jnp.where(is_dir, l_dir, l_pn)
+    radiance_in = jnp.where(is_dir, jnp.broadcast_to(rad_dir, wp.shape),
+                            rad_pn)
+    vis = ~bvh_mod.occluded(bvh, wp, l, tmin=0.1, tmax=1000.0)
+    return shading.brdf_response(base, metallic, roughness, n, v, l,
+                                 radiance_in,
+                                 visibility=vis[..., None].astype(jnp.float32))
+
+
+def _sky_radiance_term(bvh, probe, sky_brightness, u2, wp, base, metallic,
+                       roughness, n, v):
+    """GetSkyRadiance with the reference's cosine-sample quirk
+    (ref: pathtracing.hlsl:246-251, lighting/common.hlsli:147-202)."""
+    sample_dir = sampling.cosine_sample_hemisphere(u2)  # world axes as-is
+    radiance_in = sky_brightness * ibl.sample_cube(probe.envmap, sample_dir)
+    no_l = jnp.clip(jnp.sum(n * sample_dir, -1, keepdims=True), 0.0, 1.0)
+    vis = ~bvh_mod.occluded(bvh, wp, sample_dir, tmin=0.1, tmax=1000.0)
+    f0 = metallic[..., None] * base + (1 - metallic[..., None]) * 0.04
+    albedo = (1 - metallic[..., None]) * base
+    h = mu.normalize(sample_dir + v)
+    no_v = jnp.sum(n * v, -1, keepdims=True)
+    no_h = jnp.maximum(jnp.sum(n * h, -1, keepdims=True), 1e-4)
+    vo_h = jnp.maximum(jnp.sum(v * h, -1, keepdims=True), 1e-4)
+    d = shading.ggx_distribution(no_h, roughness[..., None])
+    f = shading.f_schlick(vo_h, f0)
+    g = shading.g_smith_direct(no_v, no_l, roughness[..., None])
+    fr = (d * f * g) / jnp.maximum(4.0 * no_v * no_l, 1e-3)
+    fd = albedo * mu.INV_PI
+    out = (fr + (1.0 - f) * fd) * radiance_in * no_l \
+        * vis[..., None].astype(jnp.float32)
+    out = jnp.where(no_l > 0.0, out, 0.0)
+    pdf = sampling.cosine_hemisphere_pdf(sample_dir[..., 2:3])
+    return out / jnp.where(jnp.abs(pdf) > 1e-8, pdf, 1.0)
+
+
+def _indirect_ray(u2, n, t, b, v, base, metallic, roughness):
+    """50/50 cosine / GGX bounce (ref: common.hlsli:56-131). Returns
+    (l, attenuation)."""
+    ux, uy = u2[..., 0], u2[..., 1]
+    use_cosine = ux < 0.5
+    u_cos = jnp.stack([2.0 * ux, uy], -1)
+    u_ggx = jnp.stack([2.0 * (ux - 0.5), uy], -1)
+
+    l_cos = _tangent_mul(sampling.cosine_sample_hemisphere(u_cos), t, b, n)
+    h_ggx = _tangent_mul(ibl.sample_ggx(u_ggx, roughness), t, b, n)
+    l_ggx = mu.normalize(
+        2.0 * jnp.sum(v * h_ggx, -1, keepdims=True) * h_ggx - v)
+    l = mu.normalize(jnp.where(use_cosine[..., None], l_cos, l_ggx))
+    h = jnp.where(use_cosine[..., None], mu.normalize(l + v), h_ggx)
+
+    no_l = jnp.maximum(jnp.sum(n * l, -1), 1e-3)
+    no_v = jnp.maximum(jnp.sum(n * v, -1), 1e-3)
+    no_h = jnp.maximum(jnp.sum(n * h, -1), 1e-3)
+    vo_h = jnp.maximum(jnp.sum(v * h, -1), 1e-3)
+
+    ggx_pdf = (shading.ggx_distribution(no_h, roughness) * no_h
+               / (4.0 * vo_h))
+    pdf = 0.5 * sampling.cosine_hemisphere_pdf(no_l) + 0.5 * ggx_pdf
+
+    f0 = metallic[..., None] * base + (1 - metallic[..., None]) * 0.04
+    albedo = (1 - metallic[..., None]) * base
+    d = shading.ggx_distribution(no_h, roughness)[..., None]
+    f = shading.f_schlick(vo_h[..., None], f0)
+    g = shading.g_smith_direct(no_v, no_l, roughness)[..., None]
+    fr = (d * f * g) / jnp.maximum(4.0 * no_v * no_l, 1e-3)[..., None]
+    fd = albedo * mu.INV_PI
+    brdf = fr + (1.0 - f) * fd
+    atten = brdf * no_l[..., None] / jnp.maximum(pdf, 1e-8)[..., None]
+    return l, atten
+
+
+def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
+                 sample_index, width: int, height: int,
+                 sqrt_sample_count: int = 16, dynamic_sky: bool = True,
+                 turbidity: float = 2.0):
+    """One progressive sample for every pixel -> (H, W, 3) radiance."""
+    r = width * height
+    pixel = jnp.arange(r, dtype=jnp.uint32)
+    px = (pixel % width).astype(jnp.float32)
+    py = (pixel // width).astype(jnp.float32)
+    num_pixels = np.uint32(r)
+
+    set_counter = [np.uint32(0)]
+
+    def sample_point(sidx):
+        pattern = set_counter[0] * num_pixels + pixel
+        set_counter[0] = np.uint32(set_counter[0] + 1)
+        return sampling.cmj_sample2d(sidx, pattern, sqrt_sample_count)
+
+    sidx = jnp.asarray(sample_index, jnp.uint32)
+    subpix = sample_point(sidx)
+    aperture_u = sample_point(sidx)
+
+    # Thin-lens camera ray (ref: GenerateCameraRay)
+    xy = jnp.stack([px, py], -1) + subpix + 0.5
+    screen = jnp.stack([2.0 * xy[..., 0] / width - 1.0,
+                        -(2.0 * xy[..., 1] / height - 1.0)], -1)
+    ndc = jnp.concatenate([screen, jnp.full((r, 1), 1e-4),
+                           jnp.ones((r, 1))], -1)
+    world = ndc @ fc.inv_view_proj
+    world = world[..., :3] / world[..., 3:]
+    primary = mu.normalize(world - fc.eye)
+    focal = fc.eye + fc.focal_length * primary
+    disk = sampling.concentric_sample_disk(aperture_u)
+    origin = (fc.eye + fc.aperture * disk[..., 0:1] * fc.camera_right
+              + fc.aperture * disk[..., 1:2] * fc.camera_up)
+    direction = mu.normalize(focal - origin)
+
+    radiance = jnp.zeros((r, 3))
+    beta = jnp.ones((r, 3))
+    alive = jnp.ones((r,), bool)
+
+    for bounce in range(MAX_BOUNCES):
+        hit = bvh_mod.trace(bvh, origin, direction, tmin=RAY_OFFSET,
+                            tmax=1e4)
+        tri = hit["tri"]
+        missed = (tri < 0) & alive
+
+        # miss: environment radiance (ref: msEnvmap / msDynamicSky)
+        if dynamic_sky:
+            env = 1000.0 * sky_mod.sky_radiance(fc.sun_dir, direction,
+                                                turbidity)
+        elif probe is not None:
+            env = fc.sky_brightness * ibl.sample_cube(probe.envmap,
+                                                      direction)
+        else:
+            env = jnp.zeros_like(beta)
+        radiance = radiance + jnp.where(missed[..., None], beta * env, 0.0)
+
+        alive = alive & (tri >= 0)
+        wp = origin + hit["t"][..., None] * direction
+        wp = jnp.where(alive[..., None], wp, 0.0)
+
+        uv, n, t, b, mat_id = _hit_attributes(scene, world_n_v, world_t_v,
+                                              tri, hit["u"], hit["v"])
+        m = _eval_material(scene, mat_id, uv)
+
+        # emissive + scattering damping (ref: pathtracing.hlsl:210-212)
+        radiance = radiance + jnp.where(alive[..., None],
+                                        beta * m["emissive"] * 20000.0, 0.0)
+        beta = beta * jnp.where(alive[..., None],
+                                jnp.clip(1.0 - m["emissive"], 0.0, 1.0), 1.0)
+
+        # normal mapping
+        nxy = m["normal_xy"]
+        nz = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(nxy * nxy, -1), 1e-6))
+        n = mu.normalize(_tangent_mul(
+            jnp.concatenate([nxy, nz[..., None]], -1), t, b, n))
+        v = -direction
+
+        # NEE over all lights
+        nl = scene.lights.type.shape[0]
+        for li in range(nl):
+            on = li < scene.lights.count
+            contrib = _direct_radiance(li, scene.lights, wp,
+                                       m["base_color"], m["metallic"],
+                                       m["roughness"], n, v, bvh)
+            radiance = radiance + jnp.where(
+                (alive & on)[..., None], beta * contrib, 0.0)
+
+        # sky sample
+        if probe is not None:
+            u_sky = sample_point(sidx)
+            sky_term = _sky_radiance_term(
+                bvh, probe, fc.sky_brightness, u_sky, wp, m["base_color"],
+                m["metallic"], m["roughness"], n, v)
+            radiance = radiance + jnp.where(alive[..., None],
+                                            beta * sky_term, 0.0)
+
+        if bounce + 1 < MAX_BOUNCES:
+            u_b = sample_point(sidx)
+            l, atten = _indirect_ray(u_b, n, t, b, v, m["base_color"],
+                                     m["metallic"], m["roughness"])
+            beta = beta * jnp.where(alive[..., None], atten, 1.0)
+            origin = wp
+            direction = l
+            alive = alive & (jnp.max(beta, -1) > 1e-3)
+
+    return radiance.reshape(height, width, 3)
+
+
+def integrate(history, current, sample_index):
+    """Progressive accumulation (ref: pathtrace-integrate.hlsl:16-31):
+    history' = ((n-1) * history + current) / n with n = sample_index + 1."""
+    n = (sample_index + 1).astype(jnp.float32)
+    return (history * (n - 1.0) + current) / n

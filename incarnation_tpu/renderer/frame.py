@@ -48,6 +48,10 @@ class FrameConstants:
     turbidity: jnp.ndarray       # ()
     prev_view_proj: jnp.ndarray  # (4, 4) last frame's view-proj (TAA)
     history_valid: jnp.ndarray   # () f32: 1 after the first frame
+    camera_right: jnp.ndarray    # (3,) camera basis (thin-lens aperture)
+    camera_up: jnp.ndarray       # (3,)
+    aperture: jnp.ndarray        # () path-tracer aperture
+    focal_length: jnp.ndarray    # () path-tracer focal length
 
     @staticmethod
     def make(view, config: Config, sun_dir=None, sun_color_intensity=None,
@@ -75,6 +79,12 @@ class FrameConstants:
             prev_view_proj=jnp.asarray(
                 vp if prev_view_proj is None else prev_view_proj),
             history_valid=jnp.asarray(np.float32(history_valid)),
+            camera_right=jnp.asarray(np.asarray(view.right, np.float32)),
+            camera_up=jnp.asarray(np.asarray(view.up, np.float32)),
+            aperture=jnp.asarray(
+                np.float32(config.pathtracing_camera_aperture)),
+            focal_length=jnp.asarray(
+                np.float32(config.pathtracing_camera_focal_length)),
         )
 
 
@@ -216,3 +226,35 @@ def render_frame_jit(scene, fc, config: Config, params: raster.RasterParams,
                      probe=None, env_brdf=None, history=None):
     return render_frame(scene, fc, config=config, params=params, probe=probe,
                         env_brdf=env_brdf, history=history)
+
+
+def render_pathtrace(scene, bvh, fc, history, sample_index, *,
+                     config: Config, width: int, height: int, probe=None):
+    """One progressive path-tracing sample + accumulation + tonemap
+    (ref: renderer.cpp:1679-1710: PathTracing job + pathtrace-integrate +
+    TonemapPass on the history buffer)."""
+    from ..kernels import pathtrace, resolve as resolve_mod
+
+    world_n_v, world_t_v = resolve_mod.vertex_world_attributes(
+        scene, fc.scene_rotation)
+    current = pathtrace.trace_sample(
+        scene, bvh, world_n_v, world_t_v, fc, probe, sample_index,
+        width, height,
+        sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
+        dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
+        turbidity=config.turbidity)
+    accumulated = pathtrace.integrate(history, current,
+                                      jnp.asarray(sample_index, jnp.float32))
+    color = post.tonemap(accumulated, fc.exposure,
+                         nan_check=(config.viewmode == ViewMode.NAN_CHECK))
+    return dict(color=post.to_uint8(color), history=accumulated)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "width", "height"))
+def render_pathtrace_jit(scene, bvh, fc, history, sample_index,
+                         config: Config, width: int, height: int,
+                         probe=None):
+    return render_pathtrace(scene, bvh, fc, history, sample_index,
+                            config=config, width=width, height=height,
+                            probe=probe)

@@ -1,0 +1,112 @@
+"""LBVH build + traversal correctness vs brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from incarnation_tpu.kernels import bvh as bvh_mod
+from scene_util import make_scene
+
+
+def random_tris(n, rng, extent=10.0, size=0.8):
+    base = rng.uniform(-extent, extent, (n, 1, 3))
+    return (base + rng.uniform(-size, size, (n, 3, 3))).astype(np.float32)
+
+
+def brute_force_closest(tris, o, d):
+    """Reference intersector (no culling)."""
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - v0
+    e2 = tris[:, 2] - v0
+    best_t = np.full(o.shape[0], np.inf)
+    best_i = np.full(o.shape[0], -1, np.int64)
+    for k in range(tris.shape[0]):
+        p = np.cross(d, e2[k])
+        det = np.einsum("rj,j->r", p, e1[k])
+        ok = np.abs(det) > 1e-12
+        inv = 1.0 / np.where(ok, det, 1.0)
+        tv = o - v0[k]
+        u = np.einsum("rj,rj->r", tv, p) * inv
+        q = np.cross(tv, e1[k][None].repeat(o.shape[0], 0))
+        v = np.einsum("rj,rj->r", d, q) * inv
+        t = np.einsum("j,rj->r", e2[k], q) * inv
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0) & (t < best_t)
+        best_t = np.where(hit, t, best_t)
+        best_i = np.where(hit, k, best_i)
+    return best_t, best_i
+
+
+def make_bvh(tris, double_sided=True):
+    nodes, _ = bvh_mod.build_lbvh(tris)
+    v0 = tris[:, 0]
+    rows = np.concatenate([v0, tris[:, 1] - v0, tris[:, 2] - v0,
+                           np.zeros((tris.shape[0], 3), np.float32)], -1)
+    return bvh_mod.SceneBVH(
+        nodes=jnp.asarray(nodes),
+        tri_rows=jnp.asarray(rows),
+        double_sided=jnp.full((tris.shape[0],),
+                              1.0 if double_sided else 0.0))
+
+
+def test_closest_hit_matches_brute_force(rng):
+    tris = random_tris(300, rng)
+    b = make_bvh(tris)
+    nr = 256
+    o = rng.uniform(-15, 15, (nr, 3)).astype(np.float32)
+    d = rng.normal(size=(nr, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    out = bvh_mod.trace(b, jnp.asarray(o), jnp.asarray(d))
+    bt, bi = brute_force_closest(tris, o, d)
+
+    hit = bi >= 0
+    np.testing.assert_array_equal(np.asarray(out["tri"] >= 0), hit)
+    np.testing.assert_allclose(np.asarray(out["t"])[hit], bt[hit],
+                               rtol=1e-4, atol=1e-4)
+    # matching triangle id except exact ties
+    same = np.asarray(out["tri"])[hit] == bi[hit]
+    assert same.mean() > 0.99
+
+
+def test_any_hit_occlusion(rng):
+    # A wall of two triangles; rays from one side toward the other.
+    quad = np.array([[[-5, -5, 0], [5, -5, 0], [5, 5, 0]],
+                     [[-5, -5, 0], [5, 5, 0], [-5, 5, 0]]], np.float32)
+    b = make_bvh(quad)
+    o = np.array([[0, 0, -3], [0, 0, -3], [8, 8, -3]], np.float32)
+    d = np.array([[0, 0, 1], [0, 0, -1], [0, 0, 1]], np.float32)
+    occ = np.asarray(bvh_mod.occluded(b, jnp.asarray(o), jnp.asarray(d),
+                                      tmin=0.1, tmax=1000.0))
+    assert occ.tolist() == [True, False, False]
+
+
+def test_tmin_tmax_respected():
+    tri = np.array([[[-1, -1, 5], [1, -1, 5], [0, 1, 5]]], np.float32)
+    b = make_bvh(tri)
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    assert bool(bvh_mod.occluded(b, o, d, tmin=0.1, tmax=1000.0)[0])
+    assert not bool(bvh_mod.occluded(b, o, d, tmin=0.1, tmax=4.0)[0])
+    assert not bool(bvh_mod.occluded(b, o, d, tmin=6.0, tmax=1000.0)[0])
+
+
+def test_backface_culling():
+    # Triangle wound CCW viewed from -z (front at -z side in our LH world).
+    tri = np.array([[[-1, -1, 5], [1, -1, 5], [0, 1, 5]]], np.float32)
+    b = make_bvh(tri, double_sided=False)
+    o = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 10.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    out = bvh_mod.trace(b, o, d)
+    hits = np.asarray(out["tri"]) >= 0
+    # exactly one side hits with backface culling on
+    assert hits.sum() == 1
+
+
+def test_scene_bvh_build(rng):
+    pts = np.array([[-4, -2, 5], [4, -2, 5], [0, 4, 5]], np.float32)
+    scene = make_scene(pts, [[0, 1, 2]])
+    b = bvh_mod.build_scene_bvh(scene)
+    out = bvh_mod.trace(b, jnp.asarray([[0.0, 0.0, -15.0]]),
+                        jnp.asarray([[0.0, 0.0, 1.0]]))
+    assert int(out["tri"][0]) == 0
+    np.testing.assert_allclose(float(out["t"][0]), 20.0, rtol=1e-5)
