@@ -66,12 +66,17 @@ def main(argv=None):
                     help="progressive path tracing instead of raster")
     ap.add_argument("--spp", type=int, default=16,
                     help="path-tracing samples per pixel to accumulate")
+    ap.add_argument("--shadows", action="store_true",
+                    help="ray-traced sun shadows in the raster path")
+    ap.add_argument("--hbao", action="store_true",
+                    help="ray-traced HBAO + bent normals")
     args = ap.parse_args(argv)
     from ..utils import jaxinit
     jaxinit.setup()
 
     cfg = Config(viewmode=args.viewmode, exposure=args.exposure,
-                 enable_sky_lighting=not args.no_sky)
+                 enable_sky_lighting=not args.no_sky,
+                 enable_hbao=args.hbao, use_bent_normals=args.hbao)
     if args.no_sky:
         from ..config import EnvSkyMode
         cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
@@ -143,16 +148,23 @@ def main(argv=None):
         print(f"[out] {args.out}")
         return
 
+    scene_bvh = None
+    if args.shadows or args.hbao:
+        from ..kernels import bvh as bvh_mod
+        t0 = time.time()
+        scene_bvh = bvh_mod.build_scene_bvh(host.scene)
+        print(f"[bvh] LBVH for shadows/AO: {time.time() - t0:.1f}s")
+
     t0 = time.time()
     out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
-                                     env_brdf)
+                                     env_brdf, None, scene_bvh)
     out["color"].block_until_ready()
     print(f"[frame] first frame (incl. compile): {time.time() - t0:.1f}s")
 
     for _ in range(max(0, args.frames - 1)):
         t0 = time.time()
         out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
-                                         env_brdf)
+                                         env_brdf, None, scene_bvh)
         out["color"].block_until_ready()
         print(f"[frame] {1e3 * (time.time() - t0):.1f} ms")
 

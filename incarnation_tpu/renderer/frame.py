@@ -90,7 +90,7 @@ class FrameConstants:
 
 def render_frame(scene, fc: FrameConstants, *, config: Config,
                  params: raster.RasterParams, probe=None, env_brdf=None,
-                 history=None):
+                 history=None, scene_bvh=None):
     """Full raster-path frame. probe: optional EnvironmentProbe + env_brdf
     LUT enable the sky-lighting pass and envmap background.
 
@@ -125,21 +125,45 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     roughness = gb.mrao[..., 1]
     m3 = gb.mask[..., None]
 
+    # Ray-traced HBAO + bent normals (ref: render-jobs/hbao.inl; AO cleared
+    # to 1.0 when disabled, ref: renderer.cpp:1816-1840)
+    ao_map = None
+    bent_normals = None
+    if config.enable_hbao and scene_bvh is not None:
+        from ..kernels import hbao as hbao_mod
+        ao_map, bent_oct = hbao_mod.hbao(scene_bvh, gb, depth, fc,
+                                         params.width, params.height)
+        if config.use_bent_normals:
+            bent_normals = mu.oct_decode(bent_oct)
+
     # Sky / IBL (ref: render-jobs/sky-lighting.inl)
     if probe is not None and config.enable_sky_lighting \
             and env_brdf is not None:
         hdr = hdr + skylight.sky_lighting(
             gb, n, v, probe, env_brdf, fc.sky_brightness,
+            hbao=ao_map, bent_normals=bent_normals,
             diffuse_ibl=config.enable_diffuse_ibl,
-            specular_ibl=config.enable_specular_ibl)
+            specular_ibl=config.enable_specular_ibl,
+            lighting_only=(config.viewmode == ViewMode.LIGHTING_ONLY))
 
-    # Deferred direct (sun) lighting (ref: lighting/direct-lighting.hlsl;
-    # shadow rays arrive with the BVH milestone)
+    # Deferred direct (sun) lighting with inline ray-traced shadows when a
+    # BVH is supplied (ref: lighting/direct-lighting.hlsl +
+    # lighting/common.hlsli:91-116)
     if config.enable_direct_lighting:
         radiance_in = shading.directional_light_radiance(
             fc.sun_color_intensity[:3], fc.sun_color_intensity[3])
+        sun_vis = 1.0
+        if scene_bvh is not None:
+            from ..kernels import bvh as bvh_mod
+            shadow_dir = jnp.broadcast_to(fc.sun_dir, gb.world_pos.shape)
+            occ = bvh_mod.occluded(
+                scene_bvh, gb.world_pos.reshape(-1, 3),
+                shadow_dir.reshape(-1, 3), tmin=0.1, tmax=1000.0)
+            sun_vis = 1.0 - occ.reshape(gb.mask.shape).astype(
+                jnp.float32)[..., None]
         sun = shading.brdf_response(base, metallic, roughness, n, v,
-                                    fc.sun_dir, radiance_in)
+                                    fc.sun_dir, radiance_in,
+                                    visibility=sun_vis)
         hdr = hdr + jnp.where(m3, sun, 0.0)
 
     # Clustered punctual lighting (ref: render-jobs/light-culling.inl +
@@ -223,9 +247,11 @@ def _hash_color(key):
 
 @functools.partial(jax.jit, static_argnames=("config", "params"))
 def render_frame_jit(scene, fc, config: Config, params: raster.RasterParams,
-                     probe=None, env_brdf=None, history=None):
+                     probe=None, env_brdf=None, history=None,
+                     scene_bvh=None):
     return render_frame(scene, fc, config=config, params=params, probe=probe,
-                        env_brdf=env_brdf, history=history)
+                        env_brdf=env_brdf, history=history,
+                        scene_bvh=scene_bvh)
 
 
 def render_pathtrace(scene, bvh, fc, history, sample_index, *,

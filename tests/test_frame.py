@@ -73,3 +73,56 @@ def test_world_position_reconstruction():
     wp = np.asarray(gb.world_pos)[H // 2, W // 2]
     # the triangle lies in the z=5 plane
     np.testing.assert_allclose(wp[2], 5.0, atol=1e-3)
+
+
+def test_rt_shadow_occlusion():
+    # Occluder quad between sun and a receiver: receiver pixels behind the
+    # occluder darken when a BVH enables shadow rays.
+    from incarnation_tpu.kernels import bvh as bvh_mod
+    pts = np.array([
+        [-8, -6, 8], [8, -6, 8], [8, 6, 8], [-8, 6, 8],       # receiver
+        [-2, -1.5, 4], [2, -1.5, 4], [2, 1.5, 4], [-2, 1.5, 4],  # occluder
+    ], np.float32)
+    # double-sided: shadow rays hit the occluder from behind, and backface
+    # culling would skip one-sided geometry (matching the reference's
+    # RAY_FLAG_CULL_BACK_FACING_TRIANGLES)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]],
+                       double_sided=True)
+    # diffuse material (the glTF default is metallic=1 -> nearly black)
+    import dataclasses, jax.numpy as jnp
+    mp = np.array(scene.mat_params)
+    mp[:, 7] = 0.0   # metallic factor
+    mp[:, 8] = 0.6   # roughness factor
+    scene = dataclasses.replace(scene, mat_params=jnp.asarray(mp))
+    b = bvh_mod.build_scene_bvh(scene)
+    cfg = no_sky(Config(frustum_culling=False))
+    view = View.default(aspect=W / H)
+    # Slightly tilted sun so the shadow band lands on visible receiver pixels
+    fc = frame_mod.FrameConstants.make(
+        view, cfg, sun_dir=np.array([0.3, 0.3, -1.0]) / np.linalg.norm(
+            [0.3, 0.3, -1.0]),
+        sun_color_intensity=[1, 1, 1, 100.0])
+    shadowed = np.asarray(frame_mod.render_frame_jit(
+        scene, fc, cfg, PARAMS, None, None, None, b)["hdr"])
+    unshadowed = np.asarray(frame_mod.render_frame_jit(
+        scene, fc, cfg, PARAMS)["hdr"])
+    # identical except strictly darker where rays are blocked
+    diff = unshadowed.sum(-1) - shadowed.sum(-1)
+    assert (diff >= -1e-4).all()
+    assert (diff > 1e-3).sum() > 20     # a real shadow band exists
+    # the frontmost occluder surface itself stays lit
+    np.testing.assert_allclose(shadowed[H // 2, W // 2],
+                               unshadowed[H // 2, W // 2], rtol=1e-5)
+
+
+def test_hbao_runs_and_bounds():
+    from incarnation_tpu.kernels import bvh as bvh_mod
+    pts = np.array([[-6, -4, 5], [6, -4, 5], [6, 4, 5], [-6, 4, 5]],
+                   np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3]])
+    b = bvh_mod.build_scene_bvh(scene)
+    cfg = no_sky(Config(enable_hbao=True, use_bent_normals=True))
+    fc = frame_mod.FrameConstants.make(View.default(aspect=W / H), cfg)
+    out = frame_mod.render_frame_jit(scene, fc, cfg, PARAMS, None, None,
+                                     None, b)
+    assert np.isfinite(np.asarray(out["hdr"])).all()
