@@ -109,7 +109,8 @@ def vertex_transform(positions, vtx_mesh, mesh_transforms, scene_rotation,
 # 2. Triangle setup (2D homogeneous)
 # ---------------------------------------------------------------------------
 
-def triangle_setup(clip, scene, prim_visible, params: RasterParams):
+def triangle_setup(clip, scene, prim_visible, params: RasterParams,
+                   tri_visible=None):
     """Per-triangle edge/depth linear forms + screen bbox.
 
     Returns:
@@ -150,6 +151,8 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams):
 
     valid = (prim >= 0)
     valid &= prim_visible[safe_prim]
+    if tri_visible is not None:
+        valid &= tri_visible
     valid &= wmin > _W_EPS
     valid &= jnp.abs(det) > 1e-12
     valid &= front | double_sided
@@ -544,7 +547,7 @@ def _should_interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
-                      prim_visible, params: RasterParams):
+                      prim_visible, params: RasterParams, tri_visible=None):
     """Full visibility-buffer pass: transform, setup, bin, rasterize.
 
     Returns (tri (H,W) i32, depth, clip, world, stats_dict).
@@ -553,7 +556,7 @@ def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
                                    scene.mesh_transforms, scene_rotation,
                                    view_proj)
     setup_t, ids, valid, bbox = triangle_setup(clip, scene, prim_visible,
-                                               params)
+                                               params, tri_visible)
     bins = bin_triangles(setup_t, ids, valid, bbox, params)
     tri, depth = rasterize_tiles(bins, params)
     stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,

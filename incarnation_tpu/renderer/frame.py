@@ -99,16 +99,27 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     """
     prim_visible = scene.prim_is_decal == 0
     culled_prims = jnp.int32(0)
+    culled_meshlets = jnp.int32(0)
+    tri_visible = None
     if config.frustum_culling:
         inside, culled_prims = cull.cull_primitives(
             scene.prim_bsphere, scene.prim_mesh, scene.mesh_transforms,
             scene.mesh_visible, fc.scene_rotation, fc.view_proj)
         prim_visible &= inside
+        if config.use_meshlets:
+            # Meshlet-granularity culling (ref: batch-culling.hlsl
+            # USING_MESHLETS path) — finer masks over the same sphere test
+            m_inside, culled_meshlets = cull.cull_primitives(
+                scene.meshlet_bsphere, scene.meshlet_mesh,
+                scene.mesh_transforms, scene.mesh_visible,
+                fc.scene_rotation, fc.view_proj)
+            tri_visible = m_inside[jnp.maximum(scene.tri_meshlet, 0)]
 
     tri, depth, clip, _, stats = raster.render_visibility(
         scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
-        prim_visible, params)
+        prim_visible, params, tri_visible)
     stats["culled_primitives"] = culled_prims
+    stats["culled_meshlets"] = culled_meshlets
 
     world_n_v, world_t_v = resolve.vertex_world_attributes(
         scene, fc.scene_rotation)

@@ -58,6 +58,13 @@ def replicate_scene(scene: Scene, offsets: np.ndarray) -> Scene:
         prim_tri_offset=rep(scene.prim_tri_offset, stride=t),
         prim_tri_count=rep(scene.prim_tri_count),
         prim_bsphere=rep(scene.prim_bsphere),
+        tri_meshlet=jnp.asarray(np.concatenate(
+            [np.where(np.asarray(scene.tri_meshlet) >= 0,
+                      np.asarray(scene.tri_meshlet)
+                      + i * scene.meshlet_bsphere.shape[0], -1)
+             for i in range(k)])),
+        meshlet_bsphere=rep(scene.meshlet_bsphere),
+        meshlet_mesh=rep(scene.meshlet_mesh, stride=nm),
         prim_double_sided=rep(scene.prim_double_sided),
         prim_is_decal=rep(scene.prim_is_decal),
         prim_alpha_mode=rep(scene.prim_alpha_mode),

@@ -71,6 +71,10 @@ class Scene:
     prim_is_decal: jnp.ndarray   # (P,) i32 ("decal"-prefixed meshes,
     #                                ref: src/scene.cpp:281)
     prim_alpha_mode: jnp.ndarray  # (P,) i32
+    # Meshlets (culling granularity, ref: src/mesh-utils.cpp Meshletize)
+    tri_meshlet: jnp.ndarray     # (T,) i32 meshlet id (-1 = padding)
+    meshlet_bsphere: jnp.ndarray  # (ML, 4) f32 object-space center + radius
+    meshlet_mesh: jnp.ndarray    # (ML,) i32 mesh-instance index
     # Mesh instances
     mesh_transforms: jnp.ndarray  # (M, 4, 4) f32 world (includes RH->LH)
     mesh_visible: jnp.ndarray    # (M,) i32
@@ -260,6 +264,13 @@ def load_scene(path, texture_max_dim: int = 2048,
                      num_meshes=len(mesh_transforms), padded_vertices=pv,
                      padded_triangles=pt, padded_primitives=pp)
 
+    # Meshlets (ref: src/scene.cpp:1488-1558 GenerateMeshlets)
+    from . import meshlets as meshlets_mod
+    mtab = meshlets_mod.meshletize(positions, tri_vtx, tri_prim,
+                                   np.asarray(prim_mesh, np.int32))
+    tri_meshlet = np.empty(nt, np.int32)
+    tri_meshlet[mtab.tri_order] = mtab.tri_meshlet
+
     scene = Scene(
         positions=jnp.asarray(pad(positions, pv)),
         normals=jnp.asarray(pad(normals, pv)),
@@ -283,6 +294,9 @@ def load_scene(path, texture_max_dim: int = 2048,
             pad(np.asarray(prim_is_decal, np.int32), pp)),
         prim_alpha_mode=jnp.asarray(
             pad(np.asarray(prim_alpha, np.int32), pp)),
+        tri_meshlet=jnp.asarray(pad(tri_meshlet, pt, fill=-1)),
+        meshlet_bsphere=jnp.asarray(mtab.bsphere),
+        meshlet_mesh=jnp.asarray(mtab.mesh),
         mesh_transforms=jnp.asarray(
             np.stack(mesh_transforms).astype(np.float32)),
         mesh_visible=jnp.ones((len(mesh_transforms),), jnp.int32),

@@ -78,6 +78,10 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         prim_double_sided=jnp.full((p,), int(double_sided), jnp.int32),
         prim_is_decal=jnp.zeros((p,), jnp.int32),
         prim_alpha_mode=jnp.zeros((p,), jnp.int32),
+        tri_meshlet=jnp.zeros((t,), jnp.int32),
+        meshlet_bsphere=jnp.asarray(
+            np.array([[0, 0, 0, 1e6]], np.float32)),
+        meshlet_mesh=jnp.zeros((1,), jnp.int32),
         mesh_transforms=jnp.asarray(np.asarray(transform, np.float32)[None]),
         mesh_visible=jnp.ones((1,), jnp.int32),
         materials=materials,

@@ -377,8 +377,20 @@ def build_material_stacks(gltf, max_dim: int = 1024,
             np.zeros((size, size, 2), np.float32),     # 14-15 spare
         ], axis=-1)
 
+        # von Mises-Fisher joint normal/roughness mip filtering when both
+        # maps exist (ref: content-pipeline/prefilter-normal-roughness.hlsl
+        # + src/scene.cpp:1157-1439): convert to r-form once at mip 0, box-
+        # average r down the chain, convert back per level.
+        vmf = slots["normal"] >= 0 and slots["mr"] >= 0
+        cur_r = _vmf_r_form(nm_f, mr_f[..., 1]) if vmf else None
+
         cur = chans
-        for _ in range(num_levels):
+        for lvl in range(num_levels):
+            if vmf and lvl > 0:
+                nrm, alpha = _vmf_resolve(cur_r)
+                cur = cur.copy()
+                cur[..., 4:6] = nrm[..., 0:2] * 0.5 + 0.5
+                cur[..., 7] = alpha
             u8 = np.clip(cur * 255.0 + 0.5, 0, 255).astype(np.uint32)
             # re-encode color channels to sRGB for u8 storage precision
             srgb_u8 = np.clip(_linear_to_srgb_np(cur) * 255.0 + 0.5,
@@ -398,10 +410,35 @@ def build_material_stacks(gltf, max_dim: int = 1024,
             if cur.shape[0] > 1:
                 cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
                               + cur[0::2, 1::2] + cur[1::2, 1::2])
+                if vmf:
+                    cur_r = 0.25 * (cur_r[0::2, 0::2] + cur_r[1::2, 0::2]
+                                    + cur_r[0::2, 1::2] + cur_r[1::2, 1::2])
 
     return MaterialTextureStack(
         flat=jnp.asarray(np.concatenate(rows, 0).view(np.int32)),
         meta=jnp.asarray(meta))
+
+
+def _vmf_r_form(nm_f: np.ndarray, rough: np.ndarray) -> np.ndarray:
+    """Normal map + roughness -> vMF r vectors
+    (ref: prefilter-normal-roughness.hlsl:70-78)."""
+    n = 2.0 * nm_f[..., :3] - 1.0
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    inv_lambda = 0.5 * rough * rough
+    exp2l = np.exp(-2.0 / np.maximum(inv_lambda, 1e-8))
+    coth = np.where(inv_lambda > 0.1, (1.0 + exp2l) / (1.0 - exp2l), 1.0)
+    return (coth - inv_lambda)[..., None] * n
+
+
+def _vmf_resolve(r_avg: np.ndarray):
+    """Averaged r -> (unit normal, widened roughness alpha)
+    (ref: prefilter-normal-roughness.hlsl:85-89)."""
+    r2 = np.clip(np.sum(r_avg * r_avg, axis=-1), 1e-8, 1.0)
+    inv_lambda = (1.0 / np.sqrt(r2)) * (1.0 - r2) / (3.0 - r2)
+    alpha = np.sqrt(2.0 * inv_lambda)
+    n = r_avg / np.maximum(np.linalg.norm(r_avg, axis=-1, keepdims=True),
+                           1e-12)
+    return n, np.clip(alpha, 0.0, 1.0)
 
 
 def _level_offset(size, level):
