@@ -70,6 +70,9 @@ def main(argv=None):
                     help="ray-traced sun shadows in the raster path")
     ap.add_argument("--hbao", action="store_true",
                     help="ray-traced HBAO + bent normals")
+    ap.add_argument("--hdri", default=None,
+                    help=".hdr environment (replaces the dynamic sky, like "
+                         "FConfig::HDRIFilename)")
     args = ap.parse_args(argv)
     from ..utils import jaxinit
     jaxinit.setup()
@@ -108,15 +111,38 @@ def main(argv=None):
                                        sun_color_intensity=sun_ci)
 
     probe = env_brdf = None
-    if cfg.enable_sky_lighting:
-        from ..kernels import ibl, sky
-        t0 = time.time()
-        latlong = sky.sky_latlong(fc.sun_dir, cfg.turbidity, 256, 128)
-        probe = ibl.build_probe(latlong, envmap_size=cfg.envmap_resolution)
-        env_brdf = ibl.env_brdf_lut(512)
+    if args.hdri:
+        from ..config import EnvSkyMode
+        cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
+    if cfg.enable_sky_lighting or args.hdri:
+        import pathlib
         import jax
+        import jax.numpy as jnp
+        from ..kernels import ibl, sky
+        from ..scene.cache import load_probe_cached
+        t0 = time.time()
+        if args.hdri:
+            # HDRI environment probe (ref: FTextureCache::CacheHDRI,
+            # src/demo.cpp:292-434)
+            hp = pathlib.Path(args.hdri)
+            key = f"hdri:{hp.resolve()}:{hp.stat().st_mtime_ns}:" \
+                  f"{cfg.envmap_resolution}"
+            probe = load_probe_cached(
+                lambda: ibl.build_probe(
+                    jnp.asarray(io_mod.load_hdr(hp)),
+                    envmap_size=cfg.envmap_resolution),
+                key, use_cache=cfg.use_content_cache)
+        else:
+            sd = np.asarray(fc.sun_dir).round(4)
+            key = f"sky:{sd.tolist()}:{cfg.turbidity}:{cfg.envmap_resolution}"
+            probe = load_probe_cached(
+                lambda: ibl.build_probe(
+                    sky.sky_latlong(fc.sun_dir, cfg.turbidity, 256, 128),
+                    envmap_size=cfg.envmap_resolution),
+                key, use_cache=cfg.use_content_cache)
+        env_brdf = ibl.env_brdf_lut(512)
         jax.block_until_ready((probe.sh, env_brdf))
-        print(f"[probe] dynamic-sky probe + BRDF LUT: {time.time() - t0:.1f}s")
+        print(f"[probe] environment probe + BRDF LUT: {time.time() - t0:.1f}s")
 
     if args.pathtrace:
         import jax.numpy as jnp

@@ -278,7 +278,7 @@ class Bins(NamedTuple):
     starts: jnp.ndarray       # (NT,) i32 pair index
     counts: jnp.ndarray       # (NT,) i32
     big_setup: jnp.ndarray    # (BIG, _SETUP_ROWS) f32
-    big_ids: jnp.ndarray      # (BIG, 1) i32
+    big_ids: jnp.ndarray      # (BIG, 1) f32 (exact float triangle ids)
     big_count: jnp.ndarray    # (1,) i32
     overflow: jnp.ndarray     # () i32 — dropped pairs (pair_capacity hit)
     big_overflow: jnp.ndarray  # () i32 — dropped big triangles
@@ -347,12 +347,13 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
         .astype(jnp.int32)
     counts = ends - starts
 
-    # One flat gather of setup rows in sorted-pair order, id bitcast into
-    # lane 12, packed 8 pairs per 128-lane row (+ slack rows so the kernel's
-    # fixed-size DMAs never run off the end).
+    # One flat gather of setup rows in sorted-pair order, the triangle id
+    # stored as an exact float in lane 12 (ids < 2^24; a bitcast of a lane
+    # slice miscompiles in Mosaic), packed 8 pairs per 128-lane row (+ slack
+    # rows so the kernel's fixed-size DMAs never run off the end).
     flat = jnp.concatenate([
         setup_t.T[tri_s],
-        jax.lax.bitcast_convert_type(ids[tri_s], jnp.float32)[:, None],
+        ids[tri_s].astype(jnp.float32)[:, None],
     ], axis=-1)                                        # (P_cap, 13)
     flat = jnp.pad(flat, ((0, 0), (0, _PAIR_STRIDE - flat.shape[1])))
     flat = flat.reshape(cap_pairs // _PAIRS_PER_ROW,
@@ -373,7 +374,8 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
                    < big_count)
     big_setup = jnp.where(big_slot_ok[:, None], setup_t.T[big_tris],
                           jnp.asarray(_INVALID_ROW)[None, :])
-    big_ids = jnp.where(big_slot_ok, ids[big_tris], 0)[:, None]
+    big_ids = jnp.where(big_slot_ok, ids[big_tris], 0)[:, None] \
+        .astype(jnp.float32)
 
     return Bins(setup=flat, starts=starts, counts=counts,
                 big_setup=big_setup, big_ids=big_ids,
@@ -406,7 +408,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
     colf = (px + tx * p.tile_w).astype(jnp.float32) + 0.5
     rowf = (py + ty * p.tile_h).astype(jnp.float32) + 0.5
 
-    clear = jnp.full((1, n), -1, jnp.int32)
+    clear = jnp.full((1, n), -1.0, jnp.float32)
     start = starts_ref[ti]
     count = counts_ref[ti]
     # Chunks are defined on whole packed rows; the tile's range may start
@@ -417,7 +419,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
     nch = pl.cdiv(count + row_off, k)
 
     def eval_slab(rows13, rid, slot_ok, best_z, best_id):
-        """rows13: (K/8, 13) one pair-slab; rid: (K/8, 1); running best."""
+        """rows13: (K/8, 13) one pair-slab; rid: (K/8, 1) float ids."""
         e0 = rows13[:, 0:1] * colf + rows13[:, 1:2] * rowf + rows13[:, 2:3]
         e1 = rows13[:, 3:4] * colf + rows13[:, 4:5] * rowf + rows13[:, 5:6]
         e2 = rows13[:, 6:7] * colf + rows13[:, 7:8] * rowf + rows13[:, 8:9]
@@ -431,8 +433,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
     def merge(best_z, best_id, zb, vb):
         zc = jnp.max(best_z, axis=0, keepdims=True)
         win = best_z >= zc
-        idc = jnp.max(jnp.where(win, best_id, jnp.int32(-2**31)),
-                      axis=0, keepdims=True)
+        idc = jnp.max(jnp.where(win, best_id, -1.0), axis=0, keepdims=True)
         passed = (zc >= 0.0) & (zc >= zb)
         return (jnp.where(passed, zc, zb), jnp.where(passed, idc, vb))
 
@@ -457,10 +458,10 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
         rows = setup_scratch[slot]                # (K/8, 128)
         riota = jax.lax.broadcasted_iota(jnp.int32, (kr, 1), 0)
         best_z = jnp.full((kr, n), -1.0, jnp.float32)
-        best_id = jnp.full((kr, n), jnp.int32(-2**31), jnp.int32)
+        best_id = jnp.full((kr, n), -1.0, jnp.float32)
         for j in range(_PAIRS_PER_ROW):
             sl = rows[:, _PAIR_STRIDE * j:_PAIR_STRIDE * j + 13]
-            rid = pltpu.bitcast(sl[:, 12:13], jnp.int32)
+            rid = sl[:, 12:13]
             gidx = c * k + riota * _PAIRS_PER_ROW + j
             slot_ok = (gidx >= row_off) & (gidx < row_off + count)
             best_z, best_id = eval_slab(sl[:, :13], rid, slot_ok,
@@ -478,7 +479,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
         row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
                   < bigcount_ref[0] - base)
         best_z = jnp.full((k, n), -1.0, jnp.float32)
-        best_id = jnp.full((k, n), jnp.int32(-2**31), jnp.int32)
+        best_id = jnp.full((k, n), -1.0, jnp.float32)
         best_z, best_id = eval_slab(
             jnp.concatenate([rows, jnp.zeros((k, 1), jnp.float32)], axis=1),
             rid, row_ok, best_z, best_id)
@@ -487,7 +488,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
     zb, vb = jax.lax.fori_loop(
         0, pl.cdiv(bigcount_ref[0], k), big_body, (zb, vb))
 
-    tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w)
+    tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w).astype(jnp.int32)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
 
 

@@ -63,3 +63,20 @@ def _replace_scene(host, scene):
     h = copy.copy(host)
     h.scene = scene
     return h
+
+
+def load_probe_cached(builder, key: str, use_cache: bool = True):
+    """Environment probe cache (the reference caches processed environment
+    content similarly, ref: src/scene.cpp:1103-1113). `builder` is a
+    zero-arg callable producing the probe; `key` identifies the inputs
+    (hdri path+mtime, or sun/turbidity for the dynamic sky)."""
+    h = hashlib.sha1(key.encode()).hexdigest()[:20]
+    cache_file = CACHE_DIR / f"probe-{h}.pkl"
+    if use_cache and cache_file.exists():
+        with open(cache_file, "rb") as f:
+            return _to_device(pickle.load(f))
+    probe = builder()
+    if use_cache:
+        CACHE_DIR.mkdir(exist_ok=True)
+        cache_file.write_bytes(pickle.dumps(_to_host(probe)))
+    return probe
