@@ -73,6 +73,11 @@ def main(argv=None):
     ap.add_argument("--hdri", default=None,
                     help=".hdr environment (replaces the dynamic sky, like "
                          "FConfig::HDRIFilename)")
+    ap.add_argument("--show-object-bounds", action="store_true")
+    ap.add_argument("--show-light-bounds", action="store_true")
+    ap.add_argument("--pick", type=int, nargs=2, default=None,
+                    metavar=("X", "Y"),
+                    help="print ids under pixel and highlight the primitive")
     args = ap.parse_args(argv)
     from ..utils import jaxinit
     jaxinit.setup()
@@ -197,7 +202,34 @@ def main(argv=None):
     stats = {k: int(v) for k, v in out["stats"].items()}
     covered = float(np.mean(np.asarray(out["tri"]) >= 0))
     print(f"[stats] {stats} coverage={covered:.3f}")
-    io_mod.save_png(args.out, np.asarray(out["color"]))
+
+    color = out["color"]
+    if args.pick is not None:
+        x, y = args.pick
+        prim, local, meshlet = frame_mod.pick(
+            host.scene, np.asarray(out["tri"]), x, y)
+        print(f"[pick] ({x},{y}): primitive={prim} triangle={local} "
+              f"meshlet={meshlet}")
+        if prim >= 0:
+            color = frame_mod.highlight(color, out["tri"], host.scene, prim)
+    if args.show_object_bounds or args.show_light_bounds:
+        from ..renderer import debugdraw
+        segs, cols = [], []
+        if args.show_object_bounds:
+            s, c = debugdraw.scene_bounds_segments(host.scene)
+            segs.append(s)
+            cols.append(c)
+        if args.show_light_bounds:
+            s, c = debugdraw.light_bounds_segments(host.scene)
+            if s is not None:
+                segs.append(s)
+                cols.append(c)
+        if segs:
+            color = debugdraw.draw_lines(
+                color, out["depth"], np.concatenate(segs),
+                np.concatenate(cols), fc.view_proj)
+
+    io_mod.save_png(args.out, np.asarray(color))
     print(f"[out] {args.out}")
 
 

@@ -128,6 +128,34 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     gb = resolve.resolve_gbuffer(tri, depth, scene, attr, fc.inv_view_proj,
                                  params.width, params.height)
 
+    # Decal pass (ref: render-jobs/gbuffer-raster-pass.inl:126-191): decal
+    # meshes raster on top with GREATER_EQUAL depth against the scene,
+    # base color alpha-blended, normals/metal-rough overwritten where the
+    # decal is opaque
+    if scene.meta.has_decals:
+        d_tri, d_depth, _, _, _ = raster.render_visibility(
+            scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
+            scene.prim_is_decal > 0, params)
+        d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, attr,
+                                       fc.inv_view_proj, params.width,
+                                       params.height)
+        covers = d_gb.mask & (d_depth >= depth - 1e-5)
+        a = jnp.where(covers, d_gb.base_color[..., 3], 0.0)[..., None]
+        opaque = (a > 0.5)
+        gb = resolve.GBuffer(
+            base_color=jnp.concatenate([
+                gb.base_color[..., :3] * (1 - a)
+                + d_gb.base_color[..., :3] * a,
+                gb.base_color[..., 3:]], -1),
+            normals=jnp.where(opaque, d_gb.normals, gb.normals),
+            mrao=jnp.where(opaque, d_gb.mrao, gb.mrao),
+            emissive=gb.emissive,
+            mask=gb.mask,
+            world_pos=gb.world_pos,
+            uv=gb.uv,
+            extras=gb.extras,
+        )
+
     hdr = gb.emissive
     n = mu.oct_decode(gb.normals)
     v = mu.normalize(fc.eye - gb.world_pos)
@@ -243,6 +271,31 @@ def _apply_viewmode(config: Config, scene, gb, n, depth, tri, hdr, fc):
         key = prim if vm == ViewMode.OBJECT_IDS else ltri
         return jnp.where(gb.mask[..., None], _hash_color(key), 0.0)
     return post.tonemap(hdr, fc.exposure)
+
+
+def pick(scene, tri_map, x: int, y: int):
+    """Mouse picking: (primitive id, local triangle id, meshlet id) under a
+    pixel, -1s when no geometry (ref: debug-visualization.hlsl:94-150 writes
+    the picked id's draw args from the pixel shader; here the triangle-index
+    buffer is read back directly)."""
+    t = int(tri_map[y, x])
+    if t < 0:
+        return -1, -1, -1
+    prim = int(scene.tri_prim[t])
+    local = t - int(scene.prim_tri_offset[prim])
+    meshlet = int(scene.tri_meshlet[t])
+    return prim, local, meshlet
+
+
+def highlight(color_u8, tri_map, scene, prim_id: int):
+    """White overlay on the picked primitive's pixels
+    (ref: render-jobs/highlight-pass.inl + geo-raster/highlight-pass.hlsl)."""
+    safe = jnp.maximum(tri_map, 0)
+    m = (tri_map >= 0) & (scene.tri_prim[safe] == prim_id)
+    white = jnp.full_like(color_u8, 255)
+    blended = (color_u8.astype(jnp.float32) * 0.35
+               + white.astype(jnp.float32) * 0.65).astype(jnp.uint8)
+    return jnp.where(m[..., None], blended, color_u8)
 
 
 def _hash_color(key):

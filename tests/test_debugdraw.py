@@ -1,0 +1,90 @@
+"""Debug draw / picking / decal tests."""
+
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+
+from incarnation_tpu.config import Config, EnvSkyMode
+from incarnation_tpu.core import View
+from incarnation_tpu.kernels.raster import RasterParams
+from incarnation_tpu.renderer import debugdraw, frame as frame_mod
+from scene_util import make_scene
+
+W, H = 128, 64
+PARAMS = RasterParams(width=W, height=H, tile_h=16, tile_w=128,
+                      pair_capacity=256, bin_max_span=4, big_tri_capacity=16,
+                      chunk=8)
+CFG = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
+
+
+def render(scene):
+    fc = frame_mod.FrameConstants.make(
+        View.default(aspect=W / H), CFG, sun_dir=[0, 0, -1.0],
+        sun_color_intensity=[1, 1, 1, 100.0])
+    return fc, frame_mod.render_frame_jit(scene, fc, CFG, PARAMS)
+
+
+def tri_scene():
+    pts = np.array([[-4, -2, 5], [4, -2, 5], [0, 4, 5]], np.float32)
+    return make_scene(pts, [[0, 1, 2]])
+
+
+def test_draw_lines_depth_tested():
+    scene = tri_scene()
+    fc, out = render(scene)
+    # A line BEHIND the triangle must be hidden at covered pixels,
+    # a line in front must be visible.
+    seg_behind = np.array([[[-3, 0, 7], [3, 0, 7]]], np.float32)
+    seg_front = np.array([[[-3, 1.2, 3], [3, 1.2, 3]]], np.float32)
+    col = np.array([[1.0, 0.0, 1.0]])
+    img0 = np.asarray(out["color"])
+    img_b = np.asarray(debugdraw.draw_lines(
+        out["color"], out["depth"], seg_behind, col, fc.view_proj))
+    img_f = np.asarray(debugdraw.draw_lines(
+        out["color"], out["depth"], seg_front, col, fc.view_proj))
+    magenta = (img_f[..., 0] > 200) & (img_f[..., 2] > 200) \
+        & (img_f[..., 1] < 60)
+    assert magenta.any()                       # front line drawn
+    # behind line hidden where the triangle covers the center row
+    center = np.asarray(out["tri"])[H // 2 + 6] >= 0  # row of seg_behind
+    changed = (img_b != img0).any(-1)
+    assert not (changed[H // 2 + 6] & center).any()
+
+
+def test_pick_and_highlight():
+    scene = tri_scene()
+    fc, out = render(scene)
+    tri_map = np.asarray(out["tri"])
+    prim, local, meshlet = frame_mod.pick(scene, tri_map, W // 2, H // 2)
+    assert (prim, local, meshlet) == (0, 0, 0)
+    assert frame_mod.pick(scene, tri_map, 2, 2) == (-1, -1, -1)
+    hi = np.asarray(frame_mod.highlight(out["color"], out["tri"], scene, 0))
+    assert hi[H // 2, W // 2].sum() > np.asarray(
+        out["color"])[H // 2, W // 2].sum()
+
+
+def test_decal_pass_blends():
+    # Base quad + a decal quad slightly in front with red base color.
+    pts = np.array([
+        [-6, -4, 5], [6, -4, 5], [6, 4, 5], [-6, 4, 5],
+        [-2, -1, 4.99], [2, -1, 4.99], [2, 1, 4.99], [-2, 1, 4.99],
+    ], np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]],
+                       tri_prim=np.array([0, 0, 1, 1], np.int32),
+                       num_prims=2,
+                       prim_tri_offset=np.array([0, 2], np.int32))
+    mp = np.array(scene.mat_params)
+    mp[:, 7] = 0.0  # diffuse
+    scene = dataclasses.replace(
+        scene,
+        prim_is_decal=jnp.asarray(np.array([0, 1], np.int32)),
+        prim_mesh=jnp.zeros(2, jnp.int32),
+        mat_params=jnp.asarray(mp),
+        meta=dataclasses.replace(scene.meta, has_decals=True))
+    fc, out = render(scene)
+    gb = out["gbuffer"]
+    # decal region carries blended base color; decal prims excluded from the
+    # main visibility buffer
+    tri_map = np.asarray(out["tri"])
+    assert (np.asarray(scene.tri_prim)[tri_map[tri_map >= 0]] == 0).all()
+    assert bool(gb.mask[H // 2, W // 2])
