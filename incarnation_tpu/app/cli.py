@@ -186,18 +186,34 @@ def main(argv=None):
         scene_bvh = bvh_mod.build_scene_bvh(host.scene)
         print(f"[bvh] LBVH for shadows/AO: {time.time() - t0:.1f}s")
 
+    # TAA loop: subsequent frames jitter the camera by Halton(2,3) and
+    # resolve against the previous accumulation (ref: renderer.cpp:126-132,
+    # render-jobs/taa-resolve.inl)
+    from ..core import mathutils as mu
+    import jax.numpy as jnp
+    jitters = mu.halton_jitter_table(16)
+    history = None
+    prev_vp = None
     t0 = time.time()
-    out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
-                                     env_brdf, None, scene_bvh)
-    out["color"].block_until_ready()
-    print(f"[frame] first frame (incl. compile): {time.time() - t0:.1f}s")
-
-    for _ in range(max(0, args.frames - 1)):
-        t0 = time.time()
+    for i in range(max(1, args.frames)):
+        if cfg.enable_taa and args.frames > 1:
+            j = jitters[i % 16] * 2.0 / np.array([args.width, args.height])
+            fc = frame_mod.FrameConstants.make(
+                view, cfg, sun_dir=sun_dir, sun_color_intensity=sun_ci,
+                jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0))
+            if history is None:
+                history = jnp.zeros((args.height, args.width, 3))
         out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
-                                         env_brdf, None, scene_bvh)
+                                         env_brdf, history, scene_bvh)
+        if cfg.enable_taa and args.frames > 1:
+            history = out["accumulation"]
+            prev_vp = np.asarray(fc.view_proj)
         out["color"].block_until_ready()
-        print(f"[frame] {1e3 * (time.time() - t0):.1f} ms")
+        label = "first frame (incl. compile)" if i == 0 else "frame"
+        dt = time.time() - t0
+        print(f"[{label}] {dt:.2f}s" if i == 0
+              else f"[frame] {dt * 1e3:.1f} ms")
+        t0 = time.time()
 
     stats = {k: int(v) for k, v in out["stats"].items()}
     covered = float(np.mean(np.asarray(out["tri"]) >= 0))
