@@ -75,6 +75,9 @@ def main(argv=None):
                          "FConfig::HDRIFilename)")
     ap.add_argument("--show-object-bounds", action="store_true")
     ap.add_argument("--show-light-bounds", action="store_true")
+    ap.add_argument("--tod", type=float, default=None, metavar="HOURS",
+                    help="time-of-day sun position (decimal hours; uses "
+                         "FConfig ToD julian date + latitude defaults)")
     ap.add_argument("--pick", type=int, nargs=2, default=None,
                     metavar=("X", "Y"),
                     help="print ids under pixel and highlight the primitive")
@@ -102,6 +105,11 @@ def main(argv=None):
 
     sun_ci = None
     sun_dir = np.asarray(host.scene.sun_dir)
+    if args.tod is not None:
+        from ..scene.lights import sun_direction_tod
+        sun_dir = sun_direction_tod(args.tod, cfg.tod_julian_date,
+                                    cfg.tod_latitude)
+        print(f"[sun] time-of-day {args.tod}h -> {sun_dir.round(3)}")
     if args.sun > 0:
         sun_ci = [1.0, 1.0, 1.0, args.sun]
         if args.sun_dir is not None:

@@ -311,10 +311,13 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
         both = lhit & rhit
         any_child = lhit | rhit
 
-        # push far child (out-of-range index drops the write)
+        # Stack ops as one-hot selects over the (R, STACK) array — XLA
+        # scatter/gather with per-row dynamic indices is an order of
+        # magnitude slower on TPU than these dense masked ops.
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (r, _STACK), 1)
         push = both & alive
-        stack = stack.at[
-            jnp.arange(r), jnp.where(push, sp, _STACK)].set(far, mode="drop")
+        push_oh = lanes == jnp.where(push, sp, -1)[:, None]
+        stack = jnp.where(push_oh, far[:, None], stack)
         sp = jnp.where(push, jnp.minimum(sp + 1, _STACK), sp)
 
         # next node: descend or pop
@@ -322,7 +325,8 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
         need_pop = (is_leaf | ~any_child)
         can_pop = sp > 0
         sp2 = jnp.where(need_pop & can_pop & alive, sp - 1, sp)
-        popped = stack[jnp.arange(r), jnp.clip(sp2, 0, _STACK - 1)]
+        pop_oh = lanes == sp2[:, None]
+        popped = jnp.sum(jnp.where(pop_oh, stack, 0), axis=1)
         cur2 = jnp.where(~alive, cur,
                          jnp.where(descend, near,
                                    jnp.where(can_pop, popped, cur)))

@@ -270,6 +270,14 @@ def _apply_viewmode(config: Config, scene, gb, n, depth, tri, hdr, fc):
             jnp.where(gb.mask, vis, 0))
         key = prim if vm == ViewMode.OBJECT_IDS else ltri
         return jnp.where(gb.mask[..., None], _hash_color(key), 0.0)
+    if vm == ViewMode.LIGHT_CLUSTER_SLICES:
+        # color by exponential depth slice (ref: debug-visualization.hlsl
+        # cluster-slices mode)
+        h, w = depth.shape
+        cid = clustered.pixel_cluster_id(depth, config,
+                                         config.camera_near_plane, w, h)
+        gxy = config.light_cluster_dim_x * config.light_cluster_dim_y
+        return jnp.where(gb.mask[..., None], _hash_color(cid // gxy), 0.0)
     return post.tonemap(hdr, fc.exposure)
 
 

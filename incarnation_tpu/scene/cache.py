@@ -19,13 +19,17 @@ import jax.numpy as jnp
 
 CACHE_DIR = pathlib.Path(__file__).resolve().parents[2] / ".content_cache"
 
+# Bump whenever the Scene pytree schema changes — stale pickles fail to
+# round-trip otherwise.
+SCHEMA_VERSION = "v2-meshlets"
+
 
 def _key(path: pathlib.Path, texture_max_dim: int) -> str:
     h = hashlib.sha1()
     h.update(str(path.resolve()).encode())
     h.update(str(path.stat().st_mtime_ns).encode())
     h.update(str(texture_max_dim).encode())
-    h.update(b"v1")
+    h.update(SCHEMA_VERSION.encode())
     return h.hexdigest()[:20]
 
 
