@@ -47,7 +47,8 @@ def make_mesh(n_devices: int = None, devices=None, axis: str = "band"):
 
 
 def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
-                         mesh: Mesh, axis: str = "band"):
+                         mesh: Mesh, axis: str = "band", probe=None,
+                         env_brdf=None):
     """Render with the image sharded into horizontal bands over `mesh`.
 
     params describes the FULL image; each device renders height/n rows.
@@ -65,7 +66,7 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
         pair_capacity=params.pair_capacity, bin_max_span=params.bin_max_span,
         big_tri_capacity=params.big_tri_capacity, chunk=params.chunk)
 
-    def body(scene, fc):
+    def body(scene, fc, probe, env_brdf):
         idx = jax.lax.axis_index(axis)
         j = band_projection(n, idx)
         # inv(vp @ J) = inv(J) @ inv(vp); J is diagonal + one shear term.
@@ -76,19 +77,55 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
             fc, view_proj=fc.view_proj @ j,
             inv_view_proj=j_inv @ fc.inv_view_proj)
         out = frame_mod.render_frame(scene, fc_band, config=config,
-                                     params=band_params)
+                                     params=band_params, probe=probe,
+                                     env_brdf=env_brdf)
         stats = {k: jax.lax.psum(v, axis) for k, v in out["stats"].items()}
         return dict(color=out["color"], tri=out["tri"], depth=out["depth"],
                     hdr=out["hdr"], stats=stats)
 
     out_specs = dict(color=P(axis), tri=P(axis), depth=P(axis), hdr=P(axis),
                      stats=P())
-    fn = shard_map(body, mesh=mesh, in_specs=(P(), P()),
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(), P()),
                    out_specs=out_specs, check_vma=False)
-    return fn(scene, fc)
+    return fn(scene, fc, probe, env_brdf)
 
 
-def render_frame_sharded_jit(scene, fc, config, params, mesh, axis="band"):
+def render_frame_sharded_jit(scene, fc, config, params, mesh, axis="band",
+                             probe=None, env_brdf=None):
     f = jax.jit(functools.partial(render_frame_sharded, config=config,
                                   params=params, mesh=mesh, axis=axis))
-    return f(scene, fc)
+    return f(scene, fc, probe=probe, env_brdf=env_brdf)
+
+
+def pathtrace_spp_sharded(scene, bvh, fc, history, base_sample_index, *,
+                          config, width: int, height: int, mesh: Mesh,
+                          axis: str = "spp", probe=None):
+    """SPP-sharded progressive path tracing: device i traces sample
+    base + i for ALL pixels; the batch mean accumulates into the history
+    with the reference's ((n-1)h + cur)/n rule generalized to n_dev samples
+    per round. psum rides ICI (SURVEY §2.4's SPP-sharding design)."""
+    from ..kernels import pathtrace
+    from ..kernels import resolve as resolve_mod
+    from ..config import EnvSkyMode, Config as _C
+    n_dev = mesh.shape[axis]
+
+    def body(scene, bvh, fc, history, probe):
+        idx = jax.lax.axis_index(axis)
+        world_n_v, world_t_v = resolve_mod.vertex_world_attributes(
+            scene, fc.scene_rotation)
+        cur = pathtrace.trace_sample(
+            scene, bvh, world_n_v, world_t_v, fc, probe,
+            jnp.asarray(base_sample_index, jnp.uint32) + idx.astype(
+                jnp.uint32),
+            width, height,
+            sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
+            dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
+            turbidity=config.turbidity)
+        mean = jax.lax.pmean(cur, axis)
+        n0 = jnp.asarray(base_sample_index, jnp.float32)
+        new_hist = (history * n0 + mean * n_dev) / (n0 + n_dev)
+        return new_hist
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+                   out_specs=P(), check_vma=False)
+    return fn(scene, bvh, fc, history, probe)

@@ -66,3 +66,57 @@ def test_stats_are_psummed(cpu_devices):
     mesh = sharding.make_mesh(devices=cpu_devices[:2])
     out = sharding.render_frame_sharded_jit(scene, fc, cfg, PARAMS, mesh)
     assert np.asarray(out["stats"]["culled_triangles"]).shape == ()
+
+
+def test_spp_sharded_pathtrace_matches_sequential(cpu_devices):
+    """4-device SPP sharding accumulates the same image as 4 sequential
+    progressive samples (same CMJ sequences; mean is order-independent)."""
+    import dataclasses
+    from incarnation_tpu.kernels import bvh as bvh_mod, pathtrace
+    from incarnation_tpu.kernels import resolve as resolve_mod
+
+    w, h = 16, 8
+    pts = np.array([[-6, -4, 5], [6, -4, 5], [6, 4, 5], [-6, 4, 5]],
+                   np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3]])
+    mp = np.array(scene.mat_params)
+    mp[:, 0:3] = 0.001   # emissive so rays carry signal
+    scene = dataclasses.replace(scene, mat_params=jnp.asarray(mp))
+    bvh = bvh_mod.build_scene_bvh(scene)
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP,
+                 max_sample_count=16)
+    fc = frame_mod.FrameConstants.make(View.default(aspect=w / h), cfg)
+
+    # sequential reference
+    wn, wt = resolve_mod.vertex_world_attributes(scene, fc.scene_rotation)
+    hist_seq = jnp.zeros((h, w, 3))
+    for s in range(2):
+        cur = pathtrace.trace_sample(
+            scene, bvh, wn, wt, fc, None, jnp.asarray(s, jnp.uint32), w, h,
+            sqrt_sample_count=4, dynamic_sky=False)
+        hist_seq = pathtrace.integrate(hist_seq, cur, jnp.asarray(float(s)))
+
+    mesh = sharding.make_mesh(devices=cpu_devices[:2], axis="spp")
+    hist_sh = sharding.pathtrace_spp_sharded(
+        scene, bvh, fc, jnp.zeros((h, w, 3)), 0, config=cfg, width=w,
+        height=h, mesh=mesh, axis="spp", probe=None)
+
+    np.testing.assert_allclose(np.asarray(hist_sh), np.asarray(hist_seq),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_band_sharded_with_probe(cpu_devices):
+    from incarnation_tpu.kernels import ibl
+    scene = make_test_scene()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
+    fc = frame_mod.FrameConstants.make(View.default(aspect=W / H), cfg)
+    ll = jnp.full((8, 16, 3), 0.5)
+    probe = ibl.build_probe(ll, envmap_size=8, num_samples=16)
+    brdf = ibl.env_brdf_lut(16, 32)
+    single = frame_mod.render_frame_jit(scene, fc, cfg, PARAMS, probe, brdf)
+    mesh = sharding.make_mesh(devices=cpu_devices[:4])
+    shd = sharding.render_frame_sharded_jit(scene, fc, cfg, PARAMS, mesh,
+                                            probe=probe, env_brdf=brdf)
+    np.testing.assert_allclose(
+        np.asarray(shd["color"]).astype(int),
+        np.asarray(single["color"]).astype(int), atol=1)
