@@ -349,8 +349,95 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
     return dict(t=t_out, tri=best_tri, u=u, v=v)
 
 
+def trace_collect(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
+                  max_candidates: int = 32):
+    """Two-phase traversal: the while-loop only COLLECTS candidate leaf
+    triangles (one node gather per step — gathers inside device loops run an
+    order of magnitude slower than free-standing ones on this backend), then
+    all candidates are intersected in one vectorized pass outside the loop.
+
+    Returns dict(hit (R,) bool, t (R,), tri (R,) i32) for the closest
+    accepted candidate; conservative — candidate overflow (beyond
+    max_candidates) falls back to counting the overflowing ray as hit only
+    if one of its collected candidates hits.
+    """
+    r = origins.shape[0]
+    o = origins + directions * tmin
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) > 1e-12, directions,
+                            jnp.where(directions >= 0, 1e-12, -1e-12))
+    nodes = bvh.nodes
+    mc = max_candidates
+
+    def body(state):
+        cur, sp, stack, cand, n_cand, alive = state
+        is_leaf = cur < 0
+        # record leaf candidate (one-hot write)
+        cl_lanes = jax.lax.broadcasted_iota(jnp.int32, (r, mc), 1)
+        rec = is_leaf & alive & (n_cand < mc)
+        cand = jnp.where(
+            cl_lanes == jnp.where(rec, n_cand, -1)[:, None],
+            jnp.where(is_leaf, ~cur, 0)[:, None], cand)
+        n_cand = jnp.where(rec, n_cand + 1, n_cand)
+
+        node = jnp.where(is_leaf, 0, cur)
+        row = nodes[node]
+        cl = jax.lax.bitcast_convert_type(row[:, 0], jnp.int32)
+        cr = jax.lax.bitcast_convert_type(row[:, 1], jnp.int32)
+        t_pr = tmax - tmin
+        lhit, lt = _slab_test(o, inv_d, row[:, 2:5], row[:, 5:8], t_pr)
+        rhit, rt = _slab_test(o, inv_d, row[:, 8:11], row[:, 11:14], t_pr)
+        lhit &= ~is_leaf
+        rhit &= ~is_leaf
+        l_first = lt <= rt
+        near = jnp.where(lhit & (~rhit | l_first), cl,
+                         jnp.where(rhit, cr, 0))
+        far = jnp.where(lhit & rhit, jnp.where(l_first, cr, cl), 0)
+        both = lhit & rhit
+        any_child = lhit | rhit
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (r, _STACK), 1)
+        push = both & alive
+        stack = jnp.where(lanes == jnp.where(push, sp, -1)[:, None],
+                          far[:, None], stack)
+        sp = jnp.where(push, jnp.minimum(sp + 1, _STACK), sp)
+        descend = any_child & ~is_leaf
+        need_pop = is_leaf | ~any_child
+        can_pop = sp > 0
+        sp2 = jnp.where(need_pop & can_pop & alive, sp - 1, sp)
+        popped = jnp.sum(jnp.where(lanes == sp2[:, None], stack, 0), axis=1)
+        cur2 = jnp.where(~alive, cur,
+                         jnp.where(descend, near,
+                                   jnp.where(can_pop, popped, cur)))
+        alive = alive & (descend | can_pop)
+        return cur2, sp2, stack, cand, n_cand, alive
+
+    init = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), jnp.int32),
+            jnp.zeros((r, _STACK), jnp.int32),
+            jnp.zeros((r, mc), jnp.int32),
+            jnp.zeros((r,), jnp.int32),
+            jnp.ones((r,), bool))
+    _, _, _, cand, n_cand, _ = jax.lax.while_loop(
+        lambda s: s[5].any(), body, init)
+
+    # Intersect all candidates outside the loop (fast gathers).
+    slot = jax.lax.broadcasted_iota(jnp.int32, (r, mc), 1)
+    valid = slot < n_cand[:, None]
+    tri = jnp.where(valid, cand, 0)
+    trow = bvh.tri_rows[tri]                       # (R, mc, 12)
+    cull = bvh.double_sided[tri] < 0.5
+    t_hit, _, _ = _tri_intersect(trow, o[:, None, :], directions[:, None, :],
+                                 cull)
+    t_hit = jnp.where(valid & (t_hit <= tmax - tmin), t_hit, jnp.inf)
+    t_best = jnp.min(t_hit, axis=1)
+    best_slot = jnp.argmin(t_hit, axis=1)
+    best_tri = jnp.take_along_axis(cand, best_slot[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(t_best)
+    return dict(hit=hit, t=jnp.where(hit, t_best + tmin, jnp.inf),
+                tri=jnp.where(hit, best_tri, -1))
+
+
 def occluded(bvh: SceneBVH, origins, directions, tmin=0.1, tmax=1000.0):
     """Boolean shadow query (ref: lighting/common.hlsli:98-116: TMin 0.1,
     TMax 1000, backface culling)."""
-    res = trace(bvh, origins, directions, tmin=tmin, tmax=tmax, any_hit=True)
-    return res["tri"] >= 0
+    return trace_collect(bvh, origins, directions, tmin=tmin,
+                         tmax=tmax)["hit"]
