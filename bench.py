@@ -47,7 +47,10 @@ def main():
 
     host, scene, name = load_bench_scene()
     cfg = Config()
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 21)
+    # pair capacity sized ~3x the scene's real pair count (overflow is a
+    # counted stat); oversizing inflates the CSR build cost
+    params = RasterParams(width=width, height=height,
+                          pair_capacity=1 << 19)
     view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
                             aspect=width / height)
     fc = frame_mod.FrameConstants.make(

@@ -565,6 +565,94 @@ def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
     return tri, depth, clip, world, stats
 
 
+def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
+                              world_n_v, world_t_v, params: RasterParams,
+                              tri_visible=None):
+    """Fused visibility pass + attribute-plane build: shares the vertex
+    transform, per-corner clip gathers, and edge cross products between
+    triangle_setup and triangle_attributes (they are recomputed when the
+    two run separately).
+
+    Returns (tri, depth, attr (T, 32), stats).
+    """
+    p = params
+    w, h = p.width, p.height
+    clip, _ = vertex_transform(scene.positions, scene.vtx_mesh,
+                               scene.mesh_transforms, scene_rotation,
+                               view_proj)
+    tv = scene.tri_vtx
+    c0, c1, c2 = clip[tv[:, 0]], clip[tv[:, 1]], clip[tv[:, 2]]
+
+    def screen_h(c):
+        sx = (0.5 * c[:, 0] + 0.5 * c[:, 3]) * w
+        sy = (-0.5 * c[:, 1] + 0.5 * c[:, 3]) * h
+        return jnp.stack([sx, sy, c[:, 3]], axis=-1)
+
+    p0, p1, p2 = screen_h(c0), screen_h(c1), screen_h(c2)
+    e0 = jnp.cross(p1, p2)
+    e1 = jnp.cross(p2, p0)
+    e2 = jnp.cross(p0, p1)
+    det = jnp.sum(p0 * e0, axis=-1)
+
+    prim = scene.tri_prim
+    safe_prim = jnp.maximum(prim, 0)
+    double_sided = scene.prim_double_sided[safe_prim] > 0
+    front = det < 0.0
+    wmin = jnp.minimum(jnp.minimum(c0[:, 3], c1[:, 3]), c2[:, 3])
+
+    valid = (prim >= 0)
+    valid &= prim_visible[safe_prim]
+    if tri_visible is not None:
+        valid &= tri_visible
+    valid &= wmin > _W_EPS
+    valid &= jnp.abs(det) > 1e-12
+    valid &= front | double_sided
+
+    s = jnp.where(det >= 0.0, 1.0, -1.0)[:, None]
+    e0, e1, e2 = e0 * s, e1 * s, e2 * s
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.abs(det), 0.0)
+    z = jnp.stack([c0[:, 2], c1[:, 2], c2[:, 2]], -1) * inv_det[:, None]
+    zplane = e0 * z[:, 0:1] + e1 * z[:, 1:2] + e2 * z[:, 2:3]
+
+    sp = jnp.stack([p0, p1, p2], axis=1)
+    xy = sp[..., :2] / jnp.maximum(sp[..., 2:3], _W_EPS)
+    mn = jnp.floor(jnp.min(xy, axis=1)).astype(jnp.int32)
+    mx = jnp.floor(jnp.max(xy, axis=1)).astype(jnp.int32)
+    valid &= (mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
+    valid &= (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1)
+    bbox = jnp.stack([jnp.clip(mn[:, 0], 0, w - 1),
+                      jnp.clip(mn[:, 1], 0, h - 1),
+                      jnp.clip(mx[:, 0], 0, w - 1),
+                      jnp.clip(mx[:, 1], 0, h - 1)], axis=-1)
+
+    t = tv.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
+    setup_t = jnp.concatenate([e0.T, e1.T, e2.T, zplane.T], axis=0) \
+        .astype(jnp.float32)
+
+    # attribute planes (shared e0/e1/e2)
+    vattr = jnp.concatenate(
+        [scene.uvs, world_n_v, world_t_v, scene.tangents[:, 3:4]], axis=-1)
+    a0, a1, a2 = vattr[tv[:, 0]], vattr[tv[:, 1]], vattr[tv[:, 2]]
+    ch_p = (a0[:, :8, None] * e0[:, None, :]
+            + a1[:, :8, None] * e1[:, None, :]
+            + a2[:, :8, None] * e2[:, None, :])
+    attr = jnp.concatenate([
+        ch_p.reshape(t, 24),
+        e0 + e1 + e2,
+        a0[:, 8:9],
+        scene.prim_material[safe_prim].astype(jnp.float32)[:, None],
+        a0[:, 0:2],
+        jnp.zeros((t, 1), jnp.float32),
+    ], axis=-1).astype(jnp.float32)
+
+    bins = bin_triangles(setup_t, ids, valid, bbox, params)
+    tri, depth = rasterize_tiles(bins, params)
+    stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,
+                 culled_triangles=jnp.sum(~valid))
+    return tri, depth, attr, stats
+
+
 def visibility_from_tri(tri, scene):
     """Global triangle index map -> the reference's visibility-buffer ids
     (prim << 20 | local_tri, clear 0xFFFFF000 —

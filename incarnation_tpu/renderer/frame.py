@@ -115,16 +115,14 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 fc.scene_rotation, fc.view_proj)
             tri_visible = m_inside[jnp.maximum(scene.tri_meshlet, 0)]
 
-    tri, depth, clip, _, stats = raster.render_visibility(
-        scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
-        prim_visible, params, tri_visible)
+    world_n_v, world_t_v = resolve.vertex_world_attributes(
+        scene, fc.scene_rotation)
+    tri, depth, attr, stats = raster.visibility_and_attributes(
+        scene, fc.scene_rotation, fc.view_proj, prim_visible,
+        world_n_v, world_t_v, params, tri_visible)
     stats["culled_primitives"] = culled_prims
     stats["culled_meshlets"] = culled_meshlets
 
-    world_n_v, world_t_v = resolve.vertex_world_attributes(
-        scene, fc.scene_rotation)
-    attr = raster.triangle_attributes(clip, scene, world_n_v, world_t_v,
-                                      params)
     gb = resolve.resolve_gbuffer(tri, depth, scene, attr, fc.inv_view_proj,
                                  params.width, params.height)
 
