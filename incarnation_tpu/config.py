@@ -108,6 +108,9 @@ class Config:
     big_tri_capacity: int = 512
     # Texture atlas resolution cap (textures are resized to at most this).
     texture_max_dim: int = 2048
+    # Stochastic single-level mip selection (dithered; converges to
+    # trilinear under TAA at half the texture-fetch cost).
+    stochastic_mip: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -65,7 +65,8 @@ def world_from_depth(depth, inv_view_proj, width: int, height: int):
 
 def resolve_gbuffer(tri, depth, scene, attr, inv_view_proj,
                     width: int, height: int,
-                    trilinear: bool = True) -> GBuffer:
+                    trilinear: bool = True,
+                    mip_dither=None) -> GBuffer:
     """tri: (H, W) int32 global triangle indices (-1 = background);
     attr: (T, 32) f32 per-triangle attribute planes."""
     mask = tri >= 0
@@ -107,6 +108,16 @@ def resolve_gbuffer(tri, depth, scene, attr, inv_view_proj,
     rho = jnp.maximum(jnp.sqrt(dudx * dudx + dvdx * dvdx),
                       jnp.sqrt(dudy * dudy + dvdy * dvdy)) * size_f
     lod = jnp.log2(jnp.maximum(rho, 1e-8))
+    if mip_dither is not None:
+        # Stochastic single-level mip selection: dither the fractional mip
+        # by a per-pixel blue-ish noise + TAA frame offset; the temporal
+        # accumulation converges to trilinear at half the texture gathers.
+        xs_i = jax.lax.broadcasted_iota(jnp.int32, tri.shape, 1)
+        ys_i = jax.lax.broadcasted_iota(jnp.int32, tri.shape, 0)
+        h32 = ((xs_i * 374761393 + ys_i * 668265263)
+               ^ jnp.int32(mip_dither * 2654435761)) & 0xFFFF
+        lod = jnp.floor(lod + h32.astype(jnp.float32) / 65536.0)
+        trilinear = False
 
     # One interleaved fetch for every texture slot
     chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,

@@ -52,11 +52,12 @@ class FrameConstants:
     camera_up: jnp.ndarray       # (3,)
     aperture: jnp.ndarray        # () path-tracer aperture
     focal_length: jnp.ndarray    # () path-tracer focal length
+    frame_index: jnp.ndarray     # () i32 frame counter (jitter/dither)
 
     @staticmethod
     def make(view, config: Config, sun_dir=None, sun_color_intensity=None,
              scene_rotation=None, jitter=None, prev_view_proj=None,
-             history_valid=False):
+             history_valid=False, frame_index=0):
         vp = view.view_proj(jitter)
         return FrameConstants(
             view_proj=jnp.asarray(vp),
@@ -85,6 +86,7 @@ class FrameConstants:
                 np.float32(config.pathtracing_camera_aperture)),
             focal_length=jnp.asarray(
                 np.float32(config.pathtracing_camera_focal_length)),
+            frame_index=jnp.asarray(np.int32(frame_index)),
         )
 
 
@@ -123,8 +125,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     stats["culled_primitives"] = culled_prims
     stats["culled_meshlets"] = culled_meshlets
 
-    gb = resolve.resolve_gbuffer(tri, depth, scene, attr, fc.inv_view_proj,
-                                 params.width, params.height)
+    gb = resolve.resolve_gbuffer(
+        tri, depth, scene, attr, fc.inv_view_proj,
+        params.width, params.height,
+        mip_dither=(fc.frame_index if config.stochastic_mip else None))
 
     # Decal pass (ref: render-jobs/gbuffer-raster-pass.inl:126-191): decal
     # meshes raster on top with GREATER_EQUAL depth against the scene,
