@@ -106,7 +106,7 @@ def pathtrace_spp_sharded(scene, bvh, fc, history, base_sample_index, *,
     per round. psum rides ICI (SURVEY §2.4's SPP-sharding design)."""
     from ..kernels import pathtrace
     from ..kernels import resolve as resolve_mod
-    from ..config import EnvSkyMode, Config as _C
+    from ..config import EnvSkyMode
     n_dev = mesh.shape[axis]
 
     def body(scene, bvh, fc, history, probe):

@@ -19,7 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core import mathutils as mu
 from . import shading
 from ..scene import lights as lights_mod
 

@@ -18,7 +18,6 @@ import numpy as np
 
 from ..core import mathutils as mu
 from . import bvh as bvh_mod
-from .resolve import world_from_depth
 
 NUM_SLICES = 4
 MAX_TRACES_PER_SLICE = 4

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 
 from ..core import mathutils as mu
 from ..scene import textures as tex_mod
-from .raster import ATTR_ROWS  # noqa: F401  (layout contract lives there)
 
 
 class GBuffer(NamedTuple):
@@ -112,10 +111,12 @@ def resolve_gbuffer(tri, depth, scene, attr, inv_view_proj,
         # Stochastic single-level mip selection: dither the fractional mip
         # by a per-pixel blue-ish noise + TAA frame offset; the temporal
         # accumulation converges to trilinear at half the texture gathers.
-        xs_i = jax.lax.broadcasted_iota(jnp.int32, tri.shape, 1)
-        ys_i = jax.lax.broadcasted_iota(jnp.int32, tri.shape, 0)
-        h32 = ((xs_i * 374761393 + ys_i * 668265263)
-               ^ jnp.int32(mip_dither * 2654435761)) & 0xFFFF
+        xs_i = jax.lax.broadcasted_iota(jnp.uint32, tri.shape, 1)
+        ys_i = jax.lax.broadcasted_iota(jnp.uint32, tri.shape, 0)
+        seed = jnp.asarray(mip_dither).astype(jnp.uint32) \
+            * jnp.uint32(2654435761)
+        h32 = ((xs_i * jnp.uint32(374761393)
+                + ys_i * jnp.uint32(668265263)) ^ seed) & jnp.uint32(0xFFFF)
         lod = jnp.floor(lod + h32.astype(jnp.float32) / 65536.0)
         trilinear = False
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import mathutils as mu
-from . import ibl, shading, sky as sky_mod
+from . import ibl, sky as sky_mod
 
 
 def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,

@@ -126,3 +126,9 @@ def test_hbao_runs_and_bounds():
     out = frame_mod.render_frame_jit(scene, fc, cfg, PARAMS, None, None,
                                      None, b)
     assert np.isfinite(np.asarray(out["hdr"])).all()
+
+
+def test_stochastic_mip_runs():
+    cfg = no_sky(Config(stochastic_mip=True))
+    out = render(cfg)
+    assert np.isfinite(np.asarray(out["hdr"])).all()
