@@ -75,6 +75,9 @@ def main(argv=None):
                          "FConfig::HDRIFilename)")
     ap.add_argument("--show-object-bounds", action="store_true")
     ap.add_argument("--show-light-bounds", action="store_true")
+    ap.add_argument("--rotate-scene", type=float, default=None,
+                    metavar="DEG", help="rotate the scene about world y "
+                    "(the reference's RMB scene-rotation)")
     ap.add_argument("--tod", type=float, default=None, metavar="HOURS",
                     help="time-of-day sun position (decimal hours; uses "
                          "FConfig ToD julian date + latitude defaults)")
@@ -120,8 +123,16 @@ def main(argv=None):
         sun_ci = list(np.asarray(host.scene.lights.color[i])) + [
             float(host.scene.lights.intensity[i])]
 
+    scene_rotation = None
+    if args.rotate_scene is not None:
+        a = np.radians(args.rotate_scene)
+        scene_rotation = np.eye(4, dtype=np.float32)
+        scene_rotation[0, 0] = scene_rotation[2, 2] = np.cos(a)
+        scene_rotation[0, 2] = -np.sin(a)
+        scene_rotation[2, 0] = np.sin(a)
     fc = frame_mod.FrameConstants.make(view, cfg, sun_dir=sun_dir,
-                                       sun_color_intensity=sun_ci)
+                                       sun_color_intensity=sun_ci,
+                                       scene_rotation=scene_rotation)
 
     probe = env_brdf = None
     if args.hdri:

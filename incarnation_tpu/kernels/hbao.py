@@ -42,7 +42,11 @@ def _horizon_angle(bvh, start, origin, slice_x, slice_y, active):
 
 
 def hbao(bvh, gb, depth, fc, width: int, height: int):
-    """-> (ao (H, W) f32, bent_normals (H, W, 2) oct-encoded)."""
+    """-> (ao (H, W) f32, bent_normals (H, W, 2) oct-encoded).
+
+    Trace origins/directions are inverse-rotated into the BVH's unrotated
+    world space (the TLAS-rebuild-per-rotation equivalent)."""
+    r3 = fc.inv_scene_rotation[:3, :3]
     wp = gb.world_pos.reshape(-1, 3)
     n = mu.oct_decode(gb.normals).reshape(-1, 3)
     active = gb.mask.reshape(-1)
@@ -61,8 +65,10 @@ def hbao(bvh, gb, depth, fc, width: int, height: int):
         t = -pn_x / jnp.where(jnp.abs(pn_y) > 1e-6, pn_y, 1e-6)
         start = jnp.arccos(jnp.clip(t / jnp.sqrt(1.0 + t * t), -1.0, 1.0))
 
-        th1 = _horizon_angle(bvh, start, wp, slice_x, at, active)
-        th0 = -_horizon_angle(bvh, start, wp, -slice_x, at, active)
+        wp_b = wp @ r3 + fc.inv_scene_rotation[3, :3]
+        th1 = _horizon_angle(bvh, start, wp_b, slice_x @ r3, at @ r3, active)
+        th0 = -_horizon_angle(bvh, start, wp_b, -slice_x @ r3, at @ r3,
+                              active)
 
         nx = 0.5 * (th1 - th0 + jnp.sin(th0) * jnp.cos(th0)
                     - jnp.sin(th1) * jnp.cos(th1))

@@ -178,8 +178,13 @@ def _indirect_ray(u2, n, t, b, v, base, metallic, roughness):
 def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
                  sample_index, width: int, height: int,
                  sqrt_sample_count: int = 16, dynamic_sky: bool = True,
-                 turbidity: float = 2.0):
-    """One progressive sample for every pixel -> (H, W, 3) radiance."""
+                 turbidity: float = 2.0, viewmode: int = 0):
+    """One progressive sample for every pixel -> (H, W, 3) radiance.
+
+    viewmode 2/3/4/5 return roughness/metallic/basecolor/emissive at the
+    primary hit (ref: pathtracing.hlsl VIEWMODE early returns). Note: scene
+    rotation is not applied in the path tracer this round (trace with
+    identity scene_rotation)."""
     r = width * height
     pixel = jnp.arange(r, dtype=jnp.uint32)
     px = (pixel % width).astype(jnp.float32)
@@ -240,6 +245,16 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         uv, n, t, b, mat_id = _hit_attributes(scene, world_n_v, world_t_v,
                                               tri, hit["u"], hit["v"])
         m = _eval_material(scene, mat_id, uv)
+
+        if bounce == 0 and viewmode in (2, 3, 4, 5):
+            # debug view modes short-circuit at the primary hit
+            # (ref: pathtracing.hlsl:187-196)
+            chan = {2: m["roughness"][..., None].repeat(3, -1),
+                    3: m["metallic"][..., None].repeat(3, -1),
+                    4: m["base_color"],
+                    5: m["emissive"]}[viewmode]
+            return jnp.where(alive[..., None], chan, 0.0) \
+                .reshape(height, width, 3)
 
         # emissive + scattering damping (ref: pathtracing.hlsl:210-212)
         radiance = radiance + jnp.where(alive[..., None],

@@ -53,6 +53,9 @@ class FrameConstants:
     aperture: jnp.ndarray        # () path-tracer aperture
     focal_length: jnp.ndarray    # () path-tracer focal length
     frame_index: jnp.ndarray     # () i32 frame counter (jitter/dither)
+    inv_scene_rotation: jnp.ndarray  # (4, 4) — rays are inverse-rotated into
+    #   the BVH's unrotated world space instead of rebuilding the TLAS per
+    #   frame like the reference (ref: render-jobs/update-tlas.inl)
 
     @staticmethod
     def make(view, config: Config, sun_dir=None, sun_color_intensity=None,
@@ -87,6 +90,9 @@ class FrameConstants:
             focal_length=jnp.asarray(
                 np.float32(config.pathtracing_camera_focal_length)),
             frame_index=jnp.asarray(np.int32(frame_index)),
+            inv_scene_rotation=jnp.asarray(np.linalg.inv(
+                np.eye(4, dtype=np.float32) if scene_rotation is None
+                else scene_rotation).astype(np.float32)),
         )
 
 
@@ -196,10 +202,13 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         sun_vis = 1.0
         if scene_bvh is not None:
             from ..kernels import bvh as bvh_mod
-            shadow_dir = jnp.broadcast_to(fc.sun_dir, gb.world_pos.shape)
+            r3 = fc.inv_scene_rotation[:3, :3]
+            origins = gb.world_pos.reshape(-1, 3) @ r3 \
+                + fc.inv_scene_rotation[3, :3]
+            shadow_dir = jnp.broadcast_to(fc.sun_dir @ r3,
+                                          origins.shape)
             occ = bvh_mod.occluded(
-                scene_bvh, gb.world_pos.reshape(-1, 3),
-                shadow_dir.reshape(-1, 3), tmin=0.1, tmax=1000.0)
+                scene_bvh, origins, shadow_dir, tmin=0.1, tmax=1000.0)
             sun_vis = 1.0 - occ.reshape(gb.mask.shape).astype(
                 jnp.float32)[..., None]
         sun = shading.brdf_response(base, metallic, roughness, n, v,
@@ -342,7 +351,7 @@ def render_pathtrace(scene, bvh, fc, history, sample_index, *,
         width, height,
         sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
         dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
-        turbidity=config.turbidity)
+        turbidity=config.turbidity, viewmode=config.viewmode)
     accumulated = pathtrace.integrate(history, current,
                                       jnp.asarray(sample_index, jnp.float32))
     color = post.tonemap(accumulated, fc.exposure,

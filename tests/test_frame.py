@@ -132,3 +132,47 @@ def test_stochastic_mip_runs():
     cfg = no_sky(Config(stochastic_mip=True))
     out = render(cfg)
     assert np.isfinite(np.asarray(out["hdr"])).all()
+
+
+def test_scene_rotation_consistency():
+    """Full-system rotation invariance: rotating scene + camera + sun by the
+    same rotation yields the identical image. Exercises the inverse-rotated
+    ray path into the unrotated BVH (the reference instead rebuilds the TLAS
+    with the scene rotation, update-tlas.inl)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from incarnation_tpu.kernels import bvh as bvh_mod
+    pts = np.array([
+        [-8, -6, 8], [8, -6, 8], [8, 6, 8], [-8, 6, 8],
+        [-2, -1.5, 4], [2, -1.5, 4], [2, 1.5, 4], [-2, 1.5, 4],
+    ], np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]],
+                       double_sided=True)
+    mp = np.array(scene.mat_params)
+    mp[:, 7] = 0.0
+    scene = dataclasses.replace(scene, mat_params=jnp.asarray(mp))
+    b = bvh_mod.build_scene_bvh(scene)
+    cfg = no_sky(Config(frustum_culling=False))
+    sun = np.array([0.3, 0.3, -1.0]) / np.linalg.norm([0.3, 0.3, -1.0])
+
+    view0 = View.default(aspect=W / H)
+    fc0 = frame_mod.FrameConstants.make(
+        view0, cfg, sun_dir=sun, sun_color_intensity=[1, 1, 1, 100.0])
+    base = np.asarray(frame_mod.render_frame_jit(
+        scene, fc0, cfg, PARAMS, None, None, None, b)["hdr"])
+    assert (base.sum(-1) > 1e-3).any()
+
+    # rotate EVERYTHING by 180 deg about y
+    rot = np.diag([-1.0, 1.0, -1.0, 1.0]).astype(np.float32)
+    r3 = rot[:3, :3]
+    view1 = View(position=view0.position @ r3, right=view0.right @ r3,
+                 up=view0.up, look=view0.look @ r3, fov=view0.fov,
+                 aspect=view0.aspect, near=view0.near)
+    fc1 = frame_mod.FrameConstants.make(
+        view1, cfg, sun_dir=sun @ r3, sun_color_intensity=[1, 1, 1, 100.0],
+        scene_rotation=rot)
+    rotated = np.asarray(frame_mod.render_frame_jit(
+        scene, fc1, cfg, PARAMS, None, None, None, b)["hdr"])
+
+    np.testing.assert_allclose(rotated, base, atol=5e-3 * base.max(),
+                               rtol=1e-3)
