@@ -47,6 +47,20 @@ def main():
 
     host, scene, name = load_bench_scene()
     cfg = Config()
+
+    # Full deferred pipeline including sky IBL (dynamic-sky probe)
+    import jax
+    import jax.numpy as jnp
+    from incarnation_tpu.kernels import ibl, sky
+    from incarnation_tpu.scene.cache import load_probe_cached
+    sun = np.asarray(host.scene.sun_dir)
+    probe = load_probe_cached(
+        lambda: ibl.build_probe(
+            sky.sky_latlong(jnp.asarray(sun), cfg.turbidity, 256, 128),
+            envmap_size=cfg.envmap_resolution),
+        key=f"sky:{sun.round(4).tolist()}:{cfg.turbidity}:"
+            f"{cfg.envmap_resolution}")
+    env_brdf = ibl.env_brdf_lut(512)
     # pair capacity sized ~3x the scene's real pair count (overflow is a
     # counted stat); oversizing inflates the CSR build cost
     params = RasterParams(width=width, height=height,

@@ -41,6 +41,16 @@ def band_projection(n_bands: int, band_index):
 def make_mesh(n_devices: int = None, devices=None, axis: str = "band"):
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # Hosts that pre-register a TPU platform may still expose a
+            # virtual CPU mesh (xla_force_host_platform_device_count);
+            # fall back to it so multi-chip dry runs work anywhere.
+            try:
+                cpus = jax.devices("cpu")
+                if len(cpus) >= n_devices:
+                    devices = cpus
+            except RuntimeError:
+                pass
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
@@ -60,11 +70,14 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
         raise ValueError(
             f"height {params.height} must divide into {n} bands of whole "
             f"{params.tile_h}-row tiles")
+    on_tpu = all(d.platform == "tpu" for d in mesh.devices.ravel())
     band_params = raster_mod.RasterParams(
         width=params.width, height=params.height // n,
         tile_h=params.tile_h, tile_w=params.tile_w,
         pair_capacity=params.pair_capacity, bin_max_span=params.bin_max_span,
-        big_tri_capacity=params.big_tri_capacity, chunk=params.chunk)
+        big_tri_capacity=params.big_tri_capacity, chunk=params.chunk,
+        interpret=(params.interpret if params.interpret is not None
+                   else not on_tpu))
 
     def body(scene, fc, probe, env_brdf):
         idx = jax.lax.axis_index(axis)

@@ -53,6 +53,9 @@ class RasterParams(NamedTuple):
     bin_max_span: int = 16
     big_tri_capacity: int = 512
     chunk: int = 128          # triangles per kernel DMA chunk (multiple of 8)
+    interpret: bool = None    # force Pallas interpret mode (None = auto by
+    #                           the default device; set by the band sharder
+    #                           from the mesh's platform)
 
     @property
     def tiles_x(self) -> int:
@@ -526,7 +529,8 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
             jax.ShapeDtypeStruct((p.padded_height, p.padded_width),
                                  jnp.float32),
         ],
-        interpret=_should_interpret(),
+        interpret=(p.interpret if p.interpret is not None
+                   else _should_interpret()),
     )(bins.starts, bins.counts, bins.big_count, bins.setup,
       bins.big_setup, bins.big_ids)
     return tri[:p.height, :p.width], depth[:p.height, :p.width]
