@@ -22,10 +22,11 @@ def test_aces_constants():
 
 
 def test_ggx_distribution_values():
-    # D(NoH=1, r) = a^2 / (pi * a^4) = 1/(pi a^2) with a = r^2
+    # D(NoH=1, r) = a2 / max(pi * a2^2, 1e-4) with a2 = r^4 — including the
+    # reference's denominator clamp (ref: bxdf-sampling.hlsli:25)
     for r in (0.25, 0.5, 1.0):
-        a = r * r
-        expected = a * a / (np.pi * (a * a) ** 2)
+        a2 = (r * r) ** 2
+        expected = a2 / max(np.pi * a2 * a2, 1e-4)
         got = float(shading.ggx_distribution(jnp.asarray(1.0),
                                              jnp.asarray(r)))
         np.testing.assert_allclose(got, expected, rtol=1e-4)
