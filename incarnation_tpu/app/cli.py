@@ -164,7 +164,7 @@ def main(argv=None):
                     sky.sky_latlong(fc.sun_dir, cfg.turbidity, 256, 128),
                     envmap_size=cfg.envmap_resolution),
                 key, use_cache=cfg.use_content_cache)
-        env_brdf = ibl.env_brdf_lut(512)
+        env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
         jax.block_until_ready((probe.sh, env_brdf))
         print(f"[probe] environment probe + BRDF LUT: {time.time() - t0:.1f}s")
 
@@ -219,7 +219,8 @@ def main(argv=None):
             j = jitters[i % 16] * 2.0 / np.array([args.width, args.height])
             fc = frame_mod.FrameConstants.make(
                 view, cfg, sun_dir=sun_dir, sun_color_intensity=sun_ci,
-                jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0))
+                jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0),
+                frame_index=i)
             if history is None:
                 history = jnp.zeros((args.height, args.width, 3))
         out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,

@@ -108,9 +108,19 @@ class Config:
     big_tri_capacity: int = 512
     # Texture atlas resolution cap (textures are resized to at most this).
     texture_max_dim: int = 2048
-    # Stochastic single-level mip selection (dithered; converges to
-    # trilinear under TAA at half the texture-fetch cost).
-    stochastic_mip: bool = False
+    # Stochastic texture filtering (engaged only while TAA history is
+    # accumulating, so single-shot renders stay exact trilinear):
+    # stochastic_mip dithers to a single mip level (half the texture
+    # gathers); stochastic_bilinear additionally jitters the bilinear
+    # footprint so the whole material stack is ONE texel gather per pixel.
+    # The TAA accumulation converges both to the trilinear result.
+    stochastic_mip: bool = True
+    stochastic_bilinear: bool = True
+    # Stochastic single-texel TAA history fetch (1 gather instead of 4).
+    # Off by default: the history feedback loop turns the fetch noise into
+    # visible mottling (33.9 dB vs exact after 32 frames — tools/
+    # stochastic_psnr.py; textures-only stochastic is 41.1 dB and stays on).
+    stochastic_taa: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

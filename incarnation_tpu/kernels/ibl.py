@@ -101,20 +101,47 @@ def env_brdf_lut(size: int = 512, num_samples: int = 1024):
     return acc / num_samples
 
 
+def quad_pack_image(img):
+    """(H, W, C) -> (H*W, 4C): each row holds the texel and its clamped
+    +x / +y / +xy neighbors, so a bilinear fetch is ONE row gather + lerp.
+    Per-pixel random access is the scarce TPU resource; four narrow-row
+    gathers of the same table cost ~4x one wide-row gather."""
+    xp = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    yp = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    xyp = jnp.concatenate([yp[:, 1:], yp[:, -1:]], axis=1)
+    return jnp.concatenate([img, xp, yp, xyp], axis=-1).reshape(
+        -1, 4 * img.shape[-1])
+
+
+def pack_env_brdf(lut):
+    """(S, S, 2) env-BRDF LUT -> (S*S, 8) quad-packed rows (one-gather
+    bilinear). The hot passes take this form; the raw LUT stays available
+    for precompute/parity tests."""
+    return quad_pack_image(lut)
+
+
 def sample_env_brdf(lut, no_v, roughness):
     """Bilinear LUT fetch with uv = (NoV, roughness); the texture's y axis
     stores 1-roughness, so v = roughness maps straight to the row
-    (ref: sky-lighting.hlsl:122 samples float2(NoV, roughness))."""
-    size = lut.shape[0]
+    (ref: sky-lighting.hlsl:122 samples float2(NoV, roughness)).
+
+    lut: (S, S, 2) raw (4 gathers) or (S*S, 8) quad-packed (1 gather)."""
+    packed = lut.ndim == 2
+    size = int(round(np.sqrt(lut.shape[0]))) if packed else lut.shape[0]
     # clamp-address bilinear
     fx = jnp.clip(no_v, 0.0, 1.0) * size - 0.5
     fy = jnp.clip(roughness, 0.0, 1.0) * size - 0.5
     x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, size - 1)
     y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, size - 1)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
+    if packed:
+        rows = lut[y0 * size + x0]                    # (..., 8) ONE gather
+        top = rows[..., 0:2] * (1 - tx) + rows[..., 2:4] * tx
+        bot = rows[..., 4:6] * (1 - tx) + rows[..., 6:8] * tx
+        return top * (1 - ty) + bot * ty
+    x1 = jnp.minimum(x0 + 1, size - 1)
+    y1 = jnp.minimum(y0 + 1, size - 1)
     flat = lut.reshape(-1, 2)
     g = lambda y, x: flat[y * size + x]
     top = g(y0, x0) * (1 - tx) + g(y0, x1) * tx
@@ -176,6 +203,9 @@ class CubeMips:
     size: int
     num_levels: int
     bases: tuple
+    packed: jnp.ndarray = None  # (total, 12) quad-packed rows (one-gather
+    #                             bilinear in the hot passes); built lazily
+    #                             by with_packed()
 
     @staticmethod
     def from_levels(levels):
@@ -194,16 +224,32 @@ class CubeMips:
         return self.flat[self.bases[l]:self.bases[l] + 6 * s * s].reshape(
             6, s, s, 3)
 
+    def with_packed(self) -> "CubeMips":
+        """Build the quad-packed row table (texel + clamped +x/+y/+xy
+        neighbors per row) so a bilinear cube fetch is ONE gather."""
+        if self.packed is not None:
+            return self
+        packs = []
+        for l in range(self.num_levels):
+            lv = self.level(l)                        # (6, s, s, 3)
+            xp = jnp.concatenate([lv[:, :, 1:], lv[:, :, -1:]], axis=2)
+            yp = jnp.concatenate([lv[:, 1:], lv[:, -1:]], axis=1)
+            xyp = jnp.concatenate([yp[:, :, 1:], yp[:, :, -1:]], axis=2)
+            packs.append(jnp.concatenate([lv, xp, yp, xyp], -1)
+                         .reshape(-1, 12))
+        return dataclasses.replace(self, packed=jnp.concatenate(packs, 0))
+
 
 jax.tree_util.register_pytree_node(
     CubeMips,
-    lambda c: ((c.flat,), (c.size, c.num_levels, c.bases)),
-    lambda aux, ch: CubeMips(ch[0], *aux))
+    lambda c: ((c.flat, c.packed), (c.size, c.num_levels, c.bases)),
+    lambda aux, ch: CubeMips(ch[0], *aux, packed=ch[1]))
 
 
 def _sample_cube_level(cube: CubeMips, base, s, d):
     """Bilinear sample one cube level at directions d (clamp at face edges;
-    not seam-blended — the reference relies on HW seamless filtering)."""
+    not seam-blended — the reference relies on HW seamless filtering).
+    ONE gather when the quad-packed table exists, else four."""
     face, uv = dir_to_face_uv(d)
     sf = s.astype(jnp.float32) if hasattr(s, "astype") else float(s)
     fx = uv[..., 0] * sf - 0.5
@@ -213,8 +259,15 @@ def _sample_cube_level(cube: CubeMips, base, s, d):
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
     x0c = jnp.clip(x0, 0, s - 1)
-    x1c = jnp.clip(x0 + 1, 0, s - 1)
     y0c = jnp.clip(y0, 0, s - 1)
+
+    if cube.packed is not None:
+        rows = cube.packed[base + (face * s + y0c) * s + x0c]   # (..., 12)
+        top = rows[..., 0:3] * (1 - tx) + rows[..., 3:6] * tx
+        bot = rows[..., 6:9] * (1 - tx) + rows[..., 9:12] * tx
+        return top * (1 - ty) + bot * ty
+
+    x1c = jnp.clip(x0 + 1, 0, s - 1)
     y1c = jnp.clip(y0 + 1, 0, s - 1)
 
     def fetch(x, y):
@@ -225,8 +278,11 @@ def _sample_cube_level(cube: CubeMips, base, s, d):
     return top * (1 - ty) + bot * ty
 
 
-def sample_cube(cube: CubeMips, d, lod=None):
-    """Trilinear cube sample at float mip `lod` (None = level 0)."""
+def sample_cube(cube: CubeMips, d, lod=None, single_mip: bool = False):
+    """Trilinear cube sample at float mip `lod` (None = level 0).
+
+    single_mip: sample only floor(lod) — pair with a dithered lod + TAA
+    (stochastic mip filtering) to halve the gathers."""
     if lod is None:
         return _sample_cube_level(cube, cube.bases[0], cube.size, d)
     bases = jnp.asarray(np.asarray(cube.bases, np.int32))
@@ -234,9 +290,11 @@ def sample_cube(cube: CubeMips, d, lod=None):
         [cube.size >> l for l in range(cube.num_levels)], np.int32))
     lod = jnp.clip(lod, 0.0, cube.num_levels - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
+    s0 = _sample_cube_level(cube, bases[l0], sizes[l0], d)
+    if single_mip:
+        return s0
     l1 = jnp.minimum(l0 + 1, cube.num_levels - 1)
     frac = (lod - l0.astype(jnp.float32))[..., None]
-    s0 = _sample_cube_level(cube, bases[l0], sizes[l0], d)
     s1 = _sample_cube_level(cube, bases[l1], sizes[l1], d)
     return s0 * (1 - frac) + s1 * frac
 
@@ -424,4 +482,7 @@ def build_probe(latlong, envmap_size: int = 256,
     pref = prefilter_cubemap(envmap, envmap_size // 2,
                              num_samples=num_samples)
     sh = sh_project_latlong(latlong)
-    return EnvironmentProbe(envmap=envmap, prefiltered=pref, sh=sh)
+    # Quad-packed row tables: the hot passes fetch bilinear cube samples
+    # with ONE gather per level instead of four.
+    return EnvironmentProbe(envmap=envmap.with_packed(),
+                            prefiltered=pref.with_packed(), sh=sh)

@@ -188,17 +188,36 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams,
     return setup_t.astype(jnp.float32), ids, valid, bbox
 
 
-# Attribute-plane row layout (triangle_attributes): 32 f32 per triangle.
-ATTR_ROWS = 32
-# slices: uv numerator planes (0:6), world-normal planes (6:15),
-# world-tangent planes (15:24), denominator plane (24:27),
-# tangent sign (27), material id (28), uv at vertex 0 for degenerate
-# fallback (29:31), spare (31)
+# Per-triangle attribute planes (triangle_attributes): ONE (T, 29) f32 row.
+# Per-pixel gathers of these rows are the slow path on TPU (wide rows from a
+# >VMEM table run ~60 M rows/s); instead the rows ride the binned pair
+# stream into the fine-raster kernel, which selects the WINNING pair's
+# coefficients per pixel with an MXU matmul (match-mask x coefficient
+# matrix) and evaluates the planes once per pixel — zero per-pixel random
+# access for attributes.
+# Layout: uv-U plane (0:3), uv-V plane (3:6), denominator plane (6:9),
+# world-normal X/Y/Z planes (9:18), world-tangent X/Y/Z planes (18:27),
+# tangent sign (27), material id (28).
+ATTR_ROWS = 29
+
+# Interpolated per-pixel attribute channels emitted by the kernel:
+# u, v, wn.xyz, wt.xyz, sign, matid, dudx, dudy, dvdx, dvdy, spare x2.
+INTERP_CHANNELS = 16
+
+
+def _attr_flat(ch_p, denom, sign, matid):
+    """(T, 29) attribute-plane rows from channel planes ch_p (T, 8, 3)
+    ordered [u, v, wnx, wny, wnz, wtx, wty, wtz]."""
+    t = ch_p.shape[0]
+    return jnp.concatenate([
+        ch_p[:, 0], ch_p[:, 1], denom,
+        ch_p.reshape(t, 24)[:, 6:],                   # wn + wt planes
+        sign, matid], axis=-1).astype(jnp.float32)
 
 
 def triangle_attributes(clip, scene, world_n_v, world_t_v,
                         params: RasterParams):
-    """Per-triangle screen-space attribute planes (T, 32).
+    """Per-triangle screen-space attribute planes (T, 29).
 
     With 2D-homogeneous edge forms E_i, any vertex attribute f interpolates
     perspective-correctly as f(p) = sum_i E_i(p) f_i / sum_i E_i(p) — so each
@@ -243,17 +262,10 @@ def triangle_attributes(clip, scene, world_n_v, world_t_v,
     ch_p = planes(a0[:, :8], a1[:, :8], a2[:, :8])  # uv(2) + wn(3) + wt(3)
     denom = e0 + e1 + e2
 
-    t = tv.shape[0]
     prim = jnp.maximum(scene.tri_prim, 0)
-    attr = jnp.concatenate([
-        ch_p.reshape(t, 24),
-        denom,
-        a0[:, 8:9],                                   # tangent sign
-        scene.prim_material[prim].astype(jnp.float32)[:, None],
-        a0[:, 0:2],                                   # uv at v0 (fallback)
-        jnp.zeros((t, 1), jnp.float32),
-    ], axis=-1)
-    return attr.astype(jnp.float32)
+    return _attr_flat(
+        ch_p, denom, a0[:, 8:9],
+        scene.prim_material[prim].astype(jnp.float32)[:, None])
 
 
 # ---------------------------------------------------------------------------
@@ -269,27 +281,43 @@ _PAIRS_PER_ROW = 8  # 8 pairs x 16 lanes = one full 128-lane row, so the
 #                     kernel's per-chunk DMA slices are Mosaic-aligned at any
 #                     row offset without padding each pair to 128 lanes
 
+# Attribute pair stream: 32 f32 lanes per pair (29 attr-plane values + the
+# triangle id at lane 29), 4 pairs per 128-lane row. A separate stream keeps
+# the z/id pass's DMA density unchanged.
+_APAIR_STRIDE = 32
+_APAIRS_PER_ROW = 4
+_ID_LANE = 29
+
 
 class Bins(NamedTuple):
     # CSR layout: pairs sorted by tile; tile i owns pair indices
     # [starts[i], starts[i] + counts[i]). Pairs are packed 8 to a 128-lane
     # row (pair j of a row at lanes 16j..16j+12: 12 setup coefficients +
-    # bitcast triangle id); the fine-raster kernel streams whole rows with
-    # double-buffered DMA and masks leading/trailing pairs — no dense
-    # per-tile padding is ever materialized.
+    # exact-float triangle id); the fine-raster kernel streams whole rows
+    # with double-buffered DMA and masks leading/trailing pairs — no dense
+    # per-tile padding is ever materialized. `attr` carries the matching
+    # attribute-plane stream (32 lanes/pair) consumed by the kernel's
+    # second (attribute-select) pass.
     setup: jnp.ndarray        # (P_cap/8 + pad, 128) f32
+    attr: jnp.ndarray         # (P_cap/4 + pad, 128) f32
     starts: jnp.ndarray       # (NT,) i32 pair index
     counts: jnp.ndarray       # (NT,) i32
     big_setup: jnp.ndarray    # (BIG, _SETUP_ROWS) f32
     big_ids: jnp.ndarray      # (BIG, 1) f32 (exact float triangle ids)
+    big_attr: jnp.ndarray     # (BIG, _APAIR_STRIDE) f32
     big_count: jnp.ndarray    # (1,) i32
     overflow: jnp.ndarray     # () i32 — dropped pairs (pair_capacity hit)
     big_overflow: jnp.ndarray  # () i32 — dropped big triangles
 
 
-def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
+def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
+                  attr_flat=None) -> Bins:
     """Build per-tile triangle lists (replaces GPU atomic appends,
-    ref: culling/batch-culling.hlsl:85-116)."""
+    ref: culling/batch-culling.hlsl:85-116).
+
+    attr_flat: optional (T, ATTR_ROWS) attribute-plane rows to thread into
+    the pair stream (zeros when absent — the kernel's interp output is then
+    meaningless and ignored)."""
     p = params
     t = ids.shape[0]
     span_cap = p.bin_max_span
@@ -353,15 +381,30 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
     # One flat gather of setup rows in sorted-pair order, the triangle id
     # stored as an exact float in lane 12 (ids < 2^24; a bitcast of a lane
     # slice miscompiles in Mosaic), packed 8 pairs per 128-lane row (+ slack
-    # rows so the kernel's fixed-size DMAs never run off the end).
-    flat = jnp.concatenate([
-        setup_t.T[tri_s],
-        ids[tri_s].astype(jnp.float32)[:, None],
-    ], axis=-1)                                        # (P_cap, 13)
-    flat = jnp.pad(flat, ((0, 0), (0, _PAIR_STRIDE - flat.shape[1])))
+    # rows so the kernel's fixed-size DMAs never run off the end). The id is
+    # pre-packed into a (T, 16) table so the build is ONE 64-byte-row gather
+    # (the TPU gather fast path) instead of a 12-wide + an id gather.
+    setup16 = jnp.concatenate([
+        setup_t.T, ids.astype(jnp.float32)[:, None],
+        jnp.zeros((t, _PAIR_STRIDE - _SETUP_ROWS - 1), jnp.float32),
+    ], axis=-1)                                        # (T, 16)
+    flat = setup16[tri_s]                              # (P_cap, 16)
     flat = flat.reshape(cap_pairs // _PAIRS_PER_ROW,
                         _PAIRS_PER_ROW * _PAIR_STRIDE)
     flat = jnp.pad(flat, ((0, p.chunk // _PAIRS_PER_ROW + 1), (0, 0)))
+
+    # Attribute pair stream (same sorted-pair order), id at lane _ID_LANE so
+    # the kernel's second pass can match pairs against the winner id map.
+    if attr_flat is None:
+        attr_flat = jnp.zeros((t, ATTR_ROWS), jnp.float32)
+    attr32 = jnp.concatenate([
+        attr_flat, ids.astype(jnp.float32)[:, None],
+        jnp.zeros((t, _APAIR_STRIDE - ATTR_ROWS - 1), jnp.float32),
+    ], axis=-1)                                        # (T, 32)
+    aflat = attr32[tri_s]                              # (P_cap, 32)
+    aflat = aflat.reshape(cap_pairs // _APAIRS_PER_ROW,
+                          _APAIRS_PER_ROW * _APAIR_STRIDE)
+    aflat = jnp.pad(aflat, ((0, p.chunk // _APAIRS_PER_ROW + 1), (0, 0)))
 
     # Big-triangle list via cumsum compaction (no atomics on TPU).
     big_i = big.astype(jnp.int32)
@@ -379,9 +422,10 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
                           jnp.asarray(_INVALID_ROW)[None, :])
     big_ids = jnp.where(big_slot_ok, ids[big_tris], 0)[:, None] \
         .astype(jnp.float32)
+    big_attr = jnp.where(big_slot_ok[:, None], attr32[big_tris], 0.0)
 
-    return Bins(setup=flat, starts=starts, counts=counts,
-                big_setup=big_setup, big_ids=big_ids,
+    return Bins(setup=flat, attr=aflat, starts=starts, counts=counts,
+                big_setup=big_setup, big_ids=big_ids, big_attr=big_attr,
                 big_count=big_count.reshape(1).astype(jnp.int32),
                 overflow=overflow, big_overflow=n_big - big_count)
 
@@ -390,14 +434,23 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams) -> Bins:
 # 4. Fine raster (Pallas)
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
-                   big_setup_ref, big_ids_ref, tri_ref, z_ref,
-                   setup_scratch, sems,
+def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
+                   big_setup_ref, big_ids_ref, big_attr_ref,
+                   tri_ref, z_ref, interp_ref,
+                   setup_scratch, attr_scratch, sems, asems,
                    *, params: RasterParams):
-    """Per-tile fine raster. The CSR pair arrays stay in HBM; each tile
-    streams its contiguous slice with double-buffered async DMA (the Pallas
-    analogue of ExecuteIndirect consuming GPU-built draw lists,
-    ref: visibility-pass.inl:160-187)."""
+    """Per-tile fine raster + attribute select. The CSR pair arrays stay in
+    HBM; each tile streams its contiguous slice with double-buffered async
+    DMA (the Pallas analogue of ExecuteIndirect consuming GPU-built draw
+    lists, ref: visibility-pass.inl:160-187).
+
+    Pass 1 finds the closest hit (z/id) per pixel. Pass 2 re-streams the
+    pairs' attribute-plane rows and accumulates the WINNING pair's 32
+    coefficients per pixel as one (32 x K) @ (K x N) MXU matmul per chunk
+    (match masks are 0/1, each pixel matches exactly its winner), then
+    evaluates uv/normal/tangent planes + analytic UV derivatives once per
+    pixel — replacing the per-pixel attribute-row gathers of the resolve
+    (the slow path on TPU) with sequential DMA + matmuls."""
     p = params
     k = p.chunk
     ti = pl.program_id(0)
@@ -494,33 +547,118 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm,
     tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w).astype(jnp.int32)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
 
+    # ---- Pass 2: attribute select (winning pair's coefficients) ----
+    akr = k // _APAIRS_PER_ROW                    # attr rows per chunk
+    arow_start = start // _APAIRS_PER_ROW
+    arow_off = start - arow_start * _APAIRS_PER_ROW
+    anch = pl.cdiv(count + arow_off, k)
+
+    def adma(slot, c):
+        return pltpu.make_async_copy(
+            attr_hbm.at[pl.ds(arow_start + c * akr, akr), :],
+            attr_scratch.at[slot], asems.at[slot])
+
+    @pl.when(anch > 0)
+    def _():
+        adma(0, 0).start()
+
+    def attr_chunk(c, coeffs):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < anch)
+        def _():
+            adma(1 - slot, c + 1).start()
+
+        adma(slot, c).wait()
+        rows = attr_scratch[slot]                 # (K/4, 128)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (akr, 1), 0)
+        for j in range(_APAIRS_PER_ROW):
+            sl = rows[:, _APAIR_STRIDE * j:_APAIR_STRIDE * (j + 1)]
+            rid = sl[:, _ID_LANE:_ID_LANE + 1]    # (akr, 1)
+            gidx = c * k + riota * _APAIRS_PER_ROW + j
+            slot_ok = (gidx >= arow_off) & (gidx < arow_off + count)
+            match = ((rid == vb) & slot_ok).astype(jnp.float32)  # (akr, n)
+            coeffs = coeffs + jax.lax.dot_general(
+                sl, match, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (32, n)
+        return coeffs
+
+    coeffs = jax.lax.fori_loop(
+        0, anch, attr_chunk, jnp.zeros((_APAIR_STRIDE, n), jnp.float32))
+
+    def big_attr_body(c, coeffs):
+        base = c * k
+        rows = big_attr_ref[pl.ds(base, k), :]    # (K, 32)
+        rid = rows[:, _ID_LANE:_ID_LANE + 1]
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                  < bigcount_ref[0] - base)
+        match = ((rid == vb) & row_ok).astype(jnp.float32)
+        return coeffs + jax.lax.dot_general(
+            rows, match, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    coeffs = jax.lax.fori_loop(
+        0, pl.cdiv(bigcount_ref[0], k), big_attr_body, coeffs)
+
+    # Evaluate the selected planes once per pixel.
+    def lin(o):
+        return (coeffs[o:o + 1, :] * colf + coeffs[o + 1:o + 2, :] * rowf
+                + coeffs[o + 2:o + 3, :])
+
+    d = lin(6)
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, 0.0)
+    u = lin(0) * inv_d
+    v = lin(3) * inv_d
+    # Analytic UV screen derivatives: d(P/D)/dx = (P_x - f * D_x) / D.
+    dudx = (coeffs[0:1, :] - u * coeffs[6:7, :]) * inv_d
+    dudy = (coeffs[1:2, :] - u * coeffs[7:8, :]) * inv_d
+    dvdx = (coeffs[3:4, :] - v * coeffs[6:7, :]) * inv_d
+    dvdy = (coeffs[4:5, :] - v * coeffs[7:8, :]) * inv_d
+    chans = [u, v,
+             lin(9) * inv_d, lin(12) * inv_d, lin(15) * inv_d,   # wn
+             lin(18) * inv_d, lin(21) * inv_d, lin(24) * inv_d,  # wt
+             coeffs[27:28, :], coeffs[28:29, :],                 # sign, matid
+             dudx, dudy, dvdx, dvdy,
+             jnp.zeros((1, n), jnp.float32), jnp.zeros((1, n), jnp.float32)]
+    interp_ref[:, :, :] = jnp.concatenate(chans, axis=0).reshape(
+        INTERP_CHANNELS, p.tile_h, p.tile_w)
+
 
 def rasterize_tiles(bins: Bins, params: RasterParams):
     """Run the fine-raster kernel. Returns (tri (H,W) i32 global triangle
-    index, -1 = no geometry; depth (H,W) f32) cropped to the resolution."""
+    index, -1 = no geometry; depth (H,W) f32; interp (16, H, W) f32
+    per-pixel attribute channels) cropped to the resolution."""
     p = params
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(p.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # setup pairs (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # attr pairs (HBM)
             pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
                          lambda i, *_: (0, 0)),
             pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
+            pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
+                         lambda i, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((p.tile_h, p.tile_w),
                          lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
             pl.BlockSpec((p.tile_h, p.tile_w),
                          lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
+            pl.BlockSpec((INTERP_CHANNELS, p.tile_h, p.tile_w),
+                         lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
                         _PAIRS_PER_ROW * _PAIR_STRIDE), jnp.float32),
+            pltpu.VMEM((2, p.chunk // _APAIRS_PER_ROW,
+                        _APAIRS_PER_ROW * _APAIR_STRIDE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    tri, depth = pl.pallas_call(
+    tri, depth, interp = pl.pallas_call(
         functools.partial(_raster_kernel, params=p),
         grid_spec=grid_spec,
         out_shape=[
@@ -528,12 +666,15 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
                                  jnp.int32),
             jax.ShapeDtypeStruct((p.padded_height, p.padded_width),
                                  jnp.float32),
+            jax.ShapeDtypeStruct((INTERP_CHANNELS, p.padded_height,
+                                  p.padded_width), jnp.float32),
         ],
         interpret=(p.interpret if p.interpret is not None
                    else _should_interpret()),
-    )(bins.starts, bins.counts, bins.big_count, bins.setup,
-      bins.big_setup, bins.big_ids)
-    return tri[:p.height, :p.width], depth[:p.height, :p.width]
+    )(bins.starts, bins.counts, bins.big_count, bins.setup, bins.attr,
+      bins.big_setup, bins.big_ids, bins.big_attr)
+    return (tri[:p.height, :p.width], depth[:p.height, :p.width],
+            interp[:, :p.height, :p.width])
 
 
 def _should_interpret() -> bool:
@@ -552,21 +693,30 @@ def _should_interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
-                      prim_visible, params: RasterParams, tri_visible=None):
+                      prim_visible, params: RasterParams, tri_visible=None,
+                      world_n_v=None, world_t_v=None):
     """Full visibility-buffer pass: transform, setup, bin, rasterize.
 
-    Returns (tri (H,W) i32, depth, clip, world, stats_dict).
+    world_n_v/world_t_v: optional per-vertex world normals/tangents — when
+    given, the kernel also emits interpolated attributes (returned as the
+    6th element; zeros otherwise).
+
+    Returns (tri (H,W) i32, depth, clip, world, stats_dict, interp).
     """
     clip, world = vertex_transform(scene.positions, vtx_mesh,
                                    scene.mesh_transforms, scene_rotation,
                                    view_proj)
     setup_t, ids, valid, bbox = triangle_setup(clip, scene, prim_visible,
                                                params, tri_visible)
-    bins = bin_triangles(setup_t, ids, valid, bbox, params)
-    tri, depth = rasterize_tiles(bins, params)
+    attr_flat = None
+    if world_n_v is not None:
+        attr_flat = triangle_attributes(clip, scene, world_n_v, world_t_v,
+                                        params)
+    bins = bin_triangles(setup_t, ids, valid, bbox, params, attr_flat)
+    tri, depth, interp = rasterize_tiles(bins, params)
     stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,
                  culled_triangles=jnp.sum(~valid))
-    return tri, depth, clip, world, stats
+    return tri, depth, clip, world, stats, interp
 
 
 def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
@@ -577,7 +727,7 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
     triangle_setup and triangle_attributes (they are recomputed when the
     two run separately).
 
-    Returns (tri, depth, attr (T, 32), stats).
+    Returns (tri, depth, interp (16, H, W) per-pixel attributes, stats).
     """
     p = params
     w, h = p.width, p.height
@@ -641,20 +791,15 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
     ch_p = (a0[:, :8, None] * e0[:, None, :]
             + a1[:, :8, None] * e1[:, None, :]
             + a2[:, :8, None] * e2[:, None, :])
-    attr = jnp.concatenate([
-        ch_p.reshape(t, 24),
-        e0 + e1 + e2,
-        a0[:, 8:9],
-        scene.prim_material[safe_prim].astype(jnp.float32)[:, None],
-        a0[:, 0:2],
-        jnp.zeros((t, 1), jnp.float32),
-    ], axis=-1).astype(jnp.float32)
+    attr_flat = _attr_flat(
+        ch_p, e0 + e1 + e2, a0[:, 8:9],
+        scene.prim_material[safe_prim].astype(jnp.float32)[:, None])
 
-    bins = bin_triangles(setup_t, ids, valid, bbox, params)
-    tri, depth = rasterize_tiles(bins, params)
+    bins = bin_triangles(setup_t, ids, valid, bbox, params, attr_flat)
+    tri, depth, interp = rasterize_tiles(bins, params)
     stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,
                  culled_triangles=jnp.sum(~valid))
-    return tri, depth, attr, stats
+    return tri, depth, interp, stats
 
 
 def visibility_from_tri(tri, scene):

@@ -62,67 +62,71 @@ def world_from_depth(depth, inv_view_proj, width: int, height: int):
                                    wp[..., 3:], 1.0)
 
 
-def resolve_gbuffer(tri, depth, scene, attr, inv_view_proj,
+def _frame_noise(shape, frame_index, mult: int):
+    """Per-pixel uniform in [0, 1) decorrelated across frames; `mult` picks
+    an independent channel. Matches the reference's per-frame blue-ish dither
+    role (the TAA jitter sequence resolves the expectation temporally)."""
+    xs_i = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    ys_i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    seed = jnp.asarray(frame_index).astype(jnp.uint32) * jnp.uint32(mult)
+    h32 = ((xs_i * jnp.uint32(374761393)
+            + ys_i * jnp.uint32(668265263)) ^ seed)
+    h32 = (h32 ^ (h32 >> 13)) * jnp.uint32(1274126177)
+    return ((h32 >> 16) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+
+
+def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
                     width: int, height: int,
                     trilinear: bool = True,
-                    mip_dither=None) -> GBuffer:
+                    mip_dither=None, uv_dither: bool = False) -> GBuffer:
     """tri: (H, W) int32 global triangle indices (-1 = background);
-    attr: (T, 32) f32 per-triangle attribute planes."""
+    interp: (16, H, W) f32 per-pixel attributes emitted by the raster
+    kernel's attribute-select pass (raster.INTERP_CHANNELS layout:
+    u, v, wn.xyz, wt.xyz, sign, matid, dudx, dudy, dvdx, dvdy) — the
+    per-pixel attribute-row gather is gone (it was the TPU slow path).
+
+    mip_dither: frame index enabling stochastic single-mip selection;
+    uv_dither: additionally jitter the bilinear footprint so the whole
+    material stack is ONE texel gather per pixel (requires mip_dither + TAA
+    to converge — stochastic texture filtering)."""
     mask = tri >= 0
-    safe = jnp.maximum(tri, 0)
-    row = attr[safe]                                  # (H, W, 32) ONE gather
 
-    xs = (jax.lax.broadcasted_iota(jnp.float32, tri.shape, 1) + 0.5)
-    ys = (jax.lax.broadcasted_iota(jnp.float32, tri.shape, 0) + 0.5)
-
-    def lin(c):   # evaluate a plane (..., 3) at the pixel
-        return c[..., 0] * xs + c[..., 1] * ys + c[..., 2]
-
-    denom = lin(row[..., 24:27])
-    inv_d = jnp.where(jnp.abs(denom) > 1e-20, 1.0 / denom, 0.0)
-
-    def interp(start):
-        return lin(row[..., start:start + 3]) * inv_d
-
-    u = interp(0)
-    v = interp(3)
+    u = interp[0]
+    v = interp[1]
     uv = jnp.stack([u, v], axis=-1)
-    wn = jnp.stack([interp(6), interp(9), interp(12)], axis=-1)
-    wt = jnp.stack([interp(15), interp(18), interp(21)], axis=-1)
-    sign = row[..., 27:28]
-    mat_id = row[..., 28].astype(jnp.int32)
+    wn = jnp.stack([interp[2], interp[3], interp[4]], axis=-1)
+    wt = jnp.stack([interp[5], interp[6], interp[7]], axis=-1)
+    sign = interp[8][..., None]
+    mat_id = interp[9].astype(jnp.int32)
 
     n = mu.normalize(wn)
     t = mu.normalize(wt)
     b = mu.normalize(jnp.cross(n, t) * sign)
 
-    # Analytic UV screen derivatives for mip selection: for f = P.p / D.p,
-    # df/dx = (P_x - f * D_x) / D.p — exact, unlike hardware quad diffs.
+    # Analytic UV screen derivatives for mip selection (computed in the
+    # raster kernel from the same planes): exact, unlike HW quad diffs.
     meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
     size_f = meta[..., 1].astype(jnp.float32)
-    dudx = (row[..., 0] - u * row[..., 24]) * inv_d
-    dudy = (row[..., 1] - u * row[..., 25]) * inv_d
-    dvdx = (row[..., 3] - v * row[..., 24]) * inv_d
-    dvdy = (row[..., 4] - v * row[..., 25]) * inv_d
+    dudx, dudy, dvdx, dvdy = interp[10], interp[11], interp[12], interp[13]
     rho = jnp.maximum(jnp.sqrt(dudx * dudx + dvdx * dvdx),
                       jnp.sqrt(dudy * dudy + dvdy * dvdy)) * size_f
     lod = jnp.log2(jnp.maximum(rho, 1e-8))
+    jitter = None
     if mip_dither is not None:
         # Stochastic single-level mip selection: dither the fractional mip
-        # by a per-pixel blue-ish noise + TAA frame offset; the temporal
-        # accumulation converges to trilinear at half the texture gathers.
-        xs_i = jax.lax.broadcasted_iota(jnp.uint32, tri.shape, 1)
-        ys_i = jax.lax.broadcasted_iota(jnp.uint32, tri.shape, 0)
-        seed = jnp.asarray(mip_dither).astype(jnp.uint32) \
-            * jnp.uint32(2654435761)
-        h32 = ((xs_i * jnp.uint32(374761393)
-                + ys_i * jnp.uint32(668265263)) ^ seed) & jnp.uint32(0xFFFF)
-        lod = jnp.floor(lod + h32.astype(jnp.float32) / 65536.0)
+        # by a per-pixel noise + TAA frame offset; the temporal accumulation
+        # converges to trilinear at half the texture gathers.
+        lod = jnp.floor(lod + _frame_noise(tri.shape, mip_dither, 2654435761))
         trilinear = False
+        if uv_dither:
+            jitter = jnp.stack(
+                [_frame_noise(tri.shape, mip_dither, 1181783497),
+                 _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
 
     # One interleaved fetch for every texture slot
     chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
-                                          lod=lod, trilinear=trilinear)
+                                          lod=lod, trilinear=trilinear,
+                                          jitter=jitter)
     tx = tex_mod.decode_stack_channels(chans)
     fac = scene.mat_params[jnp.maximum(mat_id, 0)]     # (H, W, 16)
 

@@ -19,8 +19,12 @@ from . import ibl, sky as sky_mod
 def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                  sky_brightness, hbao=None, bent_normals=None,
                  diffuse_ibl: bool = True, specular_ibl: bool = True,
-                 lighting_only: bool = False):
-    """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl)."""
+                 lighting_only: bool = False, dither=None):
+    """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl).
+
+    dither: frame index enabling stochastic single-mip sampling of the
+    prefiltered specular cube (converges to trilinear under TAA; halves the
+    cube gathers)."""
     base = (jnp.full_like(gb.base_color[..., :3], 0.5) if lighting_only
             else gb.base_color[..., :3])  # ref: sky-lighting.hlsl:57-59
     metallic = gb.mrao[..., 0:1]
@@ -43,8 +47,12 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
         f0 = metallic * base + (1.0 - metallic) * 0.04
         r = mu.normalize(2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v)
         mips = probe.prefiltered.num_levels
-        pre = ibl.sample_cube(probe.prefiltered, r,
-                              lod=roughness * (mips - 1))
+        lod = roughness * (mips - 1)
+        if dither is not None:
+            from .resolve import _frame_noise
+            lod = lod + _frame_noise(roughness.shape, dither, 2246822519)
+        pre = ibl.sample_cube(probe.prefiltered, r, lod=lod,
+                              single_mip=dither is not None)
         ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
         spec = pre * (f0 * ab[..., 0:1] + ab[..., 1:2])
         radiance += sky_brightness * (

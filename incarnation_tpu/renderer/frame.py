@@ -125,26 +125,33 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
 
     world_n_v, world_t_v = resolve.vertex_world_attributes(
         scene, fc.scene_rotation)
-    tri, depth, attr, stats = raster.visibility_and_attributes(
+    tri, depth, interp, stats = raster.visibility_and_attributes(
         scene, fc.scene_rotation, fc.view_proj, prim_visible,
         world_n_v, world_t_v, params, tri_visible)
     stats["culled_primitives"] = culled_prims
     stats["culled_meshlets"] = culled_meshlets
 
+    # Stochastic texture filtering only while TAA is accumulating (the
+    # temporal resolve realizes the filtered expectation); single-shot
+    # frames keep exact trilinear.
+    taa_active = config.enable_taa and history is not None
+    stoch = config.stochastic_mip and taa_active
     gb = resolve.resolve_gbuffer(
-        tri, depth, scene, attr, fc.inv_view_proj,
+        tri, depth, scene, interp, fc.inv_view_proj,
         params.width, params.height,
-        mip_dither=(fc.frame_index if config.stochastic_mip else None))
+        mip_dither=(fc.frame_index if stoch else None),
+        uv_dither=(config.stochastic_bilinear and stoch))
 
     # Decal pass (ref: render-jobs/gbuffer-raster-pass.inl:126-191): decal
     # meshes raster on top with GREATER_EQUAL depth against the scene,
     # base color alpha-blended, normals/metal-rough overwritten where the
     # decal is opaque
     if scene.meta.has_decals:
-        d_tri, d_depth, _, _, _ = raster.render_visibility(
+        d_tri, d_depth, _, _, _, d_interp = raster.render_visibility(
             scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
-            scene.prim_is_decal > 0, params)
-        d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, attr,
+            scene.prim_is_decal > 0, params,
+            world_n_v=world_n_v, world_t_v=world_t_v)
+        d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, d_interp,
                                        fc.inv_view_proj, params.width,
                                        params.height)
         covers = d_gb.mask & (d_depth >= depth - 1e-5)
@@ -191,7 +198,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             hbao=ao_map, bent_normals=bent_normals,
             diffuse_ibl=config.enable_diffuse_ibl,
             specular_ibl=config.enable_specular_ibl,
-            lighting_only=(config.viewmode == ViewMode.LIGHTING_ONLY))
+            lighting_only=(config.viewmode == ViewMode.LIGHTING_ONLY),
+            dither=(fc.frame_index if stoch else None))
 
     # Deferred direct (sun) lighting with inline ray-traced shadows when a
     # BVH is supplied (ref: lighting/direct-lighting.hlsl +
@@ -217,8 +225,9 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         hdr = hdr + jnp.where(m3, sun, 0.0)
 
     # Clustered punctual lighting (ref: render-jobs/light-culling.inl +
-    # clustered-lighting.inl): cull to the cluster bitmask grid, then shade
-    nl = scene.lights.type.shape[0]
+    # clustered-lighting.inl): cull to the cluster bitmask grid, then shade.
+    # Gates on the REAL light count (the device table pads to 1 row).
+    nl = scene.meta.num_lights
     if config.enable_direct_lighting and nl > 0:
         mask_grid, culled_lights = clustered.build_light_clusters(
             scene.lights, config, fc.proj, fc.inv_view_proj,
@@ -245,7 +254,9 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     if config.enable_taa and history is not None:
         accumulation = taa.taa_resolve(
             hdr, history, depth, fc.inv_view_proj, fc.prev_view_proj,
-            fc.history_valid, params.width, params.height)
+            fc.history_valid, params.width, params.height,
+            dither=(fc.frame_index if taa_active and config.stochastic_taa
+                    else None))
 
     color = _apply_viewmode(config, scene, gb, n, depth, tri, accumulation,
                             fc)

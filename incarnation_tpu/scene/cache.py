@@ -21,7 +21,7 @@ CACHE_DIR = pathlib.Path(__file__).resolve().parents[2] / ".content_cache"
 
 # Bump whenever the Scene pytree schema changes — stale pickles fail to
 # round-trip otherwise.
-SCHEMA_VERSION = "v2-meshlets"
+SCHEMA_VERSION = "v3-meta-lights"
 
 
 def _key(path: pathlib.Path, texture_max_dim: int) -> str:
@@ -74,7 +74,8 @@ def load_probe_cached(builder, key: str, use_cache: bool = True):
     content similarly, ref: src/scene.cpp:1103-1113). `builder` is a
     zero-arg callable producing the probe; `key` identifies the inputs
     (hdri path+mtime, or sun/turbidity for the dynamic sky)."""
-    h = hashlib.sha1(key.encode()).hexdigest()[:20]
+    # v3: CubeMips grew the quad-packed row table (stale pickles lack it)
+    h = hashlib.sha1((key + ":v3").encode()).hexdigest()[:20]
     cache_file = CACHE_DIR / f"probe-{h}.pkl"
     if use_cache and cache_file.exists():
         with open(cache_file, "rb") as f:

@@ -47,6 +47,8 @@ class SceneMeta:
     padded_triangles: int
     padded_primitives: int
     has_decals: bool = False  # any "decal"-prefixed meshes (ref: scene.cpp:281)
+    num_lights: int = 0       # real punctual-light count (the device table is
+    #                           padded to >= 1; passes gate on this instead)
 
 
 @jax.tree_util.register_dataclass
@@ -264,7 +266,8 @@ def load_scene(path, texture_max_dim: int = 2048,
     meta = SceneMeta(num_vertices=nv, num_triangles=nt, num_primitives=npr,
                      num_meshes=len(mesh_transforms), padded_vertices=pv,
                      padded_triangles=pt, padded_primitives=pp,
-                     has_decals=bool(np.any(np.asarray(prim_is_decal))))
+                     has_decals=bool(np.any(np.asarray(prim_is_decal))),
+                     num_lights=len(light_defs))
 
     # Meshlets (ref: src/scene.cpp:1488-1558 GenerateMeshlets)
     from . import meshlets as meshlets_mod

@@ -59,7 +59,8 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
     p = num_prims
     meta = SceneMeta(num_vertices=v, num_triangles=t, num_primitives=p,
                      num_meshes=1, padded_vertices=v, padded_triangles=t,
-                     padded_primitives=p)
+                     padded_primitives=p,
+                     num_lights=int(lights.count))
     counts = np.bincount(np.asarray(tri_prim), minlength=p).astype(np.int32)
     return Scene(
         positions=jnp.asarray(positions),

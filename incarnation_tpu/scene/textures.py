@@ -482,11 +482,34 @@ def _stack_bilinear(flat, base, s, uv, address):
     return top * (1 - ty) + bot * ty
 
 
+def _stack_point(flat, base, s, uv, address, jitter):
+    """Stochastic-bilinear point fetch: ONE gather of the interleaved row.
+
+    jitter: (..., 2) uniforms in [0, 1). Sampling texel
+    floor(u*s - 0.5 + j) picks the bilinear footprint's x0+1 with exactly the
+    bilinear weight frac(u*s - 0.5), so the expectation over jitter equals
+    the 4-gather bilinear result; TAA's temporal accumulation realizes that
+    expectation (stochastic texture filtering)."""
+    sf = s.astype(jnp.float32)
+    fx = uv[..., 0] * sf - 0.5 + jitter[..., 0]
+    fy = uv[..., 1] * sf - 0.5 + jitter[..., 1]
+    x = _address(jnp.floor(fx).astype(jnp.int32), s, address)
+    y = _address(jnp.floor(fy).astype(jnp.int32), s, address)
+    w = flat[base + y * s + x].astype(jnp.uint32)        # (..., 4) u32
+    chans = []
+    for wi in range(4):
+        for shift in (0, 8, 16, 24):
+            chans.append(_unpack_u8(w[..., wi], shift))
+    return jnp.stack(chans, axis=-1)                     # (..., 16)
+
+
 def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
-                          trilinear: bool = True):
+                          trilinear: bool = True, jitter=None):
     """Sample all material texture slots at once.
 
     mat_id: (...,) int32; uv: (..., 2); lod: (...,) float mip or None.
+    jitter: optional (..., 2) uniforms — stochastic-bilinear single-texel
+    fetch (1 gather total; pair with a dithered integer `lod` + TAA).
     Returns (..., 16) float channels in storage space (base/emissive rgb are
     still sRGB-encoded; use decode_stack_channels to finish).
     """
@@ -497,11 +520,15 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
     address = meta[..., 3]
 
     if lod is None:
+        if jitter is not None:
+            return _stack_point(stack.flat, base, size, uv, address, jitter)
         return _stack_bilinear(stack.flat, base, size, uv, address)
     lod = jnp.clip(lod, 0.0, (levels - 1).astype(jnp.float32))
     l0 = jnp.floor(lod).astype(jnp.int32)
     b0 = base + _level_offset(size, l0)
     s0 = jnp.maximum(size >> l0, 1)
+    if jitter is not None:
+        return _stack_point(stack.flat, b0, s0, uv, address, jitter)
     out0 = _stack_bilinear(stack.flat, b0, s0, uv, address)
     if not trilinear:
         return out0

@@ -17,7 +17,7 @@ def run(scene, params=PARAMS, view=None):
     if view is None:
         view = View.default(aspect=W / H)
     vp = jnp.asarray(view.view_proj())
-    tri, depth, clip, world, stats = raster.render_visibility(
+    tri, depth, clip, world, stats, _ = raster.render_visibility(
         scene, scene.vtx_mesh, EYE4, vp,
         jnp.ones(scene.prim_mesh.shape, bool), params)
     vis = raster.visibility_from_tri(tri, scene)

@@ -46,7 +46,7 @@ def main():
         st, ids, valid, bbox = raster.triangle_setup(
             clip, scene, jnp.ones((1,), bool), params)
         bins = raster.bin_triangles(st, ids, valid, bbox, params)
-        return raster.rasterize_tiles(bins, params)
+        return raster.rasterize_tiles(bins, params)[:2]
 
     tri_tpu, z_tpu = jax.jit(run)()
     tri_tpu, z_tpu = np.asarray(tri_tpu), np.asarray(z_tpu)
