@@ -63,10 +63,10 @@ def main():
     # 128^2 LUT: the function is smooth (max abs diff vs 512^2 < 1e-3) and
     # the small quad-packed table keeps the per-pixel gather cache-resident.
     env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
-    # pair capacity sized ~3x the scene's real pair count (overflow is a
+    # pair capacity sized ~1.5x the scene's real pair count (overflow is a
     # counted stat); oversizing inflates the CSR build cost
     params = RasterParams(width=width, height=height,
-                          pair_capacity=1 << 19)
+                          pair_capacity=1 << 18)
     view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
                             aspect=width / height)
     sun_ci = [1.0, 1.0, 1.0, 100.0]

@@ -4,14 +4,27 @@ Port of the reference's TAA (ref: shaders/postprocess/taa-resolve.hlsl +
 render-jobs/taa-resolve.inl): depth-based reprojection through
 invViewProj x prevViewProj, bilinear history fetch, 3x3 neighborhood clamp,
 luminance-weighted 0.1/0.9 blend; the camera is jittered by Halton(2,3)
-sub-pixel offsets (ref: src/renderer.cpp:126-132, 1625-1631). Pure jnp —
-elementwise + rolls + one gather for the bilinear history fetch.
+sub-pixel offsets (ref: src/renderer.cpp:126-132, 1625-1631).
+
+The history fetch is the TPU-hostile part: 2M bilinear reads of the 25 MB
+history buffer cost ~36 ms as XLA gathers. The default path is therefore a
+Pallas kernel: each screen tile DMAs a bounded history neighborhood
+(±16 rows, ±1 tile of columns) into VMEM and evaluates the EXACT bilinear
+fetch as two one-hot-weighted contractions on the MXU — zero per-pixel
+random access. Displacements beyond the neighborhood clamp to its edge,
+which the 3x3 color clamp then treats as a disocclusion (same behavior
+class as the reference's clamp under fast motion). The jnp gather path
+remains for small frames and as the conformance reference.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .resolve import world_from_depth
 
@@ -26,13 +39,19 @@ def _bilinear_image(img, uv, width: int, height: int, jitter=None):
     gather becomes locality-bound.)"""
     fx = uv[..., 0] * width - 0.5
     fy = uv[..., 1] * height - 0.5
+    # Pad rows 3 -> 4 floats (16 B): the TPU gather fast path wants
+    # 16-byte-aligned narrow rows; the pad is one cheap sequential copy.
+    c = img.shape[-1]
+    if c == 3:
+        img = jnp.concatenate(
+            [img, jnp.zeros_like(img[..., :1])], axis=-1)
     flat = img.reshape(-1, img.shape[-1])
     if jitter is not None:
         x = jnp.clip(jnp.floor(fx + jitter[..., 0]).astype(jnp.int32),
                      0, width - 1)
         y = jnp.clip(jnp.floor(fy + jitter[..., 1]).astype(jnp.int32),
                      0, height - 1)
-        return flat[y * width + x]
+        return flat[y * width + x][..., :c]
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = (fx - x0)[..., None]
@@ -44,7 +63,115 @@ def _bilinear_image(img, uv, width: int, height: int, jitter=None):
     f = lambda y, x: flat[y * width + x]
     top = f(y0c, x0c) * (1 - tx) + f(y0c, x1c) * tx
     bot = f(y1c, x0c) * (1 - tx) + f(y1c, x1c) * tx
-    return top * (1 - ty) + bot * ty
+    return (top * (1 - ty) + bot * ty)[..., :c]
+
+
+_TILE_H = 16
+_TILE_W = 128
+_MARGIN_Y = 16          # vertical reprojection reach (rows)
+_BLOCK_R = _TILE_H + 2 * _MARGIN_Y
+_BLOCK_C = 3 * _TILE_W  # horizontal reach: +-1 tile of columns
+
+
+def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
+                      *, width: int, height: int):
+    """Per-tile reprojected bilinear history fetch (see module docstring).
+
+    hist_hbm: (3, H, W) channel-first history (HBM). out: (3, th, tw) tile.
+    m_ref: (4, 4) combined ndc->prev-clip matrix (inv_view_proj @
+    prev_view_proj — the per-pixel world division cancels projectively).
+    """
+    th, tw = _TILE_H, _TILE_W
+    n = th * tw
+    ti = pl.program_id(0)
+    tiles_x = width // tw
+    ty = ti // tiles_x
+    tx = ti - ty * tiles_x
+
+    # All three clip candidates are multiples of 8 / 128 (th, W, H are
+    # gated multiples) — the hint lets Mosaic prove the DMA tile alignment.
+    block_y0 = pl.multiple_of(
+        jnp.clip(ty * th - _MARGIN_Y, 0, height - _BLOCK_R), 8)
+    block_x0 = pl.multiple_of(
+        jnp.clip((tx - 1) * tw, 0, width - _BLOCK_C), tw)
+    dma = pltpu.make_async_copy(
+        hist_hbm.at[:, pl.ds(block_y0, _BLOCK_R), pl.ds(block_x0, _BLOCK_C)],
+        scratch, sem)
+    dma.start()
+
+    # Reprojected previous-frame pixel coordinates from this tile's depth.
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    py = pix // tw
+    px = pix - py * tw
+    xs = (px + tx * tw).astype(jnp.float32) + 0.5
+    ys = (py + ty * th).astype(jnp.float32) + 0.5
+    z = depth_ref[:, :].reshape(1, n)
+    nx = 2.0 * xs / width - 1.0
+    ny = -2.0 * ys / height + 1.0
+    cx = nx * m_ref[0, 0] + ny * m_ref[1, 0] + z * m_ref[2, 0] + m_ref[3, 0]
+    cy = nx * m_ref[0, 1] + ny * m_ref[1, 1] + z * m_ref[2, 1] + m_ref[3, 1]
+    cw = nx * m_ref[0, 3] + ny * m_ref[1, 3] + z * m_ref[2, 3] + m_ref[3, 3]
+    inv_w = jnp.where(jnp.abs(cw) > 1e-20, 1.0 / cw, 0.0)
+    u = 0.5 * cx * inv_w + 0.5
+    v = -0.5 * cy * inv_w + 0.5
+    fx = u * width - 0.5
+    fy = v * height - 0.5
+
+    # Clamp the footprint into the resident block (and the screen).
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx_w = fx - x0.astype(jnp.float32)          # (1, n) bilinear fractions
+    ty_w = fy - y0.astype(jnp.float32)
+    x0l = jnp.clip(x0 - block_x0, 0, _BLOCK_C - 1)
+    x1l = jnp.clip(x0 + 1 - block_x0, 0, _BLOCK_C - 1)
+    y0l = jnp.clip(y0 - block_y0, 0, _BLOCK_R - 1)
+    y1l = jnp.clip(y0 + 1 - block_y0, 0, _BLOCK_R - 1)
+
+    # One-hot weighted selection matrices: rows pick history rows, columns
+    # pick history columns; their product with the block IS the bilinear.
+    riota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_R, n), 0)
+    rowsel = (jnp.where(riota == y0l, 1.0 - ty_w, 0.0)
+              + jnp.where(riota == y1l, ty_w, 0.0))       # (R, n)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_C, n), 0)
+    colsel = (jnp.where(ciota == x0l, 1.0 - tx_w, 0.0)
+              + jnp.where(ciota == x1l, tx_w, 0.0))       # (C, n)
+
+    dma.wait()
+    for ch in range(3):
+        b = scratch[ch]                                   # (R, C)
+        m1 = jax.lax.dot_general(
+            b, rowsel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (C, n)
+        out = jnp.sum(m1 * colsel, axis=0, keepdims=True)  # (1, n)
+        out_ref[ch, :, :] = out.reshape(th, tw)
+
+
+def _history_fetch_pallas(history, depth, m, width: int, height: int,
+                          interpret: bool):
+    """history (H, W, 3) -> reprojected bilinear fetch (H, W, 3)."""
+    hist_cf = jnp.transpose(history, (2, 0, 1))           # (3, H, W)
+    tiles = (height // _TILE_H) * (width // _TILE_W)
+    tiles_x = width // _TILE_W
+    out = pl.pallas_call(
+        functools.partial(_taa_fetch_kernel, width=width, height=height),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((4, 4), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((_TILE_H, _TILE_W),
+                         lambda i: (i // tiles_x, i % tiles_x)),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, _TILE_H, _TILE_W),
+            lambda i: (0, i // tiles_x, i % tiles_x)),
+        out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, _BLOCK_R, _BLOCK_C), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(m, hist_cf, depth)
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def _neighborhood_minmax(img):
@@ -78,22 +205,33 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
     (noise is bounded by the 3x3 neighborhood clamp and averaged out by the
     accumulation itself).
     """
-    wp = world_from_depth(depth, inv_view_proj, width, height)
-    prev_clip = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])],
-                                -1) @ prev_view_proj
-    prev_ndc = prev_clip[..., :3] / jnp.where(
-        jnp.abs(prev_clip[..., 3:]) > 1e-20, prev_clip[..., 3:], 1.0)
-    prev_uv = jnp.stack([0.5 * prev_ndc[..., 0] + 0.5,
-                         -0.5 * prev_ndc[..., 1] + 0.5], axis=-1)
+    from .raster import _should_interpret
+    use_kernel = (dither is None and width % _TILE_W == 0
+                  and height % _TILE_H == 0 and width >= _BLOCK_C
+                  and height >= _BLOCK_R)
+    if use_kernel:
+        # Projectively, ndc -> world -> prev-clip collapses to one matrix:
+        # the intermediate division by world w cancels in prev_ndc.
+        m = inv_view_proj @ prev_view_proj
+        prev_color = _history_fetch_pallas(history, depth, m, width, height,
+                                           interpret=_should_interpret())
+    else:
+        wp = world_from_depth(depth, inv_view_proj, width, height)
+        prev_clip = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])],
+                                    -1) @ prev_view_proj
+        prev_ndc = prev_clip[..., :3] / jnp.where(
+            jnp.abs(prev_clip[..., 3:]) > 1e-20, prev_clip[..., 3:], 1.0)
+        prev_uv = jnp.stack([0.5 * prev_ndc[..., 0] + 0.5,
+                             -0.5 * prev_ndc[..., 1] + 0.5], axis=-1)
 
-    jitter = None
-    if dither is not None:
-        from .resolve import _frame_noise
-        jitter = jnp.stack(
-            [_frame_noise(depth.shape, dither, 2911329625),
-             _frame_noise(depth.shape, dither, 3042594569)], axis=-1)
-    prev_color = _bilinear_image(history, prev_uv, width, height,
-                                 jitter=jitter)
+        jitter = None
+        if dither is not None:
+            from .resolve import _frame_noise
+            jitter = jnp.stack(
+                [_frame_noise(depth.shape, dither, 2911329625),
+                 _frame_noise(depth.shape, dither, 3042594569)], axis=-1)
+        prev_color = _bilinear_image(history, prev_uv, width, height,
+                                     jitter=jitter)
     mins, maxs = _neighborhood_minmax(current_hdr)
     clamped = jnp.clip(prev_color, mins, maxs)
 

@@ -1,0 +1,62 @@
+"""TAA resolve: Pallas history-fetch kernel vs the jnp gather reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from incarnation_tpu.kernels import taa
+
+
+def _setup(w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    hdr = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    history = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(h, w).astype(np.float32) * 0.5 + 0.25)
+    return hdr, history, depth
+
+
+def test_pallas_fetch_matches_jnp_reference():
+    w, h = 384, 48
+    hdr, history, depth = _setup(w, h)
+    # A small reprojection offset (sub-pixel + a few pixels), exercised
+    # through a genuine matrix pair so the kernel's collapsed ndc->prev-clip
+    # matrix is tested against the jnp path's world round trip.
+    ivp = jnp.asarray(np.eye(4, dtype=np.float32))
+    pvp = np.eye(4, dtype=np.float32)
+    pvp[3, 0] = 2.5 * 2.0 / w    # 2.5 px right in ndc
+    pvp[3, 1] = -1.25 * 2.0 / h  # 1.25 px down
+    pvp = jnp.asarray(pvp)
+
+    ref = taa.taa_resolve(hdr, history, depth, ivp, pvp, True, w, h)
+    # Force the jnp path by perturbing the width gate via direct call.
+    m = ivp @ pvp
+    fetch_k = taa._history_fetch_pallas(history, depth, m, w, h,
+                                        interpret=True)
+    wp = taa.world_from_depth(depth, ivp, w, h)
+    prev_clip = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1) @ pvp
+    prev_ndc = prev_clip[..., :3] / prev_clip[..., 3:]
+    prev_uv = jnp.stack([0.5 * prev_ndc[..., 0] + 0.5,
+                         -0.5 * prev_ndc[..., 1] + 0.5], axis=-1)
+    fetch_j = taa._bilinear_image(history, prev_uv, w, h)
+    np.testing.assert_allclose(np.asarray(fetch_k), np.asarray(fetch_j),
+                               atol=2e-5)
+    assert np.asarray(ref).shape == (h, w, 3)
+
+
+def test_pallas_fetch_identity():
+    # Identity reprojection reproduces the history up to f32 uv round-trip
+    # (the sub-ulp fractional weight leaks ~1e-5 of the neighbor texel —
+    # the jnp gather path behaves identically).
+    w, h = 384, 48
+    _, history, depth = _setup(w, h, seed=3)
+    m = jnp.asarray(np.eye(4, dtype=np.float32))
+    out = taa._history_fetch_pallas(history, depth, m, w, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(history),
+                               atol=1e-4)
+
+
+def test_taa_resolve_first_frame_passthrough():
+    w, h = 384, 48
+    hdr, history, depth = _setup(w, h, seed=7)
+    ivp = jnp.asarray(np.eye(4, dtype=np.float32))
+    out = taa.taa_resolve(hdr, history, depth, ivp, ivp, False, w, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(hdr), atol=1e-6)

@@ -1,9 +1,9 @@
 """Profile the bench frame on the real chip and print the top XLA fusions.
 
-Usage: python tools/profile_bench.py [--trace-dir DIR]
+Usage: python tools/profile_bench.py
 Parses the .trace.json.gz produced by jax.profiler and aggregates device-op
-durations by op name, printing the top entries — the round-to-round way to
-see where the 1080p frame goes.
+durations by op name (with operand shapes) — the round-to-round way to see
+where the 1080p frame goes.
 """
 
 import glob
@@ -24,13 +24,14 @@ def main():
     from incarnation_tpu.utils import jaxinit
     jaxinit.setup()
     import jax
+    import jax.numpy as jnp
     from incarnation_tpu.config import Config
     from incarnation_tpu.core.view import View
+    from incarnation_tpu.core import mathutils as mu
     from incarnation_tpu.kernels.raster import RasterParams
     from incarnation_tpu.renderer import frame as frame_mod
     from incarnation_tpu.kernels import ibl, sky
     from incarnation_tpu.scene.cache import load_probe_cached
-    import jax.numpy as jnp
 
     width, height = 1920, 1088
     host, scene, name = bench.load_bench_scene()
@@ -42,26 +43,42 @@ def main():
             envmap_size=cfg.envmap_resolution),
         key=f"sky:{sun.round(4).tolist()}:{cfg.turbidity}:"
             f"{cfg.envmap_resolution}")
-    env_brdf = ibl.env_brdf_lut(512)
+    env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
     params = RasterParams(width=width, height=height, pair_capacity=1 << 19)
     view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
                             aspect=width / height)
-    fc = frame_mod.FrameConstants.make(
-        view, cfg, sun_dir=sun, sun_color_intensity=[1.0, 1.0, 1.0, 100.0])
+    jitters = np.asarray(mu.halton_jitter_table(16))
 
-    out = frame_mod.render_frame_jit(scene, fc, cfg, params)
+    def make_fc(i, prev_vp):
+        j = jitters[i % 16] * 2.0 / np.array([width, height])
+        return frame_mod.FrameConstants.make(
+            view, cfg, sun_dir=sun, sun_color_intensity=[1., 1., 1., 100.],
+            jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0),
+            frame_index=i)
+
+    history = jnp.zeros((height, width, 3))
+    fc = make_fc(0, None)
+    out = frame_mod.render_frame_jit(scene, fc, cfg, params, probe, env_brdf,
+                                     history)
+    out["color"].block_until_ready()
+    history = out["accumulation"]
+    fc1 = make_fc(1, np.asarray(fc.view_proj))
+    out = frame_mod.render_frame_jit(scene, fc1, cfg, params, probe,
+                                     env_brdf, history)
     out["color"].block_until_ready()
 
     t0 = time.time()
     for _ in range(5):
-        out = frame_mod.render_frame_jit(scene, fc, cfg, params)
+        out = frame_mod.render_frame_jit(scene, fc1, cfg, params, probe,
+                                         env_brdf, history)
     out["color"].block_until_ready()
     dt = (time.time() - t0) / 5
     print(f"frame = {dt * 1e3:.1f} ms  ({1.0 / dt:.2f} FPS)")
 
     jax.profiler.start_trace(trace_dir)
     for _ in range(3):
-        out = frame_mod.render_frame_jit(scene, fc, cfg, params)
+        out = frame_mod.render_frame_jit(scene, fc1, cfg, params, probe,
+                                         env_brdf, history)
     out["color"].block_until_ready()
     jax.profiler.stop_trace()
 
@@ -72,29 +89,30 @@ def main():
         return
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
-    # Device-lane complete events: aggregate by name.
     durs = {}
+    shapes = {}
+    keys = ("fusion", "custom", "copy", "sort", "gather", "scatter",
+            "convert", "while", "reduce", "dot", "transpose", "dynamic",
+            "iota", "slice", "concatenate", "broadcast", "pad", "bitcast",
+            "select", "compare", "tanh", "rsqrt", "call")
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        name_ = ev.get("name", "")
-        args = ev.get("args") or {}
-        # Keep XLA op events (they carry 'long_name' or look like fusions)
-        if not ("fusion" in name_ or "custom" in name_ or "copy" in name_
-                or "sort" in name_ or "gather" in name_ or "scatter" in name_
-                or "convert" in name_ or "while" in name_ or "reduce" in name_
-                or "dot" in name_ or "transpose" in name_
-                or "dynamic" in name_ or "iota" in name_ or "slice" in name_
-                or "concatenate" in name_ or "broadcast" in name_
-                or "tpu_custom_call" in name_ or "pad" in name_):
+        n_ = ev.get("name", "")
+        if not any(k in n_ for k in keys):
             continue
-        durs.setdefault(name_, [0.0, 0])
-        durs[name_][0] += ev.get("dur", 0) / 1e3   # us -> ms
-        durs[name_][1] += 1
+        args = ev.get("args") or {}
+        ln = str(args.get("long_name") or "")
+        durs.setdefault(n_, [0.0, 0])
+        durs[n_][0] += ev.get("dur", 0) / 1e3
+        durs[n_][1] += 1
+        if ln:
+            shapes[n_] = ln.split(" = ")[1][:95] if " = " in ln else ln[:95]
     total = sum(v[0] for v in durs.values()) / 3.0
-    print(f"sum of matched device ops per frame ~= {total:.1f} ms")
-    for name_, (d, c) in sorted(durs.items(), key=lambda kv: -kv[1][0])[:28]:
-        print(f"{d / 3.0:8.2f} ms  x{c // 3:<4d} {name_[:90]}")
+    print(f"matched device ops per frame ~= {total:.1f} ms")
+    for n_, (d, c) in sorted(durs.items(), key=lambda kv: -kv[1][0])[:28]:
+        print(f"{d / 3.0:8.2f} ms x{c // 3:<3d} {n_:26s} "
+              f"{shapes.get(n_, '')[:85]}")
 
 
 if __name__ == "__main__":
