@@ -66,7 +66,8 @@ def main():
     # pair capacity sized ~1.5x the scene's real pair count (overflow is a
     # counted stat); oversizing inflates the CSR build cost
     params = RasterParams(width=width, height=height,
-                          pair_capacity=1 << 18)
+                          pair_capacity=1 << 18,
+                          bin_max_span=8)
     view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
                             aspect=width / height)
     sun_ci = [1.0, 1.0, 1.0, 100.0]

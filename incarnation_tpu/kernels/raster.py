@@ -719,9 +719,36 @@ def render_visibility(scene, vtx_mesh, scene_rotation, view_proj,
     return tri, depth, clip, world, stats, interp
 
 
+def _vertex_table(scene, scene_rotation, view_proj):
+    """(V, 16) per-vertex table: clip position + uv + world-rotated normal/
+    tangent + sign, built in one packed matrix gather + 2D multiply-adds
+    (no (V, 4, 4) intermediates — 3D reshapes cost tiled-layout copies).
+
+    The reference transforms normals by the 3x3 of localToWorld without
+    inverse-transpose (ref: gbuffer-compute.hlsl:238-241); we match that.
+    """
+    local_to_world = jnp.einsum("mij,jk->mik", scene.mesh_transforms,
+                                scene_rotation)
+    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
+    packed = jnp.concatenate([
+        local_to_clip.reshape(-1, 16),
+        local_to_world[:, :3, :3].reshape(-1, 9)], axis=-1)   # (M, 25)
+    m = packed[scene.vtx_mesh]                                # (V, 25)
+    x, y, z = (scene.positions[:, 0:1], scene.positions[:, 1:2],
+               scene.positions[:, 2:3])
+    clip = (x * m[:, 0:4] + y * m[:, 4:8] + z * m[:, 8:12] + m[:, 12:16])
+    n, t4 = scene.normals, scene.tangents
+    wn = (n[:, 0:1] * m[:, 16:19] + n[:, 1:2] * m[:, 19:22]
+          + n[:, 2:3] * m[:, 22:25])
+    wt = (t4[:, 0:1] * m[:, 16:19] + t4[:, 1:2] * m[:, 19:22]
+          + t4[:, 2:3] * m[:, 22:25])
+    return jnp.concatenate([
+        clip, scene.uvs, wn, wt, t4[:, 3:4],
+        jnp.zeros((clip.shape[0], 3), jnp.float32)], axis=-1)
+
+
 def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
-                              world_n_v, world_t_v, params: RasterParams,
-                              tri_visible=None):
+                              params: RasterParams, tri_visible=None):
     """Fused visibility pass + attribute-plane build: shares the vertex
     transform, per-corner clip gathers, and edge cross products between
     triangle_setup and triangle_attributes (they are recomputed when the
@@ -731,11 +758,12 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
     """
     p = params
     w, h = p.width, p.height
-    clip, _ = vertex_transform(scene.positions, scene.vtx_mesh,
-                               scene.mesh_transforms, scene_rotation,
-                               view_proj)
     tv = scene.tri_vtx
-    c0, c1, c2 = clip[tv[:, 0]], clip[tv[:, 1]], clip[tv[:, 2]]
+    # ONE (V, 16) per-vertex table -> a single wide-row gather per corner
+    # (clip + uv + world normal/tangent + sign together) vs six narrow ones.
+    vtable = _vertex_table(scene, scene_rotation, view_proj)
+    r0, r1, r2 = vtable[tv[:, 0]], vtable[tv[:, 1]], vtable[tv[:, 2]]
+    c0, c1, c2 = r0[:, :4], r1[:, :4], r2[:, :4]
 
     def screen_h(c):
         sx = (0.5 * c[:, 0] + 0.5 * c[:, 3]) * w
@@ -750,12 +778,20 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
 
     prim = scene.tri_prim
     safe_prim = jnp.maximum(prim, 0)
-    double_sided = scene.prim_double_sided[safe_prim] > 0
+    # One (P, 4) per-prim row gather instead of three narrow ones
+    # (double-sided flag, frustum visibility, material id).
+    ptable = jnp.stack([
+        scene.prim_double_sided.astype(jnp.float32),
+        prim_visible.astype(jnp.float32),
+        scene.prim_material.astype(jnp.float32),
+        jnp.zeros_like(prim_visible, jnp.float32)], axis=-1)
+    prow = ptable[safe_prim]
+    double_sided = prow[:, 0] > 0
     front = det < 0.0
     wmin = jnp.minimum(jnp.minimum(c0[:, 3], c1[:, 3]), c2[:, 3])
 
     valid = (prim >= 0)
-    valid &= prim_visible[safe_prim]
+    valid &= prow[:, 1] > 0
     if tri_visible is not None:
         valid &= tri_visible
     valid &= wmin > _W_EPS
@@ -784,16 +820,19 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
     setup_t = jnp.concatenate([e0.T, e1.T, e2.T, zplane.T], axis=0) \
         .astype(jnp.float32)
 
-    # attribute planes (shared e0/e1/e2)
-    vattr = jnp.concatenate(
-        [scene.uvs, world_n_v, world_t_v, scene.tangents[:, 3:4]], axis=-1)
-    a0, a1, a2 = vattr[tv[:, 0]], vattr[tv[:, 1]], vattr[tv[:, 2]]
-    ch_p = (a0[:, :8, None] * e0[:, None, :]
-            + a1[:, :8, None] * e1[:, None, :]
-            + a2[:, :8, None] * e2[:, None, :])
-    attr_flat = _attr_flat(
-        ch_p, e0 + e1 + e2, a0[:, 8:9],
-        scene.prim_material[safe_prim].astype(jnp.float32)[:, None])
+    # Attribute planes (shared e0/e1/e2 and the per-corner vtable rows),
+    # built directly in the flat (T, 29) layout — the (T, 8, 3) einsum
+    # intermediate costs a tiled-layout copy on TPU.
+    a0, a1, a2 = r0[:, 4:13], r1[:, 4:13], r2[:, 4:13]
+
+    def plane(c):
+        return (a0[:, c:c + 1] * e0 + a1[:, c:c + 1] * e1
+                + a2[:, c:c + 1] * e2)
+
+    attr_flat = jnp.concatenate(
+        [plane(0), plane(1), e0 + e1 + e2]
+        + [plane(c) for c in range(2, 8)]
+        + [a0[:, 8:9], prow[:, 2:3]], axis=-1).astype(jnp.float32)
 
     bins = bin_triangles(setup_t, ids, valid, bbox, params, attr_flat)
     tri, depth, interp = rasterize_tiles(bins, params)

@@ -123,11 +123,9 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 fc.scene_rotation, fc.view_proj)
             tri_visible = m_inside[jnp.maximum(scene.tri_meshlet, 0)]
 
-    world_n_v, world_t_v = resolve.vertex_world_attributes(
-        scene, fc.scene_rotation)
     tri, depth, interp, stats = raster.visibility_and_attributes(
         scene, fc.scene_rotation, fc.view_proj, prim_visible,
-        world_n_v, world_t_v, params, tri_visible)
+        params, tri_visible)
     stats["culled_primitives"] = culled_prims
     stats["culled_meshlets"] = culled_meshlets
 
@@ -147,6 +145,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     # base color alpha-blended, normals/metal-rough overwritten where the
     # decal is opaque
     if scene.meta.has_decals:
+        world_n_v, world_t_v = resolve.vertex_world_attributes(
+            scene, fc.scene_rotation)
         d_tri, d_depth, _, _, _, d_interp = raster.render_visibility(
             scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
             scene.prim_is_decal > 0, params,

@@ -44,7 +44,8 @@ def main():
         key=f"sky:{sun.round(4).tolist()}:{cfg.turbidity}:"
             f"{cfg.envmap_resolution}")
     env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 19)
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 18,
+                          bin_max_span=8)
     view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
                             aspect=width / height)
     jitters = np.asarray(mu.halton_jitter_table(16))
