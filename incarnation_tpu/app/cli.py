@@ -191,8 +191,11 @@ def main(argv=None):
         out["color"].block_until_ready()
         if args.spp > 1:
             dt = (time.time() - t0) / (args.spp - 1)
-            mrays = args.width * args.height * (1 + 4) / dt / 1e6
-            print(f"[pt] {dt * 1e3:.0f} ms/sample (~{mrays:.1f} Mrays/s "
+            # traces per sample: 4 bounce rays + 4 sky-shadow rays
+            # + 4 x num_lights NEE shadow rays
+            n_tr = 8 + 4 * host.scene.meta.num_lights
+            mrays = args.width * args.height * n_tr / dt / 1e6
+            print(f"[pt] {dt * 1e3:.0f} ms/sample (~{mrays:.2f} Mrays/s "
                   f"incl. shadow rays)")
         io_mod.save_png(args.out, np.asarray(out["color"]))
         print(f"[out] {args.out}")

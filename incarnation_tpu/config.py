@@ -116,6 +116,11 @@ class Config:
     # The TAA accumulation converges both to the trilinear result.
     stochastic_mip: bool = True
     stochastic_bilinear: bool = True
+    # Alpha-masked geometry: number of depth-peel layers rastered for
+    # MASK/BLEND primitives (a failed alpha test exposes the next fragment
+    # behind it — ref: visibility-pass.hlsl clip). 2 covers typical foliage
+    # overlap; raise for dense vegetation.
+    masked_depth_peels: int = 2
     # Stochastic single-texel TAA history fetch (1 gather instead of 4).
     # Off by default: the history feedback loop turns the fetch noise into
     # visible mottling (33.9 dB vs exact after 32 frames — tools/

@@ -124,16 +124,17 @@ def pathtrace_spp_sharded(scene, bvh, fc, history, base_sample_index, *,
 
     def body(scene, bvh, fc, history, probe):
         idx = jax.lax.axis_index(axis)
-        world_n_v, world_t_v = resolve_mod.vertex_world_attributes(
-            scene, fc.scene_rotation)
+        scene_b, fc_b, world_n_v, world_t_v = frame_mod.pathtrace_inputs(
+            scene, fc)
         cur = pathtrace.trace_sample(
-            scene, bvh, world_n_v, world_t_v, fc, probe,
+            scene_b, bvh, world_n_v, world_t_v, fc_b, probe,
             jnp.asarray(base_sample_index, jnp.uint32) + idx.astype(
                 jnp.uint32),
             width, height,
             sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
             dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
-            turbidity=config.turbidity)
+            turbidity=config.turbidity,
+            sky_rot3=fc.scene_rotation[:3, :3], sun_dir_world=fc.sun_dir)
         mean = jax.lax.pmean(cur, axis)
         n0 = jnp.asarray(base_sample_index, jnp.float32)
         new_hist = (history * n0 + mean * n_dev) / (n0 + n_dev)

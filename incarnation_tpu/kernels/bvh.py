@@ -1,4 +1,4 @@
-"""LBVH: linear bounding-volume hierarchy build + ray traversal.
+"""LBVH: linear bounding-volume hierarchy build + threaded ray traversal.
 
 The reference gets BLAS/TLAS acceleration structures from the D3D12 driver
 and traverses with RayQuery / DXR (ref: src/scene.cpp:672-848,
@@ -6,14 +6,26 @@ lighting/common.hlsli:96-116, raytracing/pathtracing.hlsl). On TPU we build
 our own (SURVEY.md §2.4): a Karras-2012 LBVH over 30-bit Morton codes built
 vectorized in numpy at scene load (static geometry — the reference's
 per-frame TLAS rebuild handles scene rotation, which we instead apply by
-inverse-rotating rays), flattened into gather-friendly node rows:
+inverse-rotating rays).
 
-  node row (16 f32): [left_child, right_child (bitcast int; negative =
-  ~leaf_triangle), left AABB min/max (6), right AABB min/max (6), pad]
+The tree is THREADED for traversal (skip pointers, stackless): every node
+row carries a hit link (first child) and a miss link (next subtree in DFS
+order), leaves carry their Moller-Trumbore triangle row INLINE, so a
+traversal step is exactly ONE 64-byte row gather plus a slab test or
+triangle intersection and a few selects — no per-ray stack (round 1's
+48-deep one-hot stack was ~5x the per-step cost and capped the tracer at
+0.07 Mray/s).
 
-so traversal costs ONE row gather per step. Traversal is a vectorized
-lax.while_loop over ray batches with a short per-ray stack (closest-hit and
-any-hit/shadow variants).
+  row (16 f32): internal  [lo(3), hi(3), -, -, -, miss, hit, -, 0, pad]
+                leaf      [v0(3), e1(3), e2(3), miss, tri, ds, 1, pad]
+  (links and triangle ids stored as exact small floats)
+
+Traversal runs straight-line unrolled segments (no while_loop bookkeeping)
+with ray COMPACTION between segments: the median ray finishes in ~16 steps
+while the worst needs hundreds, so the tail continues at 1/4 then 1/16
+width inside an 8-step-unrolled while_loop. Rays exceeding the step budget
+or the compaction capacity terminate with their best hit so far and are
+counted in the returned `trunc` stat.
 """
 
 from __future__ import annotations
@@ -40,7 +52,7 @@ def _expand_bits(v: np.ndarray) -> np.ndarray:
 def morton3(p01: np.ndarray) -> np.ndarray:
     """(N, 3) points in [0,1] -> 30-bit Morton codes (N,) uint32."""
     q = np.clip(p01 * 1024.0, 0, 1023).astype(np.uint64)
-    return (( _expand_bits(q[:, 0]) << np.uint64(2))
+    return ((_expand_bits(q[:, 0]) << np.uint64(2))
             | (_expand_bits(q[:, 1]) << np.uint64(1))
             | _expand_bits(q[:, 2])).astype(np.uint32)
 
@@ -65,45 +77,15 @@ def _common_prefix(codes64: np.ndarray, i: np.ndarray, j: np.ndarray,
     return np.where(valid, 64 - _bit_length_u64(x), -1)
 
 
-def build_lbvh(tri_verts: np.ndarray):
-    """tri_verts: (T, 3, 3) world-space triangles ->
-    (nodes (2T-1, 16) f32 flattened rows, root index int).
-
-    Karras 2012 radix-tree construction, vectorized.
-    """
-    t = tri_verts.shape[0]
-    if t == 1:
-        # Degenerate: single pseudo-internal node pointing at the leaf twice.
-        lo = tri_verts[0].min(0)
-        hi = tri_verts[0].max(0)
-        row = np.zeros((1, 16), np.float32)
-        row[0, 0] = np.frombuffer(np.int32(~0).tobytes(),
-                                  np.float32)[0]
-        row[0, 1] = row[0, 0]
-        row[0, 2:5] = lo
-        row[0, 5:8] = hi
-        row[0, 8:11] = lo
-        row[0, 11:14] = hi
-        return row, 0
-
-    centroids = tri_verts.mean(axis=1)
-    lo = centroids.min(0)
-    hi = centroids.max(0)
-    norm = (centroids - lo) / np.maximum(hi - lo, 1e-12)
-    codes = morton3(norm)
-    order = np.argsort(codes, kind="stable").astype(np.int64)
-    codes_s = codes[order]
-    # index-augmented 64-bit codes make all keys unique
-    codes64 = (codes_s.astype(np.uint64) << np.uint64(32)) \
-        | np.arange(t, dtype=np.uint64)
-
+def _karras_topology(codes64: np.ndarray, t: int):
+    """Karras 2012 radix tree: left/right child codes for t-1 internal
+    nodes (negative = ~sorted_leaf_position)."""
     i = np.arange(t - 1, dtype=np.int64)
     d = np.sign(_common_prefix(codes64, i, i + 1, t)
                 - _common_prefix(codes64, i, i - 1, t)).astype(np.int64)
     d = np.where(d == 0, 1, d)
     delta_min = _common_prefix(codes64, i, i - d, t)
 
-    # find upper bound for range length by doubling
     lmax = np.full(t - 1, 2, np.int64)
     while True:
         probe = _common_prefix(codes64, i, i + lmax * d, t) > delta_min
@@ -113,7 +95,6 @@ def build_lbvh(tri_verts: np.ndarray):
         if lmax.max() > 2 * t:
             break
 
-    # binary search the exact other end j
     l = np.zeros(t - 1, np.int64)
     step = lmax // 2
     while step.max() > 0:
@@ -124,10 +105,9 @@ def build_lbvh(tri_verts: np.ndarray):
     j = i + l * d
     delta_node = _common_prefix(codes64, i, j, t)
 
-    # binary search split position
     s = np.zeros(t - 1, np.int64)
     div = 2
-    step = -(-l // div)  # ceil(l / 2)
+    step = -(-l // div)
     while True:
         cand = s + step
         ok = _common_prefix(codes64, i, i + cand * d, t) > delta_node
@@ -140,13 +120,47 @@ def build_lbvh(tri_verts: np.ndarray):
 
     left_is_leaf = np.minimum(i, j) == gamma
     right_is_leaf = np.maximum(i, j) == gamma + 1
-    left = np.where(left_is_leaf, ~gamma, gamma)            # ~x < 0 => leaf
+    left = np.where(left_is_leaf, ~gamma, gamma)          # ~x < 0 => leaf
     right = np.where(right_is_leaf, ~(gamma + 1), gamma + 1)
+    return left, right
 
-    # Bottom-up AABBs: leaf boxes known; iterate until all internals ready.
-    tri_lo = tri_verts.min(axis=1)[order]
-    tri_hi = tri_verts.max(axis=1)[order]
+
+def build_lbvh(tri_verts: np.ndarray):
+    """tri_verts: (T, 3, 3) world-space triangles -> (rows (N, 16) f32,
+    links (8N, 2) f32). rows hold boxes / inline triangles (module
+    docstring; root is node 0); links hold the per-octant (hit, miss)
+    threading as GLOBAL indices okt*N + node. The caller fills the
+    double-sided lane 11 per leaf's ORIGINAL triangle index (lane 10)."""
+    t = tri_verts.shape[0]
+    tri_lo_all = tri_verts.min(axis=1)
+    tri_hi_all = tri_verts.max(axis=1)
+
+    if t == 1:
+        row = np.zeros((1, 16), np.float32)
+        v0 = tri_verts[0, 0]
+        row[0, 0:3] = v0
+        row[0, 3:6] = tri_verts[0, 1] - v0
+        row[0, 6:9] = tri_verts[0, 2] - v0
+        row[0, 10] = 0.0       # tri id
+        row[0, 12] = 1.0       # leaf flag
+        links = np.full((8, 2), -1.0, np.float32)
+        return row, links
+
+    centroids = tri_verts.mean(axis=1)
+    lo = centroids.min(0)
+    hi = centroids.max(0)
+    norm = (centroids - lo) / np.maximum(hi - lo, 1e-12)
+    codes = morton3(norm)
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+    codes64 = (codes[order].astype(np.uint64) << np.uint64(32)) \
+        | np.arange(t, dtype=np.uint64)
+
+    left, right = _karras_topology(codes64, t)
     n_int = t - 1
+
+    # Bottom-up AABBs for internal nodes.
+    tri_lo = tri_lo_all[order]
+    tri_hi = tri_hi_all[order]
     node_lo = np.full((n_int, 3), np.inf, np.float32)
     node_hi = np.full((n_int, 3), -np.inf, np.float32)
     ready = np.zeros(n_int, bool)
@@ -170,37 +184,66 @@ def build_lbvh(tri_verts: np.ndarray):
         node_hi = np.where(new_ready[:, None], np.maximum(lhi, rhi), node_hi)
         ready |= new_ready
 
-    # Flatten rows: children point at internal nodes; leaves carry the
-    # ORIGINAL (pre-sort) triangle index.
-    leaf_map = order  # sorted leaf position -> original triangle id
-    def encode_child(c):
-        is_leaf = c < 0
-        leaf_orig = leaf_map[np.where(is_leaf, ~c, 0)]
-        return np.where(is_leaf, ~leaf_orig, c).astype(np.int32)
+    # Threaded links over the unified table: internal node i -> row i,
+    # sorted leaf j -> row n_int + j. Eight link sets, one per ray-direction
+    # OCTANT: the near child (along the octant direction) is descended
+    # first, so closest-hit t_best pruning cuts far subtrees — unordered
+    # skip links left ~10% of rays wandering for hundreds of steps.
+    def entry(c):
+        return np.where(c < 0, n_int + (~c), c).astype(np.int64)
+
+    l_e = entry(left)
+    r_e = entry(right)
+    n_total = n_int + t
+    leaf_orig = order                                 # sorted pos -> tri id
+    v0 = tri_verts[leaf_orig, 0]
 
     llo, lhi, _ = child_box(left)
     rlo, rhi, _ = child_box(right)
-    rows = np.zeros((n_int, 16), np.float32)
-    rows[:, 0] = encode_child(left).view(np.float32)
-    rows[:, 1] = encode_child(right).view(np.float32)
-    rows[:, 2:5] = llo
-    rows[:, 5:8] = lhi
-    rows[:, 8:11] = rlo
-    rows[:, 11:14] = rhi
-    return rows, 0
+    c_l = 0.5 * (llo + lhi)
+    c_r = 0.5 * (rlo + rhi)
+
+    base = np.zeros((n_total, 16), np.float32)
+    base[:n_int, 0:3] = node_lo
+    base[:n_int, 3:6] = node_hi
+    base[n_int:, 0:3] = v0
+    base[n_int:, 3:6] = tri_verts[leaf_orig, 1] - v0
+    base[n_int:, 6:9] = tri_verts[leaf_orig, 2] - v0
+    base[n_int:, 10] = leaf_orig.astype(np.float32)
+    base[n_int:, 12] = 1.0
+
+    links = np.zeros((8 * n_total, 2), np.float32)
+    idx_int = np.arange(n_int)
+    for okt in range(8):
+        sign = np.array([1.0 if not (okt >> a) & 1 else -1.0
+                         for a in range(3)], np.float32)
+        near_left = (c_l @ sign) <= (c_r @ sign)
+        near = np.where(near_left, l_e, r_e)
+        far = np.where(near_left, r_e, l_e)
+        miss = np.full(n_total, -1, np.int64)
+        miss[near] = far
+        for _ in range(128):
+            cur = miss.copy()
+            cur[far] = cur[idx_int]
+            if np.array_equal(cur, miss):
+                break
+            miss = cur
+        off = okt * n_total
+        links[off:off + n_int, 0] = (near + off).astype(np.float32)
+        links[off:off + n_total, 1] = np.where(
+            miss >= 0, miss + off, -1).astype(np.float32)
+    return base, links
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SceneBVH:
-    nodes: jnp.ndarray       # (T-1, 16) f32 rows (see module docstring)
-    tri_rows: jnp.ndarray    # (T, 12) f32: v0 (3), e1 (3), e2 (3), pad
-    double_sided: jnp.ndarray  # (T,) f32 (cull back faces when 0 —
-    #                             ref: RAY_FLAG_CULL_BACK_FACING_TRIANGLES)
+    rows: jnp.ndarray        # (N, 16) f32 threaded rows (module docstring)
+    links: jnp.ndarray       # (8N, 2) f32 per-octant (hit, miss) links
 
 
 def build_scene_bvh(scene) -> SceneBVH:
-    """World-space LBVH over the packed scene's real triangles."""
+    """World-space threaded LBVH over the packed scene's real triangles."""
     m = scene.meta
     pos = np.asarray(scene.positions)
     xf = np.asarray(scene.mesh_transforms)
@@ -210,36 +253,24 @@ def build_scene_bvh(scene) -> SceneBVH:
                       xf[vm])[:, :3]
     tv = np.asarray(scene.tri_vtx)[:m.num_triangles]
     tris = world[tv]                                     # (T, 3, 3)
-    nodes, _ = build_lbvh(tris)
-    v0 = tris[:, 0]
-    rows = np.concatenate([v0, tris[:, 1] - v0, tris[:, 2] - v0,
-                           np.zeros((tris.shape[0], 3), np.float32)], -1)
+    rows, links = build_lbvh(tris)
+    # Per-leaf double-sided flag (lane 11): backface culling matches the
+    # reference's RAY_FLAG_CULL_BACK_FACING_TRIANGLES for single-sided.
+    leaf = rows[:, 12] > 0.5
+    tri_id = rows[:, 10].astype(np.int64)
     prim = np.asarray(scene.tri_prim)[:m.num_triangles]
     ds = np.asarray(scene.prim_double_sided)[np.maximum(prim, 0)]
-    return SceneBVH(nodes=jnp.asarray(nodes),
-                    tri_rows=jnp.asarray(rows.astype(np.float32)),
-                    double_sided=jnp.asarray(ds.astype(np.float32)))
+    rows[leaf, 11] = ds[tri_id[leaf]].astype(np.float32)
+    return SceneBVH(rows=jnp.asarray(rows), links=jnp.asarray(links))
 
 
 # ---------------------------------------------------------------------------
-# Traversal (traced; vectorized over rays)
+# Traversal (traced; vectorized over rays; stackless skip links)
 # ---------------------------------------------------------------------------
-
-_STACK = 48
-
-
-def _slab_test(o, inv_d, lo, hi, tmax):
-    t0 = (lo - o) * inv_d
-    t1 = (hi - o) * inv_d
-    tn = jnp.minimum(t0, t1)
-    tf = jnp.maximum(t0, t1)
-    tnear = jnp.maximum(jnp.max(tn, axis=-1), 0.0)
-    tfar = jnp.minimum(jnp.min(tf, axis=-1), tmax)
-    return tnear <= tfar, tnear
-
 
 def _tri_intersect(tri_row, o, d, cull_backface):
-    """Moller-Trumbore. tri_row (..., 12). Returns (t or inf, u, v)."""
+    """Moller-Trumbore. tri_row (..., >=9) = [v0, e1, e2].
+    Returns (t or inf, u, v)."""
     v0 = tri_row[..., 0:3]
     e1 = tri_row[..., 3:6]
     e2 = tri_row[..., 6:9]
@@ -259,185 +290,186 @@ def _tri_intersect(tri_row, o, d, cull_backface):
     return jnp.where(ok, t, jnp.inf), u, v
 
 
+def _step(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
+          any_hit: bool, alpha_of=None):
+    """One threaded-traversal step over the whole ray batch.
+
+    cur holds LOCAL node ids; okt_off (R,) = okt * N picks each ray's
+    ordered link set (links are stored as global okt*N + node indices)."""
+    cur, t_best, best_tri, uo, vo, alive = state
+    safe = jnp.maximum(cur, 0)
+    row = rows[safe]                                     # (R, 16) gather
+    lnk = links[safe + okt_off]                          # (R, 2) gather
+    leaf = row[:, 12] > 0.5
+
+    # Leaf: Moller-Trumbore against the inline triangle row.
+    cull = row[:, 11] < 0.5
+    t_hit, u, v = _tri_intersect(row[:, 0:9], o, d, cull)
+    tri = row[:, 10].astype(jnp.int32)
+    accept = leaf & alive & (t_hit < t_best) & (t_hit <= tmax_eff)
+    if alpha_of is not None:
+        accept &= alpha_of(tri, u, v)
+    t_best = jnp.where(accept, t_hit, t_best)
+    best_tri = jnp.where(accept, tri, best_tri)
+    uo = jnp.where(accept, u, uo)
+    vo = jnp.where(accept, v, vo)
+    if any_hit:
+        alive = alive & ~accept
+
+    # Internal: slab test against the node's own box (pruned by t_best).
+    t0 = (row[:, 0:3] - o) * inv_d
+    t1 = (row[:, 3:6] - o) * inv_d
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+    tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
+                     jnp.minimum(t_best, tmax_eff))
+    box_hit = (tn <= tf) & ~leaf
+
+    nxt = jnp.where(leaf | ~box_hit,
+                    lnk[:, 1].astype(jnp.int32),         # miss link
+                    lnk[:, 0].astype(jnp.int32))         # hit link
+    alive = alive & (nxt >= 0)
+    cur = jnp.where(alive, nxt - okt_off, 0)
+    return cur, t_best, best_tri, uo, vo, alive
+
+
+def _compact(alive, cap, arrays):
+    """Pack rays where `alive` into `cap` slots. Returns (orig_idx (cap,),
+    out-of-range r for empty slots so scatter-back drops them;
+    slot_valid (cap,), packed arrays, overflow_count)."""
+    r = alive.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0]
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dest = jnp.where(alive & (pos < cap), pos, cap)
+    orig = jnp.full((cap + 1,), r, jnp.int32).at[dest].set(
+        iota, mode="drop")[:cap]
+    count = jnp.sum(alive.astype(jnp.int32))
+    slot_valid = (jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+                  < jnp.minimum(count, cap))
+    packed = [a[jnp.minimum(orig, r - 1)] for a in arrays]
+    return orig, slot_valid, packed, jnp.maximum(count - cap, 0)
+
+
+# Step schedule: straight-line segment at full width, then a compaction
+# ladder — each tier packs the surviving rays into a fraction of the width
+# and runs more straight-line steps; the final (narrowest) tier runs an
+# 8-step-unrolled while_loop until the worst rays finish.
+_SEG0 = 16            # full-width unrolled steps (median ray finishes here)
+_TIERS = ((1, 32), (3, 48), (5, None))   # (width shift, straight steps);
+#                                          None = final while tier
+_TAIL_UNROLL = 8
+_TAIL_ITERS = 120     # up to 960 further steps for the worst rays
+_MIN_COMPACT = 8192   # below this many rays, skip compaction machinery
+
+
+def _run_while(rows, links, okt_off, o, d, inv_d, tmax_eff, state, any_hit,
+               alpha_of):
+    def w_body(s):
+        it, st = s
+        for _ in range(_TAIL_UNROLL):
+            st = _step(rows, links, okt_off, o, d, inv_d, tmax_eff, st,
+                       any_hit, alpha_of)
+        return it + 1, st
+
+    def w_cond(s):
+        it, st = s
+        return (it < _TAIL_ITERS) & st[5].any()
+
+    _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
+    return state
+
+
 def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
-          any_hit: bool = False, max_steps: int = 256):
+          any_hit: bool = False, alpha_of=None):
     """Trace rays against the BVH.
 
     origins/directions: (R, 3). Returns dict(t (R,), tri (R,) i32 [-1 miss],
-    u, v). For any_hit=True, traversal stops at the first accepted hit
-    (shadow rays, ref: lighting/common.hlsli:96-116).
+    u, v, trunc () i32 — rays terminated by budget/capacity with only their
+    best-so-far hit). any_hit=True stops at the first accepted hit (shadow
+    rays, ref: lighting/common.hlsli:96-116). alpha_of(tri, u, v) -> bool:
+    optional any-hit acceptance filter (alpha-masked geometry,
+    ref: pathtracing.hlsl ahsMain).
     """
     r = origins.shape[0]
     o = origins + directions * tmin
     inv_d = 1.0 / jnp.where(jnp.abs(directions) > 1e-12, directions,
                             jnp.where(directions >= 0, 1e-12, -1e-12))
+    tmax_eff = tmax - tmin
+    rows = bvh.rows
+    links = bvh.links
 
-    nodes = bvh.nodes
-    tri_rows = bvh.tri_rows
+    # Direction octant selects the ordered link set (links are global
+    # okt*N + node; cur stays local).
+    n_per = rows.shape[0]
+    okt_off = n_per * ((directions[:, 0] < 0).astype(jnp.int32)
+                       + 2 * (directions[:, 1] < 0).astype(jnp.int32)
+                       + 4 * (directions[:, 2] < 0).astype(jnp.int32))
+    state = (jnp.zeros((r,), jnp.int32),
+             jnp.full((r,), jnp.inf),
+             jnp.full((r,), -1, jnp.int32),
+             jnp.zeros((r,)), jnp.zeros((r,)),
+             jnp.ones((r,), bool))
+    for _ in range(_SEG0):
+        state = _step(rows, links, okt_off, o, directions, inv_d, tmax_eff,
+                      state, any_hit, alpha_of)
+    cur, t_best, best_tri, uo, vo, alive = state
+    trunc = jnp.int32(0)
 
-    def body(state):
-        cur, sp, stack, t_best, best_tri, uo, vo, alive = state
-        is_leaf = cur < 0
+    if r < _MIN_COMPACT:
+        state = _run_while(rows, links, okt_off, o, directions, inv_d,
+                           tmax_eff,
+                           (cur, t_best, best_tri, uo, vo, alive),
+                           any_hit, alpha_of)
+        cur, t_best, best_tri, uo, vo, alive = state
+        trunc += jnp.sum(alive.astype(jnp.int32))
+        t_out = jnp.where(best_tri >= 0, t_best + tmin, jnp.inf)
+        return dict(t=t_out, tri=best_tri, u=uo, v=vo, trunc=trunc)
 
-        # --- leaf: intersect one triangle -------------------------------
-        tri = jnp.where(is_leaf, ~cur, 0)
-        trow = tri_rows[tri]
-        cull = bvh.double_sided[tri] < 0.5
-        t_hit, u, v = _tri_intersect(trow, o, directions, cull)
-        accept = is_leaf & alive & (t_hit < t_best - 0.0) \
-            & (t_hit <= tmax - tmin)
-        t_best = jnp.where(accept, t_hit, t_best)
-        best_tri = jnp.where(accept, tri, best_tri)
-        uo = jnp.where(accept, u, uo)
-        vo = jnp.where(accept, v, vo)
-        if any_hit:
-            alive = alive & ~accept
+    # Compaction ladder. Each tier packs the previous tier's survivors.
+    # Scatter-back indices are remembered per tier and applied inner-first.
+    tier_stack = []   # (orig_idx, buffers-at-tier before overwrite)
+    cur_bufs = (cur, t_best, best_tri, uo, vo)
+    cur_o, cur_d, cur_inv, cur_off, cur_alive = (o, directions, inv_d,
+                                                 okt_off, alive)
+    for shift, steps in _TIERS:
+        cap = max(r >> shift, 1)
+        orig, ok, packed, ov = _compact(
+            cur_alive, cap,
+            list(cur_bufs) + [cur_o, cur_d, cur_inv, cur_off])
+        trunc += ov
+        p_cur, p_t, p_tri, p_u, p_v, p_o, p_d, p_inv, p_off = packed
+        st = (p_cur, p_t, p_tri, p_u, p_v, ok)
+        if steps is None:
+            st = _run_while(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
+                            st, any_hit, alpha_of)
+        else:
+            for _ in range(steps):
+                st = _step(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
+                           st, any_hit, alpha_of)
+        tier_stack.append((orig, cur_bufs))
+        cur_bufs = st[:5]
+        cur_o, cur_d, cur_inv, cur_off, cur_alive = (p_o, p_d, p_inv, p_off,
+                                                     st[5])
+        if steps is None:
+            trunc += jnp.sum(st[5].astype(jnp.int32))
+            break
 
-        # --- internal: test children ------------------------------------
-        node = jnp.where(is_leaf, 0, cur)
-        row = nodes[node]                          # (R, 16) one gather
-        cl = jax.lax.bitcast_convert_type(row[:, 0], jnp.int32)
-        cr = jax.lax.bitcast_convert_type(row[:, 1], jnp.int32)
-        t_prune = jnp.minimum(t_best, tmax - tmin)
-        lhit, lt = _slab_test(o, inv_d, row[:, 2:5], row[:, 5:8], t_prune)
-        rhit, rt = _slab_test(o, inv_d, row[:, 8:11], row[:, 11:14], t_prune)
-        lhit &= ~is_leaf
-        rhit &= ~is_leaf
+    # Unwind: scatter each tier's results into its parent (empty slots
+    # carry out-of-range indices and drop).
+    child = cur_bufs
+    for orig, parent in reversed(tier_stack):
+        merged = tuple(
+            pa.at[orig].set(ch, mode="drop")
+            for pa, ch in zip(parent, child))
+        child = merged
+    _, t_best, best_tri, uo, vo = child
 
-        l_first = lt <= rt
-        near = jnp.where(lhit & (~rhit | l_first), cl,
-                         jnp.where(rhit, cr, 0))
-        far = jnp.where(lhit & rhit, jnp.where(l_first, cr, cl), 0)
-        both = lhit & rhit
-        any_child = lhit | rhit
-
-        # Stack ops as one-hot selects over the (R, STACK) array — XLA
-        # scatter/gather with per-row dynamic indices is an order of
-        # magnitude slower on TPU than these dense masked ops.
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (r, _STACK), 1)
-        push = both & alive
-        push_oh = lanes == jnp.where(push, sp, -1)[:, None]
-        stack = jnp.where(push_oh, far[:, None], stack)
-        sp = jnp.where(push, jnp.minimum(sp + 1, _STACK), sp)
-
-        # next node: descend or pop
-        descend = any_child & ~is_leaf
-        need_pop = (is_leaf | ~any_child)
-        can_pop = sp > 0
-        sp2 = jnp.where(need_pop & can_pop & alive, sp - 1, sp)
-        pop_oh = lanes == sp2[:, None]
-        popped = jnp.sum(jnp.where(pop_oh, stack, 0), axis=1)
-        cur2 = jnp.where(~alive, cur,
-                         jnp.where(descend, near,
-                                   jnp.where(can_pop, popped, cur)))
-        alive = alive & (descend | can_pop)
-        return cur2, sp2, stack, t_best, best_tri, uo, vo, alive
-
-    def cond(state):
-        return state[7].any()
-
-    init = (jnp.zeros((r,), jnp.int32),             # cur = root
-            jnp.zeros((r,), jnp.int32),             # sp
-            jnp.zeros((r, _STACK), jnp.int32),
-            jnp.full((r,), jnp.inf),
-            jnp.full((r,), -1, jnp.int32),
-            jnp.zeros((r,)), jnp.zeros((r,)),
-            jnp.ones((r,), bool))
-    state = jax.lax.while_loop(cond, body, init)
-    _, _, _, t_best, best_tri, u, v, _ = state
     t_out = jnp.where(best_tri >= 0, t_best + tmin, jnp.inf)
-    return dict(t=t_out, tri=best_tri, u=u, v=v)
+    return dict(t=t_out, tri=best_tri, u=uo, v=vo, trunc=trunc)
 
 
-def trace_collect(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
-                  max_candidates: int = 32):
-    """Two-phase traversal: the while-loop only COLLECTS candidate leaf
-    triangles (one node gather per step — gathers inside device loops run an
-    order of magnitude slower than free-standing ones on this backend), then
-    all candidates are intersected in one vectorized pass outside the loop.
-
-    Returns dict(hit (R,) bool, t (R,), tri (R,) i32) for the closest
-    accepted candidate; conservative — candidate overflow (beyond
-    max_candidates) falls back to counting the overflowing ray as hit only
-    if one of its collected candidates hits.
-    """
-    r = origins.shape[0]
-    o = origins + directions * tmin
-    inv_d = 1.0 / jnp.where(jnp.abs(directions) > 1e-12, directions,
-                            jnp.where(directions >= 0, 1e-12, -1e-12))
-    nodes = bvh.nodes
-    mc = max_candidates
-
-    def body(state):
-        cur, sp, stack, cand, n_cand, alive = state
-        is_leaf = cur < 0
-        # record leaf candidate (one-hot write)
-        cl_lanes = jax.lax.broadcasted_iota(jnp.int32, (r, mc), 1)
-        rec = is_leaf & alive & (n_cand < mc)
-        cand = jnp.where(
-            cl_lanes == jnp.where(rec, n_cand, -1)[:, None],
-            jnp.where(is_leaf, ~cur, 0)[:, None], cand)
-        n_cand = jnp.where(rec, n_cand + 1, n_cand)
-
-        node = jnp.where(is_leaf, 0, cur)
-        row = nodes[node]
-        cl = jax.lax.bitcast_convert_type(row[:, 0], jnp.int32)
-        cr = jax.lax.bitcast_convert_type(row[:, 1], jnp.int32)
-        t_pr = tmax - tmin
-        lhit, lt = _slab_test(o, inv_d, row[:, 2:5], row[:, 5:8], t_pr)
-        rhit, rt = _slab_test(o, inv_d, row[:, 8:11], row[:, 11:14], t_pr)
-        lhit &= ~is_leaf
-        rhit &= ~is_leaf
-        l_first = lt <= rt
-        near = jnp.where(lhit & (~rhit | l_first), cl,
-                         jnp.where(rhit, cr, 0))
-        far = jnp.where(lhit & rhit, jnp.where(l_first, cr, cl), 0)
-        both = lhit & rhit
-        any_child = lhit | rhit
-
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (r, _STACK), 1)
-        push = both & alive
-        stack = jnp.where(lanes == jnp.where(push, sp, -1)[:, None],
-                          far[:, None], stack)
-        sp = jnp.where(push, jnp.minimum(sp + 1, _STACK), sp)
-        descend = any_child & ~is_leaf
-        need_pop = is_leaf | ~any_child
-        can_pop = sp > 0
-        sp2 = jnp.where(need_pop & can_pop & alive, sp - 1, sp)
-        popped = jnp.sum(jnp.where(lanes == sp2[:, None], stack, 0), axis=1)
-        cur2 = jnp.where(~alive, cur,
-                         jnp.where(descend, near,
-                                   jnp.where(can_pop, popped, cur)))
-        alive = alive & (descend | can_pop)
-        return cur2, sp2, stack, cand, n_cand, alive
-
-    init = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), jnp.int32),
-            jnp.zeros((r, _STACK), jnp.int32),
-            jnp.zeros((r, mc), jnp.int32),
-            jnp.zeros((r,), jnp.int32),
-            jnp.ones((r,), bool))
-    _, _, _, cand, n_cand, _ = jax.lax.while_loop(
-        lambda s: s[5].any(), body, init)
-
-    # Intersect all candidates outside the loop (fast gathers).
-    slot = jax.lax.broadcasted_iota(jnp.int32, (r, mc), 1)
-    valid = slot < n_cand[:, None]
-    tri = jnp.where(valid, cand, 0)
-    trow = bvh.tri_rows[tri]                       # (R, mc, 12)
-    cull = bvh.double_sided[tri] < 0.5
-    t_hit, _, _ = _tri_intersect(trow, o[:, None, :], directions[:, None, :],
-                                 cull)
-    t_hit = jnp.where(valid & (t_hit <= tmax - tmin), t_hit, jnp.inf)
-    t_best = jnp.min(t_hit, axis=1)
-    best_slot = jnp.argmin(t_hit, axis=1)
-    best_tri = jnp.take_along_axis(cand, best_slot[:, None], axis=1)[:, 0]
-    hit = jnp.isfinite(t_best)
-    return dict(hit=hit, t=jnp.where(hit, t_best + tmin, jnp.inf),
-                tri=jnp.where(hit, best_tri, -1))
-
-
-def occluded(bvh: SceneBVH, origins, directions, tmin=0.1, tmax=1000.0):
+def occluded(bvh: SceneBVH, origins, directions, tmin=0.1, tmax=1000.0,
+             alpha_of=None):
     """Boolean shadow query (ref: lighting/common.hlsli:98-116: TMin 0.1,
-    TMax 1000, backface culling)."""
-    return trace_collect(bvh, origins, directions, tmin=tmin,
-                         tmax=tmax)["hit"]
+    TMax 1000, backface culling). alpha_of: optional any-hit alpha filter."""
+    return trace(bvh, origins, directions, tmin=tmin, tmax=tmax,
+                 any_hit=True, alpha_of=alpha_of)["tri"] >= 0

@@ -42,6 +42,70 @@ from . import ibl, sampling, shading, sky as sky_mod
 
 RAY_OFFSET = 1e-3   # ref: raytracing/common.hlsli k_rayOffset
 MAX_BOUNCES = 4     # ref: pathtracing.hlsl:29 MAX_RECURSION_DEPTH
+ALPHA_PEELS = 2     # masked-geometry any-hit continuations per trace
+#                     (ref: pathtracing.hlsl ahsMain IgnoreHit)
+
+
+def _alpha_at_hit(scene, tri, u, v, noise):
+    """Opacity test at BVH hits for MASK/BLEND prims: True = accept
+    (ref: pathtracing.hlsl:270-302 anyhit alpha test). BLEND prims use a
+    stochastic threshold, which the progressive accumulation resolves to
+    true alpha blending."""
+    safe = jnp.maximum(tri, 0)
+    tv = scene.tri_vtx[safe]
+    uv = (scene.uvs[tv[..., 0]]
+          + u[..., None] * (scene.uvs[tv[..., 1]] - scene.uvs[tv[..., 0]])
+          + v[..., None] * (scene.uvs[tv[..., 2]] - scene.uvs[tv[..., 0]]))
+    prim = jnp.maximum(scene.tri_prim[safe], 0)
+    mode = scene.prim_alpha_mode[prim]
+    mat_id = scene.prim_material[prim]
+    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
+                                          lod=None)
+    fac = scene.mat_params[jnp.maximum(mat_id, 0)]
+    alpha = fac[..., 6] * chans[..., 3]
+    thresh = jnp.where(mode >= 2, jnp.maximum(noise, 1e-3), fac[..., 11])
+    return (mode == 0) | (alpha >= thresh)
+
+
+def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False):
+    """bvh.trace with alpha-masked continuation: a hit on a MASK/BLEND prim
+    that fails the opacity test is skipped by re-tracing from just past it
+    (up to ALPHA_PEELS times). Zero cost for scenes without masked prims."""
+    res = bvh_mod.trace(bvh, o, d, tmin=tmin, tmax=tmax, any_hit=any_hit)
+    if not scene.meta.has_masked:
+        return res
+    for peel in range(ALPHA_PEELS):
+        tri = res["tri"]
+        hit = tri >= 0
+        # hash noise for the BLEND stochastic threshold
+        h = ((jnp.asarray(seed, jnp.uint32) + jnp.uint32(peel * 747796405))
+             * jnp.uint32(2891336453)
+             ^ (tri.astype(jnp.uint32) * jnp.uint32(277803737)))
+        noise = ((h >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+        accept = _alpha_at_hit(scene, tri, res["u"], res["v"], noise)
+        transparent = hit & ~accept
+        # continue past the transparent hit; opaque/miss rays park on a
+        # degenerate ray that terminates in one step
+        t_cont = jnp.where(transparent, res["t"] + RAY_OFFSET, 0.0)
+        o2 = o + t_cont[..., None] * d
+        far = jnp.full_like(o2, 1e29)
+        o2 = jnp.where(transparent[..., None], o2, far)
+        res2 = bvh_mod.trace(bvh, o2, d, tmin=0.0, tmax=tmax,
+                             any_hit=any_hit)
+        res = {k: (jnp.where(transparent, res2[k], res[k])
+                   if res[k].ndim else res[k]) for k in res}
+    # rays whose last peel still failed count as misses through the cutout
+    tri = res["tri"]
+    hit = tri >= 0
+    h = ((jnp.asarray(seed, jnp.uint32) + jnp.uint32(ALPHA_PEELS * 747796405))
+         * jnp.uint32(2891336453)
+         ^ (tri.astype(jnp.uint32) * jnp.uint32(277803737)))
+    noise = ((h >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+    accept = _alpha_at_hit(scene, tri, res["u"], res["v"], noise)
+    bad = hit & ~accept
+    res["tri"] = jnp.where(bad, -1, res["tri"])
+    res["t"] = jnp.where(bad, jnp.inf, res["t"])
+    return res
 
 
 def _hit_attributes(scene, world_n_v, world_t_v, tri, u, v):
@@ -90,7 +154,7 @@ def _tangent_mul(v3, t, b, n):
 
 
 def _direct_radiance(light_i, lights, wp, base, metallic, roughness, n, v,
-                     bvh):
+                     shadow_fn):
     """GetDirectRadiance for one light with shadow ray
     (ref: lighting/common.hlsli:8-145; PATH_TRACING traces shadows for all
     light types)."""
@@ -107,20 +171,26 @@ def _direct_radiance(light_i, lights, wp, base, metallic, roughness, n, v,
     l = jnp.where(is_dir, l_dir, l_pn)
     radiance_in = jnp.where(is_dir, jnp.broadcast_to(rad_dir, wp.shape),
                             rad_pn)
-    vis = ~bvh_mod.occluded(bvh, wp, l, tmin=0.1, tmax=1000.0)
+    vis = ~shadow_fn(wp, l)
     return shading.brdf_response(base, metallic, roughness, n, v, l,
                                  radiance_in,
                                  visibility=vis[..., None].astype(jnp.float32))
 
 
-def _sky_radiance_term(bvh, probe, sky_brightness, u2, wp, base, metallic,
-                       roughness, n, v):
+def _sky_radiance_term(shadow_fn, probe, sky_brightness, u2, wp, base,
+                       metallic, roughness, n, v, sky_rot3=None):
     """GetSkyRadiance with the reference's cosine-sample quirk
-    (ref: pathtracing.hlsl:246-251, lighting/common.hlsli:147-202)."""
-    sample_dir = sampling.cosine_sample_hemisphere(u2)  # world axes as-is
-    radiance_in = sky_brightness * ibl.sample_cube(probe.envmap, sample_dir)
+    (ref: pathtracing.hlsl:246-251, lighting/common.hlsli:147-202).
+
+    sky_rot3: bvh-space -> world rotation (scene rotation): the sky stays
+    fixed in world space while geometry rotates, so the hemisphere sample
+    is drawn in world axes (the reference's quirk), fetched from the
+    envmap in world space, and traced in bvh space."""
+    sample_w = sampling.cosine_sample_hemisphere(u2)    # world axes as-is
+    radiance_in = sky_brightness * ibl.sample_cube(probe.envmap, sample_w)
+    sample_dir = sample_w if sky_rot3 is None else sample_w @ sky_rot3.T
     no_l = jnp.clip(jnp.sum(n * sample_dir, -1, keepdims=True), 0.0, 1.0)
-    vis = ~bvh_mod.occluded(bvh, wp, sample_dir, tmin=0.1, tmax=1000.0)
+    vis = ~shadow_fn(wp, sample_dir)
     f0 = metallic[..., None] * base + (1 - metallic[..., None]) * 0.04
     albedo = (1 - metallic[..., None]) * base
     h = mu.normalize(sample_dir + v)
@@ -135,7 +205,7 @@ def _sky_radiance_term(bvh, probe, sky_brightness, u2, wp, base, metallic,
     out = (fr + (1.0 - f) * fd) * radiance_in * no_l \
         * vis[..., None].astype(jnp.float32)
     out = jnp.where(no_l > 0.0, out, 0.0)
-    pdf = sampling.cosine_hemisphere_pdf(sample_dir[..., 2:3])
+    pdf = sampling.cosine_hemisphere_pdf(sample_w[..., 2:3])
     return out / jnp.where(jnp.abs(pdf) > 1e-8, pdf, 1.0)
 
 
@@ -178,13 +248,19 @@ def _indirect_ray(u2, n, t, b, v, base, metallic, roughness):
 def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
                  sample_index, width: int, height: int,
                  sqrt_sample_count: int = 16, dynamic_sky: bool = True,
-                 turbidity: float = 2.0, viewmode: int = 0):
+                 turbidity: float = 2.0, viewmode: int = 0,
+                 sky_rot3=None, sun_dir_world=None):
     """One progressive sample for every pixel -> (H, W, 3) radiance.
 
     viewmode 2/3/4/5 return roughness/metallic/basecolor/emissive at the
-    primary hit (ref: pathtracing.hlsl VIEWMODE early returns). Note: scene
-    rotation is not applied in the path tracer this round (trace with
-    identity scene_rotation)."""
+    primary hit (ref: pathtracing.hlsl VIEWMODE early returns).
+
+    Scene rotation: the caller (renderer.frame.render_pathtrace) passes
+    camera/sun/lights transformed into the BVH's unrotated space in `fc` /
+    `scene.lights`, plus sky_rot3 (bvh -> world) so environment fetches
+    stay in world space and sun_dir_world for the analytic sky — the
+    BVH never rebuilds (the reference instead rebuilds its TLAS,
+    ref: render-jobs/update-tlas.inl)."""
     r = width * height
     pixel = jnp.arange(r, dtype=jnp.uint32)
     px = (pixel % width).astype(jnp.float32)
@@ -221,19 +297,27 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
     beta = jnp.ones((r, 3))
     alive = jnp.ones((r,), bool)
 
+    sun_w = fc.sun_dir if sun_dir_world is None else sun_dir_world
+
+    def shadow_fn(o, d, _seed=[0]):
+        _seed[0] += 1
+        return _trace_alpha(scene, bvh, o, d, 0.1, 1000.0,
+                            sidx * jnp.uint32(131) + jnp.uint32(_seed[0]),
+                            any_hit=True)["tri"] >= 0
+
     for bounce in range(MAX_BOUNCES):
-        hit = bvh_mod.trace(bvh, origin, direction, tmin=RAY_OFFSET,
-                            tmax=1e4)
+        hit = _trace_alpha(scene, bvh, origin, direction, RAY_OFFSET, 1e4,
+                           sidx * jnp.uint32(17) + jnp.uint32(bounce))
         tri = hit["tri"]
         missed = (tri < 0) & alive
 
-        # miss: environment radiance (ref: msEnvmap / msDynamicSky)
+        # miss: environment radiance (ref: msEnvmap / msDynamicSky) —
+        # fetched in WORLD space (the sky does not rotate with the scene)
+        d_w = direction if sky_rot3 is None else direction @ sky_rot3
         if dynamic_sky:
-            env = 1000.0 * sky_mod.sky_radiance(fc.sun_dir, direction,
-                                                turbidity)
+            env = 1000.0 * sky_mod.sky_radiance(sun_w, d_w, turbidity)
         elif probe is not None:
-            env = fc.sky_brightness * ibl.sample_cube(probe.envmap,
-                                                      direction)
+            env = fc.sky_brightness * ibl.sample_cube(probe.envmap, d_w)
         else:
             env = jnp.zeros_like(beta)
         radiance = radiance + jnp.where(missed[..., None], beta * env, 0.0)
@@ -269,13 +353,14 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
             jnp.concatenate([nxy, nz[..., None]], -1), t, b, n))
         v = -direction
 
-        # NEE over all lights
-        nl = scene.lights.type.shape[0]
+        # NEE over all lights (skipped entirely for lightless scenes —
+        # the device table pads to one row)
+        nl = scene.meta.num_lights
         for li in range(nl):
             on = li < scene.lights.count
             contrib = _direct_radiance(li, scene.lights, wp,
                                        m["base_color"], m["metallic"],
-                                       m["roughness"], n, v, bvh)
+                                       m["roughness"], n, v, shadow_fn)
             radiance = radiance + jnp.where(
                 (alive & on)[..., None], beta * contrib, 0.0)
 
@@ -283,8 +368,9 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         if probe is not None:
             u_sky = sample_point(sidx)
             sky_term = _sky_radiance_term(
-                bvh, probe, fc.sky_brightness, u_sky, wp, m["base_color"],
-                m["metallic"], m["roughness"], n, v)
+                shadow_fn, probe, fc.sky_brightness, u_sky, wp,
+                m["base_color"], m["metallic"], m["roughness"], n, v,
+                sky_rot3=sky_rot3)
             radiance = radiance + jnp.where(alive[..., None],
                                             beta * sky_term, 0.0)
 

@@ -40,7 +40,11 @@ from ..core import mathutils as mu
 
 # Setup row layout (see triangle_setup): 12 f32 per triangle.
 _SETUP_ROWS = 12
-_W_EPS = 1e-3  # minimum clip w (triangles crossing the w=eps plane are culled)
+_W_EPS = 1e-3  # clip-w epsilon: triangles with ALL w <= eps are culled;
+#                triangles CROSSING w = eps rasterize unclipped via the 2D
+#                homogeneous edge forms (Olano-Greer) with a full-screen
+#                bbox (they route to the big-triangle list) — the kernel's
+#                z <= 1 bound supplies the near-plane clip.
 
 
 class RasterParams(NamedTuple):
@@ -151,14 +155,22 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams,
     # FrontCounterClockwise=TRUE equivalent; ref: visibility-pass.inl:111-112).
     front = det < 0.0
     wmin = jnp.minimum(jnp.minimum(c0[:, 3], c1[:, 3]), c2[:, 3])
+    wmax = jnp.maximum(jnp.maximum(c0[:, 3], c1[:, 3]), c2[:, 3])
+    # Near-plane-crossing triangles rasterize unclipped (2DH edge forms);
+    # their projected bbox is meaningless, so they get the full screen and
+    # route to the big-triangle list. The facing test is skipped for them:
+    # a vertex behind the eye flips the projected winding, making det's
+    # sign unreliable (hardware culls after clipping; reverse-Z kills the
+    # behind-eye part here instead).
+    crossing = (wmin <= _W_EPS) & (wmax > _W_EPS)
 
     valid = (prim >= 0)
     valid &= prim_visible[safe_prim]
     if tri_visible is not None:
         valid &= tri_visible
-    valid &= wmin > _W_EPS
+    valid &= wmax > _W_EPS
     valid &= jnp.abs(det) > 1e-12
-    valid &= front | double_sided
+    valid &= front | double_sided | crossing
 
     # Flip edge signs so the interior is E >= 0 regardless of winding.
     s = jnp.where(det >= 0.0, 1.0, -1.0)[:, None]
@@ -169,17 +181,18 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams,
     z = jnp.stack([c0[:, 2], c1[:, 2], c2[:, 2]], axis=-1) * inv_det[:, None]
     zplane = e0 * z[:, 0:1] + e1 * z[:, 1:2] + e2 * z[:, 2:3]
 
-    # Pixel bbox from projected verts (w > eps guaranteed where valid).
+    # Pixel bbox from projected verts (w > eps where not crossing).
     sp = jnp.stack([p0, p1, p2], axis=1)              # (T, 3, 3)
     xy = sp[..., :2] / jnp.maximum(sp[..., 2:3], _W_EPS)
     mn = jnp.floor(jnp.min(xy, axis=1)).astype(jnp.int32)
     mx = jnp.floor(jnp.max(xy, axis=1)).astype(jnp.int32)
-    x0 = jnp.clip(mn[:, 0], 0, w - 1)
-    y0 = jnp.clip(mn[:, 1], 0, h - 1)
-    x1 = jnp.clip(mx[:, 0], 0, w - 1)
-    y1 = jnp.clip(mx[:, 1], 0, h - 1)
-    valid &= (mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
-    valid &= (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1)
+    x0 = jnp.where(crossing, 0, jnp.clip(mn[:, 0], 0, w - 1))
+    y0 = jnp.where(crossing, 0, jnp.clip(mn[:, 1], 0, h - 1))
+    x1 = jnp.where(crossing, w - 1, jnp.clip(mx[:, 0], 0, w - 1))
+    y1 = jnp.where(crossing, h - 1, jnp.clip(mx[:, 1], 0, h - 1))
+    onscreen = ((mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
+                & (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1))
+    valid &= onscreen | crossing
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (prim.shape[0], 1), 0)[:, 0]
 
@@ -435,10 +448,8 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
-                   big_setup_ref, big_ids_ref, big_attr_ref,
-                   tri_ref, z_ref, interp_ref,
-                   setup_scratch, attr_scratch, sems, asems,
-                   *, params: RasterParams):
+                   big_setup_ref, big_ids_ref, big_attr_ref, *rest,
+                   params: RasterParams, has_zlim: bool = False):
     """Per-tile fine raster + attribute select. The CSR pair arrays stay in
     HBM; each tile streams its contiguous slice with double-buffered async
     DMA (the Pallas analogue of ExecuteIndirect consuming GPU-built draw
@@ -450,7 +461,18 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
     (match masks are 0/1, each pixel matches exactly its winner), then
     evaluates uv/normal/tangent planes + analytic UV derivatives once per
     pixel — replacing the per-pixel attribute-row gathers of the resolve
-    (the slow path on TPU) with sequential DMA + matmuls."""
+    (the slow path on TPU) with sequential DMA + matmuls.
+
+    has_zlim: extra per-pixel depth upper bound input (strict z < limit) —
+    the masked-geometry depth-peel layers use it to find the next fragment
+    behind a failed alpha test."""
+    if has_zlim:
+        (zlim_ref, tri_ref, z_ref, interp_ref,
+         setup_scratch, attr_scratch, sems, asems) = rest
+    else:
+        (tri_ref, z_ref, interp_ref,
+         setup_scratch, attr_scratch, sems, asems) = rest
+        zlim_ref = None
     p = params
     k = p.chunk
     ti = pl.program_id(0)
@@ -463,6 +485,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
     px = pix - py * p.tile_w
     colf = (px + tx * p.tile_w).astype(jnp.float32) + 0.5
     rowf = (py + ty * p.tile_h).astype(jnp.float32) + 0.5
+    zlim = (zlim_ref[:, :].reshape(1, n) if zlim_ref is not None else None)
 
     clear = jnp.full((1, n), -1.0, jnp.float32)
     start = starts_ref[ti]
@@ -481,7 +504,12 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
         e2 = rows13[:, 6:7] * colf + rows13[:, 7:8] * rowf + rows13[:, 8:9]
         z = (rows13[:, 9:10] * colf + rows13[:, 10:11] * rowf
              + rows13[:, 11:12])
-        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & slot_ok
+        # z <= 1 is the near-plane clip (reverse-Z: near = 1); the z > 0
+        # init of the depth race kills the behind-eye part of unclipped
+        # near-crossing triangles.
+        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0) & slot_ok
+        if zlim_ref is not None:
+            cov &= z < zlim
         mz = jnp.where(cov, z, -1.0)
         upd = mz > best_z
         return jnp.where(upd, mz, best_z), jnp.where(upd, rid, best_id)
@@ -624,28 +652,39 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
         INTERP_CHANNELS, p.tile_h, p.tile_w)
 
 
-def rasterize_tiles(bins: Bins, params: RasterParams):
+def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None):
     """Run the fine-raster kernel. Returns (tri (H,W) i32 global triangle
     index, -1 = no geometry; depth (H,W) f32; interp (16, H, W) f32
-    per-pixel attribute channels) cropped to the resolution."""
+    per-pixel attribute channels) cropped to the resolution.
+
+    z_limit: optional (H, W) f32 — per-pixel strict depth upper bound
+    (depth-peel layer support for alpha-masked geometry)."""
     p = params
+    tile_spec = pl.BlockSpec((p.tile_h, p.tile_w),
+                             lambda i, *_: (i // p.tiles_x, i % p.tiles_x))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),   # setup pairs (HBM)
+        pl.BlockSpec(memory_space=pltpu.ANY),   # attr pairs (HBM)
+        pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
+                     lambda i, *_: (0, 0)),
+        pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
+        pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
+                     lambda i, *_: (0, 0)),
+    ]
+    inputs = [bins.setup, bins.attr, bins.big_setup, bins.big_ids,
+              bins.big_attr]
+    if z_limit is not None:
+        in_specs.append(tile_spec)
+        zl = jnp.pad(z_limit, ((0, p.padded_height - p.height),
+                               (0, p.padded_width - p.width)))
+        inputs.append(zl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(p.num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # setup pairs (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # attr pairs (HBM)
-            pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
-                         lambda i, *_: (0, 0)),
-            pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
-            pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
-                         lambda i, *_: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((p.tile_h, p.tile_w),
-                         lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
-            pl.BlockSpec((p.tile_h, p.tile_w),
-                         lambda i, *_: (i // p.tiles_x, i % p.tiles_x)),
+            tile_spec,
+            tile_spec,
             pl.BlockSpec((INTERP_CHANNELS, p.tile_h, p.tile_w),
                          lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x)),
         ],
@@ -659,7 +698,8 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
         ],
     )
     tri, depth, interp = pl.pallas_call(
-        functools.partial(_raster_kernel, params=p),
+        functools.partial(_raster_kernel, params=p,
+                          has_zlim=z_limit is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((p.padded_height, p.padded_width),
@@ -671,8 +711,7 @@ def rasterize_tiles(bins: Bins, params: RasterParams):
         ],
         interpret=(p.interpret if p.interpret is not None
                    else _should_interpret()),
-    )(bins.starts, bins.counts, bins.big_count, bins.setup, bins.attr,
-      bins.big_setup, bins.big_ids, bins.big_attr)
+    )(bins.starts, bins.counts, bins.big_count, *inputs)
     return (tri[:p.height, :p.width], depth[:p.height, :p.width],
             interp[:, :p.height, :p.width])
 
@@ -747,15 +786,39 @@ def _vertex_table(scene, scene_rotation, view_proj):
         jnp.zeros((clip.shape[0], 3), jnp.float32)], axis=-1)
 
 
-def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
-                              params: RasterParams, tri_visible=None):
-    """Fused visibility pass + attribute-plane build: shares the vertex
-    transform, per-corner clip gathers, and edge cross products between
-    triangle_setup and triangle_attributes (they are recomputed when the
-    two run separately).
+class PreparedGeometry(NamedTuple):
+    """Per-frame triangle data shared by all raster layers (opaque +
+    masked depth peels): setup planes, attribute planes, validity, bbox."""
+    setup_t: jnp.ndarray    # (12, T)
+    ids: jnp.ndarray        # (T,)
+    valid: jnp.ndarray      # (T,) bool (before per-layer masks)
+    bbox: jnp.ndarray       # (T, 4)
+    attr_flat: jnp.ndarray  # (T, 29)
 
-    Returns (tri, depth, interp (16, H, W) per-pixel attributes, stats).
-    """
+
+def raster_layer(prep: PreparedGeometry, params: RasterParams,
+                 layer_valid=None, z_limit=None):
+    """Bin + rasterize one layer of the prepared geometry.
+
+    layer_valid: optional (T,) bool further restricting the layer (the
+    masked-geometry passes raster MASK/BLEND prims separately);
+    z_limit: per-pixel strict depth bound (depth peeling)."""
+    valid = prep.valid if layer_valid is None else prep.valid & layer_valid
+    bins = bin_triangles(prep.setup_t, prep.ids, valid, prep.bbox, params,
+                         prep.attr_flat)
+    tri, depth, interp = rasterize_tiles(bins, params, z_limit=z_limit)
+    stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,
+                 culled_triangles=jnp.sum(~valid))
+    return tri, depth, interp, stats
+
+
+def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
+                     params: RasterParams, tri_visible=None
+                     ) -> PreparedGeometry:
+    """Fused vertex transform + triangle setup + attribute-plane build:
+    shares the per-corner vtable gathers and edge cross products between
+    triangle_setup and triangle_attributes (they are recomputed when the
+    two run separately)."""
     p = params
     w, h = p.width, p.height
     tv = scene.tri_vtx
@@ -789,14 +852,18 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
     double_sided = prow[:, 0] > 0
     front = det < 0.0
     wmin = jnp.minimum(jnp.minimum(c0[:, 3], c1[:, 3]), c2[:, 3])
+    wmax = jnp.maximum(jnp.maximum(c0[:, 3], c1[:, 3]), c2[:, 3])
+    # Near-plane-crossing triangles: see triangle_setup — rasterized
+    # unclipped with a full-screen bbox, facing cull skipped.
+    crossing = (wmin <= _W_EPS) & (wmax > _W_EPS)
 
     valid = (prim >= 0)
     valid &= prow[:, 1] > 0
     if tri_visible is not None:
         valid &= tri_visible
-    valid &= wmin > _W_EPS
+    valid &= wmax > _W_EPS
     valid &= jnp.abs(det) > 1e-12
-    valid &= front | double_sided
+    valid &= front | double_sided | crossing
 
     s = jnp.where(det >= 0.0, 1.0, -1.0)[:, None]
     e0, e1, e2 = e0 * s, e1 * s, e2 * s
@@ -808,12 +875,15 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
     xy = sp[..., :2] / jnp.maximum(sp[..., 2:3], _W_EPS)
     mn = jnp.floor(jnp.min(xy, axis=1)).astype(jnp.int32)
     mx = jnp.floor(jnp.max(xy, axis=1)).astype(jnp.int32)
-    valid &= (mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
-    valid &= (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1)
-    bbox = jnp.stack([jnp.clip(mn[:, 0], 0, w - 1),
-                      jnp.clip(mn[:, 1], 0, h - 1),
-                      jnp.clip(mx[:, 0], 0, w - 1),
-                      jnp.clip(mx[:, 1], 0, h - 1)], axis=-1)
+    onscreen = ((mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
+                & (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1))
+    valid &= onscreen | crossing
+    bbox = jnp.stack([jnp.where(crossing, 0, jnp.clip(mn[:, 0], 0, w - 1)),
+                      jnp.where(crossing, 0, jnp.clip(mn[:, 1], 0, h - 1)),
+                      jnp.where(crossing, w - 1,
+                                jnp.clip(mx[:, 0], 0, w - 1)),
+                      jnp.where(crossing, h - 1,
+                                jnp.clip(mx[:, 1], 0, h - 1))], axis=-1)
 
     t = tv.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
@@ -834,11 +904,19 @@ def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
         + [plane(c) for c in range(2, 8)]
         + [a0[:, 8:9], prow[:, 2:3]], axis=-1).astype(jnp.float32)
 
-    bins = bin_triangles(setup_t, ids, valid, bbox, params, attr_flat)
-    tri, depth, interp = rasterize_tiles(bins, params)
-    stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow,
-                 culled_triangles=jnp.sum(~valid))
-    return tri, depth, interp, stats
+    return PreparedGeometry(setup_t=setup_t, ids=ids, valid=valid, bbox=bbox,
+                            attr_flat=attr_flat)
+
+
+def visibility_and_attributes(scene, scene_rotation, view_proj, prim_visible,
+                              params: RasterParams, tri_visible=None):
+    """prepare_geometry + raster_layer over everything.
+
+    Returns (tri, depth, interp (16, H, W) per-pixel attributes, stats).
+    """
+    prep = prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
+                            params, tri_visible)
+    return raster_layer(prep, params)
 
 
 def visibility_from_tri(tri, scene):

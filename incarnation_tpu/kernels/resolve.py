@@ -62,6 +62,48 @@ def world_from_depth(depth, inv_view_proj, width: int, height: int):
                                    wp[..., 3:], 1.0)
 
 
+def _interp_lod(scene, mat_id, interp):
+    """Mip level from the kernel's analytic UV screen derivatives (exact,
+    unlike HW quad diffs)."""
+    meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
+    size_f = meta[..., 1].astype(jnp.float32)
+    dudx, dudy, dvdx, dvdy = interp[10], interp[11], interp[12], interp[13]
+    rho = jnp.maximum(jnp.sqrt(dudx * dudx + dvdx * dvdx),
+                      jnp.sqrt(dudy * dudy + dvdy * dvdy)) * size_f
+    return jnp.log2(jnp.maximum(rho, 1e-8))
+
+
+def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False):
+    """Per-pixel opacity + pass-threshold for a masked raster layer.
+
+    MASK prims alpha-clip at the material's alphaCutoff
+    (ref: visibility-pass.hlsl:101-111, material/common.hlsli alpha clip);
+    BLEND prims get a stochastic threshold (screen-door) that the TAA
+    accumulation resolves toward true alpha blending.
+    Returns (alpha, threshold) — the fragment survives iff alpha >= thresh.
+    """
+    mat_id = interp[9].astype(jnp.int32)
+    uv = jnp.stack([interp[0], interp[1]], axis=-1)
+    lod = _interp_lod(scene, mat_id, interp)
+    jitter = None
+    if mip_dither is not None:
+        lod = jnp.floor(lod + _frame_noise(tri.shape, mip_dither, 741103597))
+        if uv_dither:
+            jitter = jnp.stack(
+                [_frame_noise(tri.shape, mip_dither, 1181783497),
+                 _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
+    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
+                                          lod=lod, trilinear=False,
+                                          jitter=jitter)
+    fac = scene.mat_params[jnp.maximum(mat_id, 0)]
+    alpha = fac[..., 6] * chans[..., 3]
+    blend_noise = _frame_noise(
+        tri.shape, 0 if mip_dither is None else mip_dither, 1597334677)
+    thresh = jnp.where(fac[..., 12] >= 2.0,
+                       jnp.maximum(blend_noise, 1e-3), fac[..., 11])
+    return alpha, thresh
+
+
 def _frame_noise(shape, frame_index, mult: int):
     """Per-pixel uniform in [0, 1) decorrelated across frames; `mult` picks
     an independent channel. Matches the reference's per-frame blue-ish dither
@@ -103,14 +145,7 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
     t = mu.normalize(wt)
     b = mu.normalize(jnp.cross(n, t) * sign)
 
-    # Analytic UV screen derivatives for mip selection (computed in the
-    # raster kernel from the same planes): exact, unlike HW quad diffs.
-    meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
-    size_f = meta[..., 1].astype(jnp.float32)
-    dudx, dudy, dvdx, dvdy = interp[10], interp[11], interp[12], interp[13]
-    rho = jnp.maximum(jnp.sqrt(dudx * dudx + dvdx * dvdx),
-                      jnp.sqrt(dudy * dudy + dvdy * dvdy)) * size_f
-    lod = jnp.log2(jnp.maximum(rho, 1e-8))
+    lod = _interp_lod(scene, mat_id, interp)
     jitter = None
     if mip_dither is not None:
         # Stochastic single-level mip selection: dither the fractional mip

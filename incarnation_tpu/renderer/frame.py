@@ -123,17 +123,55 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 fc.scene_rotation, fc.view_proj)
             tri_visible = m_inside[jnp.maximum(scene.tri_meshlet, 0)]
 
-    tri, depth, interp, stats = raster.visibility_and_attributes(
-        scene, fc.scene_rotation, fc.view_proj, prim_visible,
-        params, tri_visible)
+    taa_active = config.enable_taa and history is not None
+    stoch = config.stochastic_mip and taa_active
+    prep = raster.prepare_geometry(scene, fc.scene_rotation, fc.view_proj,
+                                   prim_visible, params, tri_visible)
+    if not scene.meta.has_masked:
+        tri, depth, interp, stats = raster.raster_layer(prep, params)
+    else:
+        # Alpha-masked geometry (ref: visibility-pass.hlsl:101-111 clip):
+        # opaque prims raster normally; MASK/BLEND prims raster as
+        # depth-peel layers — each peel takes the closest not-yet-tested
+        # fragment, alpha-tests it against the base-color texture, and
+        # failed pixels peel again behind it.
+        tri_masked = (scene.prim_alpha_mode[
+            jnp.maximum(scene.tri_prim, 0)] > 0) & (scene.tri_prim >= 0)
+        tri, depth, interp, stats = raster.raster_layer(
+            prep, params, layer_valid=~tri_masked)
+        acc_tri = jnp.full_like(tri, -1)
+        acc_depth = jnp.zeros_like(depth)
+        acc_interp = jnp.zeros_like(interp)
+        zlim = jnp.full(depth.shape, 2.0, jnp.float32)
+        for _ in range(max(1, config.masked_depth_peels)):
+            m_tri, m_depth, m_interp, m_stats = raster.raster_layer(
+                prep, params, layer_valid=tri_masked, z_limit=zlim)
+            alpha, thresh = resolve.masked_alpha(
+                scene, m_tri, m_interp,
+                mip_dither=(fc.frame_index if stoch else None),
+                uv_dither=(config.stochastic_bilinear and stoch))
+            hit = m_tri >= 0
+            passed = hit & (alpha >= thresh)
+            newly = passed & (acc_tri < 0)
+            acc_tri = jnp.where(newly, m_tri, acc_tri)
+            acc_depth = jnp.where(newly, m_depth, acc_depth)
+            acc_interp = jnp.where(newly[None], m_interp, acc_interp)
+            cont = hit & ~passed & (acc_tri < 0)
+            zlim = jnp.where(cont, m_depth, 0.0)
+            for k_ in ("bin_overflow", "big_overflow"):
+                stats[k_] = stats[k_] + m_stats[k_]
+        # Merge: the surviving masked fragment wins where it is closer
+        # than the opaque winner (reverse-Z: larger z = closer).
+        win = (acc_tri >= 0) & (acc_depth > depth)
+        tri = jnp.where(win, acc_tri, tri)
+        depth = jnp.where(win, acc_depth, depth)
+        interp = jnp.where(win[None], acc_interp, interp)
     stats["culled_primitives"] = culled_prims
     stats["culled_meshlets"] = culled_meshlets
 
     # Stochastic texture filtering only while TAA is accumulating (the
     # temporal resolve realizes the filtered expectation); single-shot
     # frames keep exact trilinear.
-    taa_active = config.enable_taa and history is not None
-    stoch = config.stochastic_mip and taa_active
     gb = resolve.resolve_gbuffer(
         tri, depth, scene, interp, fc.inv_view_proj,
         params.width, params.height,
@@ -215,8 +253,11 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 + fc.inv_scene_rotation[3, :3]
             shadow_dir = jnp.broadcast_to(fc.sun_dir @ r3,
                                           origins.shape)
-            occ = bvh_mod.occluded(
-                scene_bvh, origins, shadow_dir, tmin=0.1, tmax=1000.0)
+            from ..kernels import pathtrace as pt_mod
+            occ = pt_mod._trace_alpha(
+                scene, scene_bvh, origins, shadow_dir, 0.1, 1000.0,
+                fc.frame_index.astype(jnp.uint32),
+                any_hit=True)["tri"] >= 0
             sun_vis = 1.0 - occ.reshape(gb.mask.shape).astype(
                 jnp.float32)[..., None]
         sun = shading.brdf_response(base, metallic, roughness, n, v,
@@ -348,21 +389,48 @@ def render_frame_jit(scene, fc, config: Config, params: raster.RasterParams,
                         scene_bvh=scene_bvh)
 
 
+def pathtrace_inputs(scene, fc):
+    """Transform camera/sun/lights into the BVH's unrotated space and build
+    UNROTATED world vertex attributes; pair with sky_rot3 =
+    fc.scene_rotation[:3, :3] so environment fetches stay in world space."""
+    from ..kernels import resolve as resolve_mod
+    inv = fc.inv_scene_rotation
+    r3 = inv[:3, :3]
+    fc_b = dataclasses.replace(
+        fc,
+        eye=fc.eye @ r3 + inv[3, :3],
+        camera_right=fc.camera_right @ r3,
+        camera_up=fc.camera_up @ r3,
+        sun_dir=fc.sun_dir @ r3,
+        inv_view_proj=fc.inv_view_proj @ inv)
+    scene_b = dataclasses.replace(
+        scene, lights=dataclasses.replace(
+            scene.lights, transform=scene.lights.transform @ inv))
+    world_n_v, world_t_v = resolve_mod.vertex_world_attributes(
+        scene, jnp.eye(4, dtype=jnp.float32))
+    return scene_b, fc_b, world_n_v, world_t_v
+
+
 def render_pathtrace(scene, bvh, fc, history, sample_index, *,
                      config: Config, width: int, height: int, probe=None):
     """One progressive path-tracing sample + accumulation + tonemap
     (ref: renderer.cpp:1679-1710: PathTracing job + pathtrace-integrate +
-    TonemapPass on the history buffer)."""
-    from ..kernels import pathtrace, resolve as resolve_mod
+    TonemapPass on the history buffer).
 
-    world_n_v, world_t_v = resolve_mod.vertex_world_attributes(
-        scene, fc.scene_rotation)
+    Scene rotation: the BVH holds unrotated geometry, so the camera, sun,
+    and lights are transformed INTO bvh space for the trace (the reference
+    instead rebuilds the TLAS per frame, ref: render-jobs/update-tlas.inl);
+    sky fetches stay in world space via sky_rot3."""
+    from ..kernels import pathtrace
+
+    scene_b, fc_b, world_n_v, world_t_v = pathtrace_inputs(scene, fc)
     current = pathtrace.trace_sample(
-        scene, bvh, world_n_v, world_t_v, fc, probe, sample_index,
+        scene_b, bvh, world_n_v, world_t_v, fc_b, probe, sample_index,
         width, height,
         sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
         dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
-        turbidity=config.turbidity, viewmode=config.viewmode)
+        turbidity=config.turbidity, viewmode=config.viewmode,
+        sky_rot3=fc.scene_rotation[:3, :3], sun_dir_world=fc.sun_dir)
     accumulated = pathtrace.integrate(history, current,
                                       jnp.asarray(sample_index, jnp.float32))
     color = post.tonemap(accumulated, fc.exposure,

@@ -49,6 +49,9 @@ class SceneMeta:
     has_decals: bool = False  # any "decal"-prefixed meshes (ref: scene.cpp:281)
     num_lights: int = 0       # real punctual-light count (the device table is
     #                           padded to >= 1; passes gate on this instead)
+    has_masked: bool = False  # any MASK/BLEND alpha-mode primitives — gates
+    #                           the masked raster layers (visibility-pass.hlsl
+    #                           alpha clip equivalent)
 
 
 @jax.tree_util.register_dataclass
@@ -267,7 +270,8 @@ def load_scene(path, texture_max_dim: int = 2048,
                      num_meshes=len(mesh_transforms), padded_vertices=pv,
                      padded_triangles=pt, padded_primitives=pp,
                      has_decals=bool(np.any(np.asarray(prim_is_decal))),
-                     num_lights=len(light_defs))
+                     num_lights=len(light_defs),
+                     has_masked=bool(np.any(np.asarray(prim_alpha) > 0)))
 
     # Meshlets (ref: src/scene.cpp:1488-1558 GenerateMeshlets)
     from . import meshlets as meshlets_mod

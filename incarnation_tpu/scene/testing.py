@@ -25,6 +25,25 @@ def neutral_material_stack(n_materials: int = 1
         flat=jnp.asarray(flat.view(np.int32)), meta=jnp.asarray(meta))
 
 
+def checkerboard_alpha_stack(size: int = 4
+                             ) -> textures_mod.MaterialTextureStack:
+    """One material whose base-color texture is white with a checkerboard
+    alpha (single mip) — for alpha-mask/cutout tests."""
+    ys, xs = np.mgrid[0:size, 0:size]
+    a = (((xs + ys) % 2) * 255).astype(np.uint32)
+    w0 = (np.uint32(0x00FFFFFF) | (a << np.uint32(24)))
+    rows = np.stack([
+        w0,
+        np.full_like(w0, 0xFFFF8080),
+        np.full_like(w0, 0xFFFFFFFF),
+        np.full_like(w0, 0x00FFFFFF),
+    ], axis=-1).reshape(-1, 4)
+    meta = np.asarray([[0, size, 1, textures_mod.ADDRESS_CLAMP]], np.int32)
+    return textures_mod.MaterialTextureStack(
+        flat=jnp.asarray(rows.astype(np.uint32).view(np.int32)),
+        meta=jnp.asarray(meta))
+
+
 def default_material_table() -> materials_mod.MaterialTable:
     class _G:
         materials = [{}]
@@ -34,7 +53,8 @@ def default_material_table() -> materials_mod.MaterialTable:
 def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
                double_sided=False, transform=None, materials=None,
                lights=None, tri_prim=None, num_prims=1,
-               prim_tri_offset=None) -> Scene:
+               prim_tri_offset=None, prim_alpha_mode=None,
+               prim_material=None, mat_stack=None) -> Scene:
     """positions (V,3), tris (T,3) -> minimal Scene with neutral materials."""
     positions = np.asarray(positions, np.float32)
     tris = np.asarray(tris, np.int32)
@@ -57,10 +77,14 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         lights = lights_mod.build_light_table([], [])
 
     p = num_prims
+    if prim_alpha_mode is None:
+        prim_alpha_mode = np.zeros((p,), np.int32)
+    prim_alpha_mode = np.asarray(prim_alpha_mode, np.int32)
     meta = SceneMeta(num_vertices=v, num_triangles=t, num_primitives=p,
                      num_meshes=1, padded_vertices=v, padded_triangles=t,
                      padded_primitives=p,
-                     num_lights=int(lights.count))
+                     num_lights=int(lights.count),
+                     has_masked=bool((prim_alpha_mode > 0).any()))
     counts = np.bincount(np.asarray(tri_prim), minlength=p).astype(np.int32)
     return Scene(
         positions=jnp.asarray(positions),
@@ -71,14 +95,16 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         tri_prim=jnp.asarray(np.asarray(tri_prim, np.int32)),
         vtx_mesh=jnp.zeros((v,), jnp.int32),
         prim_mesh=jnp.zeros((p,), jnp.int32),
-        prim_material=jnp.zeros((p,), jnp.int32),
+        prim_material=jnp.asarray(
+            np.zeros((p,), np.int32) if prim_material is None
+            else np.asarray(prim_material, np.int32)),
         prim_tri_offset=jnp.asarray(np.asarray(prim_tri_offset, np.int32)),
         prim_tri_count=jnp.asarray(counts),
         prim_bsphere=jnp.asarray(
             np.tile([0, 0, 0, 1e6], (p, 1)).astype(np.float32)),
         prim_double_sided=jnp.full((p,), int(double_sided), jnp.int32),
         prim_is_decal=jnp.zeros((p,), jnp.int32),
-        prim_alpha_mode=jnp.zeros((p,), jnp.int32),
+        prim_alpha_mode=jnp.asarray(prim_alpha_mode),
         tri_meshlet=jnp.zeros((t,), jnp.int32),
         meshlet_bsphere=jnp.asarray(
             np.array([[0, 0, 0, 1e6]], np.float32)),
@@ -87,8 +113,9 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         mesh_visible=jnp.ones((1,), jnp.int32),
         materials=materials,
         mat_params=materials_mod.pack_material_params(materials),
-        mat_stack=neutral_material_stack(
-            int(np.asarray(materials.metallic_factor).shape[0])),
+        mat_stack=(mat_stack if mat_stack is not None
+                   else neutral_material_stack(
+                       int(np.asarray(materials.metallic_factor).shape[0]))),
         lights=lights,
         sun_dir=jnp.asarray(lights_mod.DEFAULT_SUN_DIR),
         meta=meta,

@@ -1,0 +1,91 @@
+"""Alpha-masked (cutout) geometry: raster depth-peel layers + alpha clip.
+
+The reference alpha-clips masked materials in the visibility raster PS
+(ref: shaders/geo-raster/visibility-pass.hlsl:101,111); here MASK prims
+raster as depth-peel layers whose fragments are alpha-tested against the
+base-color texture (kernels/resolve.py::masked_alpha).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from incarnation_tpu.config import Config, EnvSkyMode
+from incarnation_tpu.core.view import View
+from incarnation_tpu.kernels.raster import RasterParams
+from incarnation_tpu.renderer import frame as frame_mod
+from incarnation_tpu.scene.testing import make_scene, checkerboard_alpha_stack
+
+W, H = 128, 64
+PARAMS = RasterParams(width=W, height=H, tile_h=16, tile_w=128,
+                      pair_capacity=256, bin_max_span=4,
+                      big_tri_capacity=16, chunk=8)
+
+
+def _quad(z, s=4.0):
+    return np.array([[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]],
+                    np.float32)
+
+
+def _render(scene, cfg=None):
+    cfg = cfg or Config(enable_taa=False, enable_hbao=False,
+                        env_sky_mode=EnvSkyMode.DYNAMIC_SKY,
+                        frustum_culling=False, use_meshlets=False)
+    view = View.default(aspect=W / H)
+    fc = frame_mod.FrameConstants.make(view, cfg,
+                                       sun_color_intensity=[1, 1, 1, 100.0])
+    return frame_mod.render_frame(scene, fc, config=cfg, params=PARAMS), cfg
+
+
+def _masked_front_opaque_back():
+    pts = np.concatenate([_quad(4.0), _quad(8.0, s=6.0)])
+    tris = [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]]
+    uvs = np.concatenate([
+        np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32),
+        np.zeros((4, 2), np.float32)])
+    return make_scene(pts, tris, uvs=uvs, double_sided=True,
+                      tri_prim=[0, 0, 1, 1], num_prims=2,
+                      prim_tri_offset=[0, 2],
+                      prim_alpha_mode=[1, 0],        # front MASK, back OPAQUE
+                      prim_material=[0, 0],
+                      mat_stack=checkerboard_alpha_stack(4))
+
+
+def _prim_map(scene, out):
+    tri = np.asarray(out["tri"])
+    return np.where(tri >= 0,
+                    np.asarray(scene.tri_prim)[np.maximum(tri, 0)], -1)
+
+
+def test_masked_quad_has_holes_showing_opaque_behind():
+    import dataclasses
+    scene = _masked_front_opaque_back()
+    # Reference footprint: the same front quad rendered opaque.
+    opaque = dataclasses.replace(
+        scene, prim_alpha_mode=jnp.zeros((2,), jnp.int32))
+    opaque.meta = dataclasses.replace(scene.meta, has_masked=False)
+    ref, _ = _render(opaque)
+    footprint = _prim_map(opaque, ref) == 0
+    assert footprint.sum() > 300
+
+    out, _ = _render(scene)
+    prim = _prim_map(scene, out)
+    front = (prim[footprint] == 0).mean()
+    back = (prim[footprint] == 1).mean()
+    # Checkerboard alpha: roughly half survives, holes expose the back quad.
+    assert 0.25 < front < 0.75, f"front coverage {front}"
+    assert back > 0.2, f"holes must expose the opaque quad ({back})"
+    assert front + back > 0.95
+
+
+def test_all_opaque_front_quad_fully_covers():
+    # Same geometry but front quad OPAQUE: no holes.
+    scene = _masked_front_opaque_back()
+    import dataclasses
+    scene = dataclasses.replace(
+        scene, prim_alpha_mode=jnp.zeros((2,), jnp.int32))
+    import dataclasses as dc
+    scene.meta = dc.replace(scene.meta, has_masked=False)
+    out, _ = _render(scene)
+    prim = _prim_map(scene, out)
+    # A block safely inside the front quad's projection: no holes.
+    assert (prim[24:40, 56:72] == 0).all()

@@ -37,15 +37,10 @@ def brute_force_closest(tris, o, d):
 
 
 def make_bvh(tris, double_sided=True):
-    nodes, _ = bvh_mod.build_lbvh(tris)
-    v0 = tris[:, 0]
-    rows = np.concatenate([v0, tris[:, 1] - v0, tris[:, 2] - v0,
-                           np.zeros((tris.shape[0], 3), np.float32)], -1)
-    return bvh_mod.SceneBVH(
-        nodes=jnp.asarray(nodes),
-        tri_rows=jnp.asarray(rows),
-        double_sided=jnp.full((tris.shape[0],),
-                              1.0 if double_sided else 0.0))
+    rows, links = bvh_mod.build_lbvh(tris)
+    leaf = rows[:, 12] > 0.5
+    rows[leaf, 11] = 1.0 if double_sided else 0.0
+    return bvh_mod.SceneBVH(rows=jnp.asarray(rows), links=jnp.asarray(links))
 
 
 def test_closest_hit_matches_brute_force(rng):

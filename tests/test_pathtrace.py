@@ -106,3 +106,39 @@ def test_pathtrace_deterministic():
                                        jnp.asarray(0, jnp.uint32), cfg, W, H)
     np.testing.assert_array_equal(np.asarray(a["history"]),
                                   np.asarray(b["history"]))
+
+
+def test_pathtrace_scene_rotation_matches_prerotated():
+    """PT with scene_rotation R (rays inverse-rotated into the unrotated
+    BVH) must match pre-rotating the mesh transforms and rebuilding the
+    BVH (the reference's per-frame TLAS rebuild path)."""
+    import dataclasses
+    ang = 0.5
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, 0, -s, 0], [0, 1, 0, 0],
+                    [s, 0, c, 0], [0, 0, 0, 1]], np.float32)
+
+    pts = np.array([[-6, -4, 5], [6, -4, 5], [6, 4, 5], [-6, 4, 5]],
+                   np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3]])
+    bvh = bvh_mod.build_scene_bvh(scene)
+    cfg = Config(env_sky_mode=EnvSkyMode.DYNAMIC_SKY, max_sample_count=16)
+    view = View.default(aspect=W / H)
+    fc_rot = frame_mod.FrameConstants.make(view, cfg, scene_rotation=rot)
+    out_a = frame_mod.render_pathtrace(
+        scene, bvh, fc_rot, jnp.zeros((H, W, 3)), jnp.uint32(0),
+        config=cfg, width=W, height=H)["history"]
+
+    # ground truth: bake the rotation into the mesh transform + new BVH
+    xf = np.asarray(scene.mesh_transforms)[0] @ rot
+    scene2 = dataclasses.replace(
+        scene, mesh_transforms=jnp.asarray(xf[None]))
+    bvh2 = bvh_mod.build_scene_bvh(scene2)
+    fc_id = frame_mod.FrameConstants.make(view, cfg)
+    out_b = frame_mod.render_pathtrace(
+        scene2, bvh2, fc_id, jnp.zeros((H, W, 3)), jnp.uint32(0),
+        config=cfg, width=W, height=H)["history"]
+
+    a, b = np.asarray(out_a), np.asarray(out_b)
+    # identical sampling sequences -> near-bit-equal radiance
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2 * b.mean())

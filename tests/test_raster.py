@@ -108,3 +108,42 @@ def test_adjacent_triangles_no_gap():
     vis, _, _ = run(scene)
     interior = vis[H // 2 - 10:H // 2 + 10, W // 2 - 10:W // 2 + 10]
     assert (interior != mu.VIS_CLEAR_INT32).all()
+
+
+# ---------------------------------------------------------------------------
+# Near-plane handling: crossing triangles rasterize unclipped (2DH edge
+# forms + full-screen bbox via the big list); the kernel's z <= 1 bound is
+# the near clip; fully-behind triangles are culled.
+# ---------------------------------------------------------------------------
+
+def test_near_crossing_triangle_rasters():
+    # Camera sits at z=-15 (View.default); one vertex is BEHIND the eye.
+    pts = np.array([
+        [0.0, 2.0, -15.5],     # behind the camera
+        [-6.0, -1.0, 5.0],
+        [6.0, -1.0, 5.0],
+    ], np.float32)
+    scene = make_scene(pts, [[0, 1, 2]])
+    vis, depth, stats = run(scene)
+    covered = (vis != mu.VIS_CLEAR_INT32).sum()
+    assert covered > 50, "crossing triangle must still rasterize"
+    assert int(stats["culled_triangles"]) == 0
+    # The visible part lies in front of the near plane: depth in (0, 1].
+    d = depth[vis != mu.VIS_CLEAR_INT32]
+    assert np.all(d > 0.0) and np.all(d <= 1.0)
+
+
+def test_fully_behind_triangle_culled():
+    pts = tri_facing_camera(z=5.0) - np.array([0, 0, 25.0], np.float32)
+    scene = make_scene(pts, [[0, 1, 2]])
+    vis, _, stats = run(scene)
+    assert (vis != mu.VIS_CLEAR_INT32).sum() == 0
+    assert int(stats["culled_triangles"]) == 1
+
+
+def test_inside_near_plane_clipped():
+    # Between the eye (z=-15) and the near plane (view z = 0.5 < near 1):
+    # z_ndc = 2 > 1 everywhere -> the kernel's near bound discards it.
+    scene = make_scene(tri_facing_camera(z=-14.5, scale=0.3), [[0, 1, 2]])
+    vis, _, _ = run(scene)
+    assert (vis != mu.VIS_CLEAR_INT32).sum() == 0
