@@ -75,9 +75,20 @@ def reinhard(x):
 # -- Surface response --------------------------------------------------------
 
 def brdf_response(base_color, metallic, roughness, n, v, l, radiance_in,
-                  visibility=1.0):
+                  visibility=1.0, transmission=None, clearcoat=None,
+                  cc_roughness=None):
     """Cook-Torrance specular + Lambert diffuse exactly as the reference's
     deferred direct lighting (ref: lighting/common.hlsli:118-139).
+
+    transmission: KHR_materials_transmission factor — removes transmitted
+    energy from the diffuse albedo exactly as the reference's forward pass
+    does (ref: forward-pass.hlsl:160 albedo = (1-metallic)(1-transmission)
+    * basecolor).
+    clearcoat/cc_roughness: KHR_materials_clearcoat — the reference LOADS
+    these (material/common.hlsli:90-103) but its shaders never evaluate
+    them; this adds the glTF-spec second GGX lobe at IOR 1.5 (F0 = 0.04)
+    with base attenuation (1 - cc*Fc) — a documented spec-correct
+    extension, off unless the scene carries clearcoat factors.
 
     All args broadcast over pixels; returns outgoing radiance (..., 3).
     """
@@ -92,6 +103,10 @@ def brdf_response(base_color, metallic, roughness, n, v, l, radiance_in,
 
     f0 = metallic * base_color + (1.0 - metallic) * 0.04
     albedo = (1.0 - metallic) * base_color
+    if transmission is not None:
+        t = (transmission[..., None] if transmission.ndim < n.ndim
+             else transmission)
+        albedo = albedo * (1.0 - t)
 
     d = ggx_distribution(no_h, roughness)
     f = f_schlick(vo_h, f0)
@@ -99,7 +114,18 @@ def brdf_response(base_color, metallic, roughness, n, v, l, radiance_in,
 
     fr = (d * f * g) / jnp.maximum(4.0 * no_v * no_l, 1e-3)
     fd = albedo * mu.INV_PI
-    out = (fr + (1.0 - f) * fd) * radiance_in * no_l * visibility
+    out = fr + (1.0 - f) * fd
+    if clearcoat is not None:
+        cc = clearcoat[..., None] if clearcoat.ndim < n.ndim else clearcoat
+        ccr = jnp.maximum(
+            cc_roughness[..., None] if cc_roughness.ndim < n.ndim
+            else cc_roughness, 0.03)
+        fc = f_schlick(vo_h, jnp.full_like(vo_h, 0.04)) * cc
+        d_cc = ggx_distribution(no_h, ccr)
+        g_cc = g_smith_ggx_correlated(no_v, no_l, ccr)
+        fr_cc = (d_cc * fc * g_cc) / jnp.maximum(4.0 * no_v * no_l, 1e-3)
+        out = out * (1.0 - fc) + fr_cc
+    out = out * radiance_in * no_l * visibility
     return jnp.where(no_l > 0.0, out, 0.0)
 
 

@@ -19,12 +19,18 @@ from . import ibl, sky as sky_mod
 def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                  sky_brightness, hbao=None, bent_normals=None,
                  diffuse_ibl: bool = True, specular_ibl: bool = True,
-                 lighting_only: bool = False, dither=None):
+                 lighting_only: bool = False, dither=None, extras=None):
     """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl).
 
     dither: frame index enabling stochastic single-mip sampling of the
     prefiltered specular cube (converges to trilinear under TAA; halves the
-    cube gathers)."""
+    cube gathers).
+    extras: gb.extras (transmission, clearcoat, ccRoughness) — transmission
+    removes transmitted energy from the diffuse albedo as the reference's
+    forward pass does (ref: forward-pass.hlsl:160); the clearcoat IBL lobe
+    is the glTF-spec extension the reference loads but never shades
+    (ref: material/common.hlsli:90-103). Pass None (the default) for exact
+    deferred-reference behavior."""
     base = (jnp.full_like(gb.base_color[..., :3], 0.5) if lighting_only
             else gb.base_color[..., :3])  # ref: sky-lighting.hlsl:57-59
     metallic = gb.mrao[..., 0:1]
@@ -37,6 +43,8 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
     if diffuse_ibl:
         sampling_n = bent_normals if bent_normals is not None else n
         albedo = (1.0 - metallic) * base
+        if extras is not None:
+            albedo = albedo * (1.0 - extras[..., 0:1])
         sh_diffuse = (albedo * mu.INV_PI
                       * ibl.sh_irradiance(sampling_n, probe.sh) * 5.0)
         radiance += sky_brightness * (
@@ -55,6 +63,21 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                               single_mip=dither is not None)
         ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
         spec = pre * (f0 * ab[..., 0:1] + ab[..., 1:2])
+        if extras is not None:
+            from .shading import f_schlick
+            cc = extras[..., 1:2]
+            ccr = jnp.maximum(extras[..., 2], 0.03)
+            fc = f_schlick(no_v[..., None], jnp.full_like(cc, 0.04)) * cc
+            lod_cc = ccr * (mips - 1)
+            if dither is not None:
+                from .resolve import _frame_noise
+                lod_cc = lod_cc + _frame_noise(ccr.shape, dither, 2654435761)
+            pre_cc = ibl.sample_cube(probe.prefiltered, r, lod=lod_cc,
+                                     single_mip=dither is not None)
+            ab_cc = ibl.sample_env_brdf(env_brdf, no_v, ccr)
+            spec_cc = pre_cc * (0.04 * ab_cc[..., 0:1] + ab_cc[..., 1:2])
+            spec = spec * (1.0 - fc) + spec_cc * fc
+            radiance = radiance * (1.0 - fc)   # attenuate diffuse under coat
         radiance += sky_brightness * (
             spec * (1 - ao_blend) + ao * spec * ao_blend)
 

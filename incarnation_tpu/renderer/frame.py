@@ -237,7 +237,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             diffuse_ibl=config.enable_diffuse_ibl,
             specular_ibl=config.enable_specular_ibl,
             lighting_only=(config.viewmode == ViewMode.LIGHTING_ONLY),
-            dither=(fc.frame_index if stoch else None))
+            dither=(fc.frame_index if stoch else None),
+            extras=(gb.extras if scene.meta.has_extras else None))
 
     # Deferred direct (sun) lighting with inline ray-traced shadows when a
     # BVH is supplied (ref: lighting/direct-lighting.hlsl +
@@ -260,9 +261,13 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 any_hit=True)["tri"] >= 0
             sun_vis = 1.0 - occ.reshape(gb.mask.shape).astype(
                 jnp.float32)[..., None]
-        sun = shading.brdf_response(base, metallic, roughness, n, v,
-                                    fc.sun_dir, radiance_in,
-                                    visibility=sun_vis)
+        has_x = scene.meta.has_extras
+        sun = shading.brdf_response(
+            base, metallic, roughness, n, v, fc.sun_dir, radiance_in,
+            visibility=sun_vis,
+            transmission=gb.extras[..., 0] if has_x else None,
+            clearcoat=gb.extras[..., 1] if has_x else None,
+            cc_roughness=gb.extras[..., 2] if has_x else None)
         hdr = hdr + jnp.where(m3, sun, 0.0)
 
     # Clustered punctual lighting (ref: render-jobs/light-culling.inl +

@@ -44,7 +44,8 @@ def replicate_scene(scene: Scene, offsets: np.ndarray) -> Scene:
         num_vertices=k * v, num_triangles=k * t, num_primitives=k * p,
         num_meshes=k * nm, padded_vertices=k * v, padded_triangles=k * t,
         padded_primitives=k * p, has_decals=m.has_decals,
-        num_lights=m.num_lights, has_masked=m.has_masked)
+        num_lights=m.num_lights, has_masked=m.has_masked,
+        has_extras=m.has_extras)
     return dataclasses.replace(
         scene,
         positions=rep(scene.positions),

@@ -52,6 +52,8 @@ class SceneMeta:
     has_masked: bool = False  # any MASK/BLEND alpha-mode primitives — gates
     #                           the masked raster layers (visibility-pass.hlsl
     #                           alpha clip equivalent)
+    has_extras: bool = False  # any KHR transmission/clearcoat factors —
+    #                           gates the extra shading lobes
 
 
 @jax.tree_util.register_dataclass
@@ -266,12 +268,17 @@ def load_scene(path, texture_max_dim: int = 2048,
     else:
         sun = lights_mod.DEFAULT_SUN_DIR
 
+    mat_table = materials_mod.build_material_table(g)
+    has_extras = bool(
+        float(np.max(np.asarray(mat_table.transmission_factor))) > 0.0
+        or float(np.max(np.asarray(mat_table.clearcoat_factor))) > 0.0)
     meta = SceneMeta(num_vertices=nv, num_triangles=nt, num_primitives=npr,
                      num_meshes=len(mesh_transforms), padded_vertices=pv,
                      padded_triangles=pt, padded_primitives=pp,
                      has_decals=bool(np.any(np.asarray(prim_is_decal))),
                      num_lights=len(light_defs),
-                     has_masked=bool(np.any(np.asarray(prim_alpha) > 0)))
+                     has_masked=bool(np.any(np.asarray(prim_alpha) > 0)),
+                     has_extras=has_extras)
 
     # Meshlets (ref: src/scene.cpp:1488-1558 GenerateMeshlets)
     from . import meshlets as meshlets_mod
@@ -309,7 +316,7 @@ def load_scene(path, texture_max_dim: int = 2048,
         mesh_transforms=jnp.asarray(
             np.stack(mesh_transforms).astype(np.float32)),
         mesh_visible=jnp.ones((len(mesh_transforms),), jnp.int32),
-        materials=(mat_table := materials_mod.build_material_table(g)),
+        materials=mat_table,
         mat_params=materials_mod.pack_material_params(mat_table),
         mat_stack=mat_stack,
         lights=lights,

@@ -84,7 +84,12 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
                      num_meshes=1, padded_vertices=v, padded_triangles=t,
                      padded_primitives=p,
                      num_lights=int(lights.count),
-                     has_masked=bool((prim_alpha_mode > 0).any()))
+                     has_masked=bool((prim_alpha_mode > 0).any()),
+                     has_extras=bool(
+                         float(np.max(np.asarray(
+                             materials.transmission_factor))) > 0.0
+                         or float(np.max(np.asarray(
+                             materials.clearcoat_factor))) > 0.0))
     counts = np.bincount(np.asarray(tri_prim), minlength=p).astype(np.int32)
     return Scene(
         positions=jnp.asarray(positions),

@@ -73,3 +73,49 @@ def test_bounded_range_cutoff():
         jnp.asarray(1), t, jnp.asarray([1.0, 1.0, 1.0]),
         jnp.asarray(1.0), jnp.asarray(4.0), jnp.asarray([0.0, 0.785]), wp)
     np.testing.assert_allclose(np.asarray(rad[0]), 0.0, atol=1e-6)
+
+
+def test_transmission_removes_diffuse_energy():
+    """albedo = (1-metallic)(1-transmission) basecolor
+    (ref: forward-pass.hlsl:160)."""
+    import jax.numpy as jnp
+    from incarnation_tpu.kernels import shading
+    n = jnp.asarray([[0.0, 0.0, -1.0]])
+    v = jnp.asarray([[0.0, 0.0, -1.0]])
+    l = jnp.asarray([[0.0, 0.0, -1.0]])
+    base = jnp.asarray([[0.8, 0.8, 0.8]])
+    m = jnp.asarray([0.0])
+    r = jnp.asarray([1.0])          # pure-diffuse-ish
+    rad = jnp.asarray([[1.0, 1.0, 1.0]])
+    out0 = shading.brdf_response(base, m, r, n, v, l, rad,
+                                 transmission=jnp.asarray([0.0]))
+    out1 = shading.brdf_response(base, m, r, n, v, l, rad,
+                                 transmission=jnp.asarray([1.0]))
+    ref = shading.brdf_response(base, m, r, n, v, l, rad)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref), rtol=1e-6)
+    # fully transmissive: the diffuse term vanishes, only specular remains
+    assert float(out1.mean()) < float(out0.mean()) * 0.6
+
+
+def test_clearcoat_lobe_adds_specular_and_attenuates_base():
+    import jax.numpy as jnp
+    from incarnation_tpu.kernels import shading
+    n = jnp.asarray([[0.0, 0.0, -1.0]])
+    v = jnp.asarray([[0.0, 0.0, -1.0]])
+    # light near the mirror direction: the narrow coat lobe peaks there
+    l = jnp.asarray([[0.0, 0.2, -0.98]])
+    l = l / jnp.linalg.norm(l)
+    base = jnp.asarray([[0.5, 0.1, 0.1]])
+    m = jnp.asarray([0.0])
+    r = jnp.asarray([0.8])
+    rad = jnp.asarray([[1.0, 1.0, 1.0]])
+    out_cc = shading.brdf_response(
+        base, m, r, n, v, l, rad,
+        clearcoat=jnp.asarray([1.0]), cc_roughness=jnp.asarray([0.2]))
+    out_no = shading.brdf_response(base, m, r, n, v, l, rad)
+    a, b = np.asarray(out_cc)[0], np.asarray(out_no)[0]
+    # the coat highlight is achromatic: it raises the dim (green/blue)
+    # channels relative to the red-tinted base response
+    assert a[1] > b[1] and a[2] > b[2]
+    # energy is not simply added: the base is attenuated by (1 - Fc)
+    assert a[0] < b[0] + (a[1] - b[1]) + 1e-4
