@@ -85,10 +85,31 @@ def main():
             jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0),
             frame_index=i)
 
+    # Multi-chip: shard the image into horizontal bands over all TPU chips
+    # (SURVEY §2.4 scale-out; bands are independent so scaling is
+    # near-linear). Single-chip environments take the plain jit path.
+    tpus = [d for d in jax.devices() if d.platform == "tpu"]
+    n_chips = len(tpus)
+    mesh = None
+    if n_chips > 1:
+        while n_chips > 1 and height % (n_chips * params.tile_h) != 0:
+            n_chips -= 1
+        if n_chips > 1:
+            from incarnation_tpu.dist import sharding
+            mesh = sharding.make_mesh(devices=tpus[:n_chips])
+
+    def run(fc, history):
+        if mesh is not None:
+            from incarnation_tpu.dist import sharding
+            return sharding.render_frame_sharded_jit(
+                scene, fc, cfg, params, mesh, probe=probe,
+                env_brdf=env_brdf, history=history)
+        return frame_mod.render_frame_jit(scene, fc, cfg, params, probe,
+                                          env_brdf, history)
+
     history = jnp.zeros((height, width, 3))
     fc = make_fc(0, None)
-    out = frame_mod.render_frame_jit(scene, fc, cfg, params, probe, env_brdf,
-                                     history)
+    out = run(fc, history)
     out["color"].block_until_ready()
 
     n = 10
@@ -100,15 +121,15 @@ def main():
     history = out["accumulation"]
     t0 = time.time()
     for i in range(n):
-        out = frame_mod.render_frame_jit(scene, fcs[i], cfg, params, probe,
-                                         env_brdf, history)
+        out = run(fcs[i], history)
         history = out["accumulation"]
     out["color"].block_until_ready()
     dt = (time.time() - t0) / n
     fps = 1.0 / dt
 
+    suffix = f"_{n_chips}chip" if mesh is not None else ""
     print(json.dumps({
-        "metric": f"{name}_1080p_raster_fps",
+        "metric": f"{name}_1080p_raster_fps{suffix}",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / TARGET_FPS, 3),

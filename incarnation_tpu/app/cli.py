@@ -68,6 +68,9 @@ def main(argv=None):
                     help="path-tracing samples per pixel to accumulate")
     ap.add_argument("--shadows", action="store_true",
                     help="ray-traced sun shadows in the raster path")
+    ap.add_argument("--forward", action="store_true",
+                    help="forward lighting path (exact normals; BLEND "
+                         "geometry alpha-composited — ref ui.cpp:346)")
     ap.add_argument("--hbao", action="store_true",
                     help="ray-traced HBAO + bent normals")
     ap.add_argument("--hdri", default=None,
@@ -90,7 +93,8 @@ def main(argv=None):
 
     cfg = Config(viewmode=args.viewmode, exposure=args.exposure,
                  enable_sky_lighting=not args.no_sky,
-                 enable_hbao=args.hbao, use_bent_normals=args.hbao)
+                 enable_hbao=args.hbao, use_bent_normals=args.hbao,
+                 forward_lighting=args.forward)
     if args.no_sky:
         from ..config import EnvSkyMode
         cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)

@@ -58,12 +58,18 @@ def make_mesh(n_devices: int = None, devices=None, axis: str = "band"):
 
 def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
                          mesh: Mesh, axis: str = "band", probe=None,
-                         env_brdf=None):
+                         env_brdf=None, history=None, scene_bvh=None):
     """Render with the image sharded into horizontal bands over `mesh`.
 
     params describes the FULL image; each device renders height/n rows.
     Returns the same dict as render_frame with 'color'/'vis'/'depth'/'hdr'
     assembled full-size (stats psum-reduced across devices).
+
+    history: optional (H, W, 3) TAA accumulation, band-sharded like the
+    image — reprojection is band-local (no cross-band halo exchange; a
+    reprojected sample that crosses a band boundary falls back to the
+    current frame exactly like an off-screen sample).
+    scene_bvh: optional, replicated — enables ray-traced sun shadows/HBAO.
     """
     n = mesh.shape[axis]
     if params.height % (n * params.tile_h) != 0:
@@ -78,8 +84,13 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
         big_tri_capacity=params.big_tri_capacity, chunk=params.chunk,
         interpret=(params.interpret if params.interpret is not None
                    else not on_tpu))
+    has_history = history is not None
+    has_bvh = scene_bvh is not None
 
-    def body(scene, fc, probe, env_brdf):
+    def body(scene, fc, probe, env_brdf, *rest):
+        rest = list(rest)
+        hist = rest.pop(0) if has_history else None
+        bvh = rest.pop(0) if has_bvh else None
         idx = jax.lax.axis_index(axis)
         j = band_projection(n, idx)
         # inv(vp @ J) = inv(J) @ inv(vp); J is diagonal + one shear term.
@@ -88,26 +99,38 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
         j_inv = j_inv.at[3, 1].set(-j[3, 1] / n)
         fc_band = dataclasses.replace(
             fc, view_proj=fc.view_proj @ j,
-            inv_view_proj=j_inv @ fc.inv_view_proj)
+            inv_view_proj=j_inv @ fc.inv_view_proj,
+            prev_view_proj=fc.prev_view_proj @ j)
         out = frame_mod.render_frame(scene, fc_band, config=config,
                                      params=band_params, probe=probe,
-                                     env_brdf=env_brdf)
+                                     env_brdf=env_brdf, history=hist,
+                                     scene_bvh=bvh, band_axis=axis,
+                                     band_n=n)
         stats = {k: jax.lax.psum(v, axis) for k, v in out["stats"].items()}
         return dict(color=out["color"], tri=out["tri"], depth=out["depth"],
-                    hdr=out["hdr"], stats=stats)
+                    hdr=out["hdr"], accumulation=out["accumulation"],
+                    stats=stats)
 
     out_specs = dict(color=P(axis), tri=P(axis), depth=P(axis), hdr=P(axis),
-                     stats=P())
-    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                     accumulation=P(axis), stats=P())
+    in_specs = ((P(), P(), P(), P())
+                + ((P(axis),) if has_history else ())
+                + ((P(),) if has_bvh else ()))
+    args = ((scene, fc, probe, env_brdf)
+            + ((history,) if has_history else ())
+            + ((scene_bvh,) if has_bvh else ()))
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
-    return fn(scene, fc, probe, env_brdf)
+    return fn(*args)
 
 
 def render_frame_sharded_jit(scene, fc, config, params, mesh, axis="band",
-                             probe=None, env_brdf=None):
+                             probe=None, env_brdf=None, history=None,
+                             scene_bvh=None):
     f = jax.jit(functools.partial(render_frame_sharded, config=config,
                                   params=params, mesh=mesh, axis=axis))
-    return f(scene, fc, probe=probe, env_brdf=env_brdf)
+    return f(scene, fc, probe=probe, env_brdf=env_brdf, history=history,
+             scene_bvh=scene_bvh)
 
 
 def pathtrace_spp_sharded(scene, bvh, fc, history, base_sample_index, *,

@@ -397,26 +397,28 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
     # rows so the kernel's fixed-size DMAs never run off the end). The id is
     # pre-packed into a (T, 16) table so the build is ONE 64-byte-row gather
     # (the TPU gather fast path) instead of a 12-wide + an id gather.
+    ids_f = ids.astype(jnp.float32)[:, None]
     setup16 = jnp.concatenate([
-        setup_t.T, ids.astype(jnp.float32)[:, None],
+        setup_t.T, ids_f,
         jnp.zeros((t, _PAIR_STRIDE - _SETUP_ROWS - 1), jnp.float32),
     ], axis=-1)                                        # (T, 16)
-    flat = setup16[tri_s]                              # (P_cap, 16)
-    flat = flat.reshape(cap_pairs // _PAIRS_PER_ROW,
-                        _PAIRS_PER_ROW * _PAIR_STRIDE)
-    flat = jnp.pad(flat, ((0, p.chunk // _PAIRS_PER_ROW + 1), (0, 0)))
-
-    # Attribute pair stream (same sorted-pair order), id at lane _ID_LANE so
-    # the kernel's second pass can match pairs against the winner id map.
+    # Attribute rows, id at lane _ID_LANE so the kernel's second pass can
+    # match pairs against the winner id map.
     if attr_flat is None:
         attr_flat = jnp.zeros((t, ATTR_ROWS), jnp.float32)
     attr32 = jnp.concatenate([
-        attr_flat, ids.astype(jnp.float32)[:, None],
+        attr_flat, ids_f,
         jnp.zeros((t, _APAIR_STRIDE - ATTR_ROWS - 1), jnp.float32),
     ], axis=-1)                                        # (T, 32)
-    aflat = attr32[tri_s]                              # (P_cap, 32)
-    aflat = aflat.reshape(cap_pairs // _APAIRS_PER_ROW,
-                          _APAIRS_PER_ROW * _APAIR_STRIDE)
+    # ONE 48-lane-row gather builds BOTH pair streams (gather cost on TPU is
+    # ~per-row, so one 192 B row beats a 64 B + a 128 B row); the slices
+    # after it are sequential.
+    row48 = jnp.concatenate([setup16, attr32], axis=-1)[tri_s]   # (P, 48)
+    flat = row48[:, :_PAIR_STRIDE].reshape(
+        cap_pairs // _PAIRS_PER_ROW, _PAIRS_PER_ROW * _PAIR_STRIDE)
+    flat = jnp.pad(flat, ((0, p.chunk // _PAIRS_PER_ROW + 1), (0, 0)))
+    aflat = row48[:, _PAIR_STRIDE:].reshape(
+        cap_pairs // _APAIRS_PER_ROW, _APAIRS_PER_ROW * _APAIR_STRIDE)
     aflat = jnp.pad(aflat, ((0, p.chunk // _APAIRS_PER_ROW + 1), (0, 0)))
 
     # Big-triangle list via cumsum compaction (no atomics on TPU).
@@ -663,8 +665,8 @@ def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None):
     tile_spec = pl.BlockSpec((p.tile_h, p.tile_w),
                              lambda i, *_: (i // p.tiles_x, i % p.tiles_x))
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),   # setup pairs (HBM)
-        pl.BlockSpec(memory_space=pltpu.ANY),   # attr pairs (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),   # setup pairs (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),   # attr pairs (HBM)
         pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
                      lambda i, *_: (0, 0)),
         pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
@@ -815,17 +817,44 @@ def raster_layer(prep: PreparedGeometry, params: RasterParams,
 def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
                      params: RasterParams, tri_visible=None
                      ) -> PreparedGeometry:
-    """Fused vertex transform + triangle setup + attribute-plane build:
-    shares the per-corner vtable gathers and edge cross products between
-    triangle_setup and triangle_attributes (they are recomputed when the
-    two run separately)."""
+    """Fused vertex transform + triangle setup + attribute-plane build.
+
+    Reads the STATIC per-triangle corner table (scene.tri_corner, built at
+    load) sequentially and transforms each corner in place — zero per-frame
+    vertex gathers. Transforming a vertex once per corner-use costs ~2x the
+    FLOPs of the shared per-vertex table it replaced, but the three (T, 16)
+    corner gathers it eliminates were ~8 ms of the profiled 1080p frame
+    while VPU muladds over sequential rows are ~free."""
     p = params
     w, h = p.width, p.height
-    tv = scene.tri_vtx
-    # ONE (V, 16) per-vertex table -> a single wide-row gather per corner
-    # (clip + uv + world normal/tangent + sign together) vs six narrow ones.
-    vtable = _vertex_table(scene, scene_rotation, view_proj)
-    r0, r1, r2 = vtable[tv[:, 0]], vtable[tv[:, 1]], vtable[tv[:, 2]]
+    # Per-triangle transform row: localToClip (16) + localToWorld 3x3 (9),
+    # ONE gather of small rows (the mesh table is tiny and cache-resident).
+    local_to_world = jnp.einsum("mij,jk->mik", scene.mesh_transforms,
+                                scene_rotation)
+    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
+    packed = jnp.concatenate([
+        local_to_clip.reshape(-1, 16),
+        local_to_world[:, :3, :3].reshape(-1, 9)], axis=-1)   # (M, 25)
+    mrow = packed[scene.tri_mesh]                             # (T, 25)
+    ctab = scene.tri_corner                                   # (T, 36)
+
+    def corner(k):
+        o = 12 * k
+        pos = ctab[:, o:o + 3]
+        nrm = ctab[:, o + 3:o + 6]
+        tan = ctab[:, o + 6:o + 9]
+        uv = ctab[:, o + 10:o + 12]
+        clip = (pos[:, 0:1] * mrow[:, 0:4] + pos[:, 1:2] * mrow[:, 4:8]
+                + pos[:, 2:3] * mrow[:, 8:12] + mrow[:, 12:16])
+        wn = (nrm[:, 0:1] * mrow[:, 16:19] + nrm[:, 1:2] * mrow[:, 19:22]
+              + nrm[:, 2:3] * mrow[:, 22:25])
+        wt = (tan[:, 0:1] * mrow[:, 16:19] + tan[:, 1:2] * mrow[:, 19:22]
+              + tan[:, 2:3] * mrow[:, 22:25])
+        # layout matches the old vtable row [clip4 uv2 wn3 wt3 sign]
+        return jnp.concatenate(
+            [clip, uv, wn, wt, ctab[:, o + 9:o + 10]], axis=-1)
+
+    r0, r1, r2 = corner(0), corner(1), corner(2)
     c0, c1, c2 = r0[:, :4], r1[:, :4], r2[:, :4]
 
     def screen_h(c):
@@ -885,7 +914,7 @@ def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
                       jnp.where(crossing, h - 1,
                                 jnp.clip(mx[:, 1], 0, h - 1))], axis=-1)
 
-    t = tv.shape[0]
+    t = ctab.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
     setup_t = jnp.concatenate([e0.T, e1.T, e2.T, zplane.T], axis=0) \
         .astype(jnp.float32)

@@ -120,7 +120,8 @@ def _frame_noise(shape, frame_index, mult: int):
 def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
                     width: int, height: int,
                     trilinear: bool = True,
-                    mip_dither=None, uv_dither: bool = False) -> GBuffer:
+                    mip_dither=None, uv_dither: bool = False,
+                    return_normal3: bool = False):
     """tri: (H, W) int32 global triangle indices (-1 = background);
     interp: (16, H, W) f32 per-pixel attributes emitted by the raster
     kernel's attribute-select pass (raster.INTERP_CHANNELS layout:
@@ -130,7 +131,11 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
     mip_dither: frame index enabling stochastic single-mip selection;
     uv_dither: additionally jitter the bilinear footprint so the whole
     material stack is ONE texel gather per pixel (requires mip_dither + TAA
-    to converge — stochastic texture filtering)."""
+    to converge — stochastic texture filtering);
+    return_normal3: also return the mapped world normal as 3 channels
+    without the octahedral round trip (the forward path shades from this,
+    matching the reference's forward PS which never encodes the normal,
+    ref: geo-raster/forward-pass.hlsl:108-114)."""
     mask = tri >= 0
 
     u = interp[0]
@@ -183,7 +188,7 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
     wp = world_from_depth(depth, inv_view_proj, width, height)
 
     m = mask[..., None]
-    return GBuffer(
+    gb = GBuffer(
         base_color=jnp.where(
             m, jnp.concatenate([base_color, opacity[..., None]], -1), 0.0),
         normals=jnp.where(m, mu.oct_encode(n_mapped), 0.0),
@@ -197,6 +202,9 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
             [fac[..., 13] * tx["transmission"], fac[..., 14] * tx["clearcoat"],
              fac[..., 15]], -1), 0.0),
     )
+    if return_normal3:
+        return gb, jnp.where(m, n_mapped, 0.0)
+    return gb
 
 
 def vertex_world_attributes(scene, scene_rotation):

@@ -139,8 +139,15 @@ def directional_light_radiance(color, intensity):
 def punctual_light(light_type, transform, color, intensity, rng, spot_angles,
                    world_pos):
     """Point/spot incoming radiance + direction toward the light, per the
-    glTF punctual spec as the reference implements it
-    (ref: lighting/common.hlsli:20-82). Inputs broadcast over pixels.
+    glTF punctual spec (ref: lighting/common.hlsli:20-82). Inputs broadcast
+    over pixels.
+
+    INTENTIONAL DIVERGENCE from the reference: its GetDirectRadiance
+    re-declares radialAttenuation inside the spot+range branch
+    (ref: lighting/common.hlsli:73 shadows the outer variable), which
+    leaves spot lights with range > 0 black. This implements the
+    spec-correct windowed attenuation instead — image diffs against
+    reference captures of such spots are expected.
 
     Returns (l (...,3), radiance_in (...,3)).
     """

@@ -157,7 +157,7 @@ def _history_fetch_pallas(history, depth, m, width: int, height: int,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((4, 4), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_TILE_H, _TILE_W),
                          lambda i: (i // tiles_x, i % tiles_x)),
         ],
@@ -174,9 +174,17 @@ def _history_fetch_pallas(history, depth, m, width: int, height: int,
     return jnp.transpose(out, (1, 2, 0))
 
 
-def _neighborhood_minmax(img):
-    """3x3 min/max via shifted rolls (edge-clamped by padding)."""
-    padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+def _neighborhood_minmax(img, halo_top=None, halo_bot=None):
+    """3x3 min/max via shifted rolls (edge-clamped by padding).
+
+    halo_top/halo_bot: optional (1, W, C) neighbor rows (band-sharded
+    rendering exchanges them over ICI so the clamp matches single-chip
+    across band boundaries)."""
+    if halo_top is not None:
+        padded = jnp.concatenate([halo_top, img, halo_bot], axis=0)
+        padded = jnp.pad(padded, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    else:
+        padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
     mins = img
     maxs = img
     for dy in (-1, 0, 1):
@@ -196,7 +204,8 @@ def _luminance_weight(c):
 
 
 def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
-                history_valid, width: int, height: int, dither=None):
+                history_valid, width: int, height: int, dither=None,
+                band_axis=None, band_n: int = 1):
     """-> new accumulation buffer (H, W, 3).
 
     history_valid: () bool/int — frame 0 passes current through
@@ -204,6 +213,11 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
     dither: frame index enabling the stochastic single-texel history fetch
     (noise is bounded by the 3x3 neighborhood clamp and averaged out by the
     accumulation itself).
+    band_axis/band_n: when rendering band-sharded over a mesh axis, the 3x3
+    neighborhood clamp exchanges one halo row with each neighbor band over
+    ICI (ppermute) so boundary rows clamp exactly like single-chip. The
+    history *fetch* stays band-local: a reprojection that crosses a band
+    clamps to the band edge, which the clamp then treats as disocclusion.
     """
     from .raster import _should_interpret
     use_kernel = (dither is None and width % _TILE_W == 0
@@ -232,7 +246,21 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
                  _frame_noise(depth.shape, dither, 3042594569)], axis=-1)
         prev_color = _bilinear_image(history, prev_uv, width, height,
                                      jitter=jitter)
-    mins, maxs = _neighborhood_minmax(current_hdr)
+    halo_top = halo_bot = None
+    if band_axis is not None and band_n > 1:
+        idx = jax.lax.axis_index(band_axis)
+        # band i's bottom row -> band i+1's top halo, and vice versa;
+        # outermost bands edge-clamp like the single-chip pad.
+        from_above = jax.lax.ppermute(
+            current_hdr[-1:], band_axis,
+            [(i, i + 1) for i in range(band_n - 1)])
+        from_below = jax.lax.ppermute(
+            current_hdr[:1], band_axis,
+            [(i, i - 1) for i in range(1, band_n)])
+        halo_top = jnp.where(idx == 0, current_hdr[:1], from_above)
+        halo_bot = jnp.where(idx == band_n - 1, current_hdr[-1:],
+                             from_below)
+    mins, maxs = _neighborhood_minmax(current_hdr, halo_top, halo_bot)
     clamped = jnp.clip(prev_color, mins, maxs)
 
     w_cur = 0.1 * _luminance_weight(current_hdr)

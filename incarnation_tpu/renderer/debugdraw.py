@@ -83,6 +83,129 @@ def draw_lines(color_u8, depth, segments, line_colors, view_proj,
     return flat.at[idx].set(cols_u8, mode="drop").reshape(h, w, 3)
 
 
+class DebugShape:
+    """Wireframe primitive shapes (ref: renderer.cpp:724-737 loads Cube/
+    Icosphere/Sphere/Cylinder/Cone/Plane from debug-primitives.gltf)."""
+    CUBE = 0
+    ICOSPHERE = 1
+    SPHERE = 2
+    CYLINDER = 3
+    CONE = 4
+    PLANE = 5
+    COUNT = 6
+
+
+def _circle_pts(radius, y, segments):
+    t = np.linspace(0, 2 * np.pi, segments + 1)
+    return np.stack([radius * np.cos(t), np.full_like(t, y),
+                     radius * np.sin(t)], axis=-1).astype(np.float32)
+
+
+def _ring_segments(pts):
+    return np.stack([pts[:-1], pts[1:]], axis=1)
+
+
+def _icosahedron_edges():
+    """Unit icosahedron wireframe -> (30, 2, 3)."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.array([[-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+                  [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+                  [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1]],
+                 np.float32)
+    v /= np.linalg.norm(v[0])
+    faces = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+             (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+             (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+             (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+    edges = set()
+    for a, b, c in faces:
+        for e in [(a, b), (b, c), (c, a)]:
+            edges.add((min(e), max(e)))
+    return np.stack([v[list(e)] for e in sorted(edges)])
+
+
+def primitive_edges(shape: int, transform=None, segments: int = 16):
+    """Unit wireframe primitive -> (N, 2, 3) world-space line segments.
+    Shapes match the reference's Blender-exported debug-primitives.gltf:
+    unit radius / half-extent 1, y-up, centered at the origin (cylinder/
+    cone span y in [-1, 1], cone apex at +y).
+
+    transform: optional (4, 4) row-vector world transform."""
+    if shape == DebugShape.CUBE:
+        segs = box_edges([-1, -1, -1], [1, 1, 1])
+    elif shape == DebugShape.ICOSPHERE:
+        segs = _icosahedron_edges()
+    elif shape == DebugShape.SPHERE:
+        out = []
+        for frac in np.linspace(-0.75, 0.75, 5):   # latitude rings
+            y = np.sin(frac * np.pi / 2.0)
+            out.append(_ring_segments(
+                _circle_pts(np.sqrt(max(1 - y * y, 0.0)), y, segments)))
+        t = np.linspace(0, np.pi, segments // 2 + 1)
+        for a in np.linspace(0, np.pi, 5)[:-1]:    # meridians
+            pts = np.stack([np.sin(t) * np.cos(a), np.cos(t),
+                            np.sin(t) * np.sin(a)], axis=-1)
+            out.append(_ring_segments(pts.astype(np.float32)))
+        segs = np.concatenate(out)
+    elif shape == DebugShape.CYLINDER:
+        top = _circle_pts(1.0, 1.0, segments)
+        bot = _circle_pts(1.0, -1.0, segments)
+        side = np.stack([bot[:-1:4], top[:-1:4]], axis=1)
+        segs = np.concatenate([_ring_segments(top), _ring_segments(bot),
+                               side])
+    elif shape == DebugShape.CONE:
+        base = _circle_pts(1.0, -1.0, segments)
+        apex = np.tile(np.asarray([0, 1.0, 0], np.float32),
+                       (base[:-1:4].shape[0], 1))
+        side = np.stack([base[:-1:4], apex], axis=1)
+        segs = np.concatenate([_ring_segments(base), side])
+    elif shape == DebugShape.PLANE:
+        c = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+                     np.float32)
+        segs = np.stack([c, np.roll(c, -1, axis=0)], axis=1)
+    else:
+        raise ValueError(f"unknown debug shape {shape}")
+    if transform is not None:
+        t = np.asarray(transform, np.float32)
+        segs = segs @ t[:3, :3] + t[3, :3]
+    return segs.astype(np.float32)
+
+
+class DebugDraw:
+    """CPU-queued wireframe primitive commands splatted at flush — the
+    rebuild of the reference's FDebugDraw command queue + indirect expand
+    (ref: renderer.cpp:920-1346: DrawPrimitive appends FDebugDrawCmd,
+    Flush uploads + ExecuteIndirects wireframes with read-only
+    GREATER_EQUAL depth). Shader-side self-append has no analogue: passes
+    are pure functions, so anything a kernel wants drawn is returned as
+    data and queued here."""
+
+    MAX_COMMANDS = 256      # parity with renderer.h:54
+
+    def __init__(self):
+        self._queued = []       # (segments, colors)
+        self._persistent = []
+
+    def draw_primitive(self, shape: int, color, transform=None,
+                       persistent: bool = False):
+        segs = primitive_edges(shape, transform)
+        cols = np.tile(np.asarray(color, np.float32)[:3], (segs.shape[0], 1))
+        target = self._persistent if persistent else self._queued
+        if len(self._queued) + len(self._persistent) < self.MAX_COMMANDS:
+            target.append((segs, cols))
+
+    def flush(self, color_u8, depth, view_proj):
+        """Draw all queued + persistent commands over the frame and clear
+        the per-frame queue (ref: renderer.cpp:1326-1341 clears counts)."""
+        cmds = self._persistent + self._queued
+        self._queued = []
+        if not cmds:
+            return color_u8
+        segs = np.concatenate([s for s, _ in cmds])
+        cols = np.concatenate([c for _, c in cmds])
+        return draw_lines(color_u8, depth, segs, cols, view_proj)
+
+
 def scene_bounds_segments(scene, scene_rotation=None):
     """World-space wireframe spheres for every primitive's bounds
     (show_object_bounds; ref: ui.cpp:604-630 + debug-draw shapes)."""

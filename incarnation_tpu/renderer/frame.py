@@ -98,9 +98,14 @@ class FrameConstants:
 
 def render_frame(scene, fc: FrameConstants, *, config: Config,
                  params: raster.RasterParams, probe=None, env_brdf=None,
-                 history=None, scene_bvh=None):
+                 history=None, scene_bvh=None, band_axis=None,
+                 band_n: int = 1):
     """Full raster-path frame. probe: optional EnvironmentProbe + env_brdf
     LUT enable the sky-lighting pass and envmap background.
+
+    band_axis/band_n: set by the band sharder (dist/sharding.py) when this
+    frame is one horizontal band of a mesh-sharded image — TAA exchanges
+    clamp halos with neighbor bands over ICI.
 
     Returns dict with 'color' (H, W, 3) uint8 sRGB plus intermediate buffers
     and stats (the render-stats analogue, ref: inc/gpu-shared-types.h:251-255).
@@ -135,10 +140,17 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         # depth-peel layers — each peel takes the closest not-yet-tested
         # fragment, alpha-tests it against the base-color texture, and
         # failed pixels peel again behind it.
-        tri_masked = (scene.prim_alpha_mode[
-            jnp.maximum(scene.tri_prim, 0)] > 0) & (scene.tri_prim >= 0)
+        tri_alpha = scene.prim_alpha_mode[jnp.maximum(scene.tri_prim, 0)]
+        tri_nonopaque = (tri_alpha > 0) & (scene.tri_prim >= 0)
+        if config.forward_lighting and scene.meta.has_blend:
+            # Forward: BLEND prims skip the screen-door peel; they are
+            # shaded per layer and alpha-composited below (the capability
+            # the reference reserves for forward rendering).
+            tri_masked = (tri_alpha == 1) & (scene.tri_prim >= 0)
+        else:
+            tri_masked = tri_nonopaque
         tri, depth, interp, stats = raster.raster_layer(
-            prep, params, layer_valid=~tri_masked)
+            prep, params, layer_valid=~tri_nonopaque)
         acc_tri = jnp.full_like(tri, -1)
         acc_depth = jnp.zeros_like(depth)
         acc_interp = jnp.zeros_like(interp)
@@ -172,11 +184,20 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     # Stochastic texture filtering only while TAA is accumulating (the
     # temporal resolve realizes the filtered expectation); single-shot
     # frames keep exact trilinear.
-    gb = resolve.resolve_gbuffer(
-        tri, depth, scene, interp, fc.inv_view_proj,
-        params.width, params.height,
-        mip_dither=(fc.frame_index if stoch else None),
-        uv_dither=(config.stochastic_bilinear and stoch))
+    n3 = None
+    if config.forward_lighting:
+        gb, n3 = resolve.resolve_gbuffer(
+            tri, depth, scene, interp, fc.inv_view_proj,
+            params.width, params.height,
+            mip_dither=(fc.frame_index if stoch else None),
+            uv_dither=(config.stochastic_bilinear and stoch),
+            return_normal3=True)
+    else:
+        gb = resolve.resolve_gbuffer(
+            tri, depth, scene, interp, fc.inv_view_proj,
+            params.width, params.height,
+            mip_dither=(fc.frame_index if stoch else None),
+            uv_dither=(config.stochastic_bilinear and stoch))
 
     # Decal pass (ref: render-jobs/gbuffer-raster-pass.inl:126-191): decal
     # meshes raster on top with GREATER_EQUAL depth against the scene,
@@ -208,9 +229,104 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             uv=gb.uv,
             extras=gb.extras,
         )
+        if n3 is not None:
+            n3 = jnp.where(opaque, mu.oct_decode(d_gb.normals), n3)
 
+    # Light-cluster grid, built once per frame and shared by every shaded
+    # surface (ref: render-jobs/light-culling.inl)
+    mask_grid = None
+    if config.enable_direct_lighting and scene.meta.num_lights > 0:
+        mask_grid, culled_lights = clustered.build_light_clusters(
+            scene.lights, config, fc.proj, fc.inv_view_proj,
+            config.camera_near_plane)
+        stats["culled_lights"] = culled_lights
+
+    # Forward mode shades from the exact mapped normal (no octahedral round
+    # trip — ref: forward-pass.hlsl:108-114 never encodes it); deferred
+    # decodes the gbuffer like the reference's lighting passes.
+    if config.forward_lighting and n3 is not None:
+        n = n3
+    else:
+        n = mu.oct_decode(gb.normals)
+    hdr, ao_map, bent_normals, v = _shade_surface(
+        scene, gb, n, depth, fc, config=config, params=params, probe=probe,
+        env_brdf=env_brdf, scene_bvh=scene_bvh, mask_grid=mask_grid,
+        stoch=stoch)
+
+    # Environment background at far depth (ref: renderer.cpp:1928-1960)
+    if config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY:
+        hdr = hdr + skylight.environment_background(
+            gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
+            sun_dir=fc.sun_dir, turbidity=config.turbidity,
+            dynamic_sky=True)
+    elif probe is not None:
+        hdr = hdr + skylight.environment_background(
+            gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
+            probe=probe, sky_brightness=fc.sky_brightness, dynamic_sky=False)
+
+    # Forward alpha-composited BLEND layers: depth-peel the blend geometry
+    # front to back, forward-shade each layer at full precision, and
+    # under-composite radiance — the capability that motivates a forward
+    # path (the reference's forward PSO ships BlendEnable=FALSE,
+    # forward-pass.inl:134-139; this goes one step further).
+    if config.forward_lighting and scene.meta.has_blend:
+        tri_blend = (scene.prim_alpha_mode[
+            jnp.maximum(scene.tri_prim, 0)] >= 2) & (scene.tri_prim >= 0)
+        c_acc = jnp.zeros_like(hdr)
+        transmit = jnp.ones(hdr.shape[:2] + (1,), jnp.float32)
+        zlim = jnp.full(depth.shape, 2.0, jnp.float32)
+        for _ in range(max(1, config.masked_depth_peels)):
+            b_tri, b_depth, b_interp, b_stats = raster.raster_layer(
+                prep, params, layer_valid=tri_blend, z_limit=zlim)
+            gb_b, n3_b = resolve.resolve_gbuffer(
+                b_tri, b_depth, scene, b_interp, fc.inv_view_proj,
+                params.width, params.height, return_normal3=True)
+            hdr_b, _, _, _ = _shade_surface(
+                scene, gb_b, n3_b, b_depth, fc, config=config,
+                params=params, probe=probe, env_brdf=env_brdf,
+                scene_bvh=scene_bvh, mask_grid=mask_grid, stoch=False)
+            # Only fragments in front of the opaque winner contribute
+            # (reverse-Z: larger z = closer).
+            vis_b = gb_b.mask & (b_depth > depth)
+            a = jnp.where(vis_b, gb_b.base_color[..., 3], 0.0)[..., None]
+            c_acc = c_acc + transmit * a * hdr_b
+            transmit = transmit * (1.0 - a)
+            zlim = jnp.where(gb_b.mask, b_depth, 0.0)
+            for k_ in ("bin_overflow", "big_overflow"):
+                stats[k_] = stats[k_] + b_stats[k_]
+        hdr = c_acc + transmit * hdr
+
+    # TAA resolve (ref: render-jobs/taa-resolve.inl): reproject + clamp +
+    # blend into the accumulation buffer, which becomes the display source
+    accumulation = hdr
+    if config.enable_taa and history is not None:
+        accumulation = taa.taa_resolve(
+            hdr, history, depth, fc.inv_view_proj, fc.prev_view_proj,
+            fc.history_valid, params.width, params.height,
+            dither=(fc.frame_index if taa_active and config.stochastic_taa
+                    else None),
+            band_axis=band_axis, band_n=band_n)
+
+    color = _apply_viewmode(config, scene, gb, n, depth, tri, accumulation,
+                            fc, v=v, probe=probe,
+                            bent_normals=bent_normals)
+    return dict(color=post.to_uint8(color), hdr=hdr,
+                accumulation=accumulation, tri=tri, depth=depth,
+                gbuffer=gb, stats=stats)
+
+
+def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
+                   probe, env_brdf, scene_bvh, mask_grid, stoch):
+    """Per-pixel shading shared by the deferred frame, the forward frame,
+    and the forward blend layers: emissive + IBL + sun (ray-traced shadow) +
+    clustered punctual. Deferred evaluates these as separate additive
+    fullscreen jobs (ref: render-jobs/{sky-lighting,direct-lighting,
+    clustered-lighting}.inl); the forward PS evaluates the same lobes
+    inline (ref: geo-raster/forward-pass.hlsl:55-189) — here both are the
+    same traced code, fused by XLA either way.
+
+    Returns (hdr, ao_map, bent_normals, v)."""
     hdr = gb.emissive
-    n = mu.oct_decode(gb.normals)
     v = mu.normalize(fc.eye - gb.world_pos)
     base = gb.base_color[..., :3]
     metallic = gb.mrao[..., 0]
@@ -240,15 +356,14 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             dither=(fc.frame_index if stoch else None),
             extras=(gb.extras if scene.meta.has_extras else None))
 
-    # Deferred direct (sun) lighting with inline ray-traced shadows when a
-    # BVH is supplied (ref: lighting/direct-lighting.hlsl +
+    # Direct (sun) lighting with inline ray-traced shadows when a BVH is
+    # supplied (ref: lighting/direct-lighting.hlsl +
     # lighting/common.hlsli:91-116)
     if config.enable_direct_lighting:
         radiance_in = shading.directional_light_radiance(
             fc.sun_color_intensity[:3], fc.sun_color_intensity[3])
         sun_vis = 1.0
         if scene_bvh is not None:
-            from ..kernels import bvh as bvh_mod
             r3 = fc.inv_scene_rotation[:3, :3]
             origins = gb.world_pos.reshape(-1, 3) @ r3 \
                 + fc.inv_scene_rotation[3, :3]
@@ -270,52 +385,35 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             cc_roughness=gb.extras[..., 2] if has_x else None)
         hdr = hdr + jnp.where(m3, sun, 0.0)
 
-    # Clustered punctual lighting (ref: render-jobs/light-culling.inl +
-    # clustered-lighting.inl): cull to the cluster bitmask grid, then shade.
-    # Gates on the REAL light count (the device table pads to 1 row).
-    nl = scene.meta.num_lights
-    if config.enable_direct_lighting and nl > 0:
-        mask_grid, culled_lights = clustered.build_light_clusters(
-            scene.lights, config, fc.proj, fc.inv_view_proj,
-            config.camera_near_plane)
+    # Clustered punctual lighting (ref: render-jobs/clustered-lighting.inl)
+    if mask_grid is not None:
         hdr = hdr + clustered.clustered_lighting(
             gb, n, v, depth, scene.lights, mask_grid, config,
             config.camera_near_plane, params.width, params.height)
-        stats["culled_lights"] = culled_lights
 
-    # Environment background at far depth (ref: renderer.cpp:1928-1960)
-    if config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY:
-        hdr = hdr + skylight.environment_background(
-            gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
-            sun_dir=fc.sun_dir, turbidity=config.turbidity,
-            dynamic_sky=True)
-    elif probe is not None:
-        hdr = hdr + skylight.environment_background(
-            gb.mask, fc.eye, fc.inv_view_proj, params.width, params.height,
-            probe=probe, sky_brightness=fc.sky_brightness, dynamic_sky=False)
-
-    # TAA resolve (ref: render-jobs/taa-resolve.inl): reproject + clamp +
-    # blend into the accumulation buffer, which becomes the display source
-    accumulation = hdr
-    if config.enable_taa and history is not None:
-        accumulation = taa.taa_resolve(
-            hdr, history, depth, fc.inv_view_proj, fc.prev_view_proj,
-            fc.history_valid, params.width, params.height,
-            dither=(fc.frame_index if taa_active and config.stochastic_taa
-                    else None))
-
-    color = _apply_viewmode(config, scene, gb, n, depth, tri, accumulation,
-                            fc)
-    return dict(color=post.to_uint8(color), hdr=hdr,
-                accumulation=accumulation, tri=tri, depth=depth,
-                gbuffer=gb, stats=stats)
+    return hdr, ao_map, bent_normals, v
 
 
-def _apply_viewmode(config: Config, scene, gb, n, depth, tri, hdr, fc):
+def _apply_viewmode(config: Config, scene, gb, n, depth, tri, hdr, fc,
+                    v=None, probe=None, bent_normals=None):
     """Debug visualization modes (ref: postprocess/debug-visualization.hlsl,
     inc/demo.h:7-23) resolved at trace time — each mode is its own jit cache
     entry like the reference's VIEWMODE shader define."""
     vm = config.viewmode
+    if vm == ViewMode.REFLECTIONS and v is not None and probe is not None:
+        # Mirror reflection of the prefiltered envmap at mip 0
+        # (ref: geo-raster/forward-pass.hlsl:121-130 VIEWMODE == 7)
+        from ..kernels import ibl as ibl_mod
+        r = mu.normalize(2.0 * jnp.sum(n * v, -1, keepdims=True) * n - v)
+        refl = ibl_mod.sample_cube(probe.prefiltered, r) * fc.sky_brightness
+        return post.tonemap(jnp.where(gb.mask[..., None], refl, hdr),
+                            fc.exposure)
+    if vm == ViewMode.BENT_NORMALS:
+        # Bent normals x0.5+0.5 (ref: debug-visualization.hlsl:193-199);
+        # falls back to the shading normal when HBAO/bent normals are off
+        # (the reference reads whatever is in the cleared texture).
+        bn = n if bent_normals is None else bent_normals
+        return jnp.where(gb.mask[..., None], bn * 0.5 + 0.5, 0.0)
     if vm == ViewMode.NORMAL or vm == ViewMode.LIGHTING_ONLY:
         return post.tonemap(hdr, fc.exposure)
     if vm == ViewMode.NAN_CHECK:

@@ -45,7 +45,7 @@ def replicate_scene(scene: Scene, offsets: np.ndarray) -> Scene:
         num_meshes=k * nm, padded_vertices=k * v, padded_triangles=k * t,
         padded_primitives=k * p, has_decals=m.has_decals,
         num_lights=m.num_lights, has_masked=m.has_masked,
-        has_extras=m.has_extras)
+        has_extras=m.has_extras, has_blend=m.has_blend)
     return dataclasses.replace(
         scene,
         positions=rep(scene.positions),
@@ -55,6 +55,8 @@ def replicate_scene(scene: Scene, offsets: np.ndarray) -> Scene:
         tri_vtx=rep(scene.tri_vtx, stride=v),
         tri_prim=jnp.asarray(tri_prim_rep),
         vtx_mesh=rep(scene.vtx_mesh, stride=nm),
+        tri_corner=rep(scene.tri_corner),
+        tri_mesh=rep(scene.tri_mesh, stride=nm),
         prim_mesh=rep(scene.prim_mesh, stride=nm),
         prim_material=rep(scene.prim_material),
         prim_tri_offset=rep(scene.prim_tri_offset, stride=t),

@@ -6,6 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .loader import Scene, SceneMeta
+from . import loader as loader_mod
 from . import materials as materials_mod
 from . import lights as lights_mod
 from . import textures as textures_mod
@@ -85,6 +86,7 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
                      padded_primitives=p,
                      num_lights=int(lights.count),
                      has_masked=bool((prim_alpha_mode > 0).any()),
+                     has_blend=bool((prim_alpha_mode >= 2).any()),
                      has_extras=bool(
                          float(np.max(np.asarray(
                              materials.transmission_factor))) > 0.0
@@ -99,6 +101,9 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         tri_vtx=jnp.asarray(tris),
         tri_prim=jnp.asarray(np.asarray(tri_prim, np.int32)),
         vtx_mesh=jnp.zeros((v,), jnp.int32),
+        tri_corner=jnp.asarray(loader_mod.triangle_corner_table(
+            positions, normals, tangents, uvs, tris)),
+        tri_mesh=jnp.zeros((t,), jnp.int32),
         prim_mesh=jnp.zeros((p,), jnp.int32),
         prim_material=jnp.asarray(
             np.zeros((p,), np.int32) if prim_material is None

@@ -88,3 +88,62 @@ def test_decal_pass_blends():
     tri_map = np.asarray(out["tri"])
     assert (np.asarray(scene.tri_prim)[tri_map[tri_map >= 0]] == 0).all()
     assert bool(gb.mask[H // 2, W // 2])
+
+
+# ---------------------------------------------------------------------------
+# Wireframe primitive shapes + command queue
+# (ref: renderer.cpp:724-1346 FDebugDraw, debug-primitives.gltf)
+# ---------------------------------------------------------------------------
+
+def test_primitive_edges_shapes():
+    for shape in range(debugdraw.DebugShape.COUNT):
+        segs = debugdraw.primitive_edges(shape)
+        assert segs.ndim == 3 and segs.shape[1:] == (2, 3)
+        # unit-sized: all vertices within the unit-ish bounding box
+        assert np.abs(segs).max() <= 1.0 + 1e-5
+    # sphere/icosphere vertices lie on the unit sphere
+    for shape in (debugdraw.DebugShape.ICOSPHERE, debugdraw.DebugShape.SPHERE):
+        segs = debugdraw.primitive_edges(shape)
+        r = np.linalg.norm(segs.reshape(-1, 3), axis=-1)
+        np.testing.assert_allclose(r, 1.0, atol=1e-5)
+
+
+def test_primitive_edges_transform():
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] *= 2.0
+    t[3, :3] = [10, 0, 0]
+    segs = debugdraw.primitive_edges(debugdraw.DebugShape.CUBE, t)
+    assert np.abs(segs[..., 0] - 10).max() <= 2 + 1e-5
+    assert np.abs(segs[..., 1]).max() <= 2 + 1e-5
+
+
+def test_debugdraw_queue_flush():
+    scene = tri_scene()
+    fc, out = render(scene)
+    dd = debugdraw.DebugDraw()
+    t = np.eye(4, dtype=np.float32)
+    t[3, :3] = [0, 0, 5]   # at the triangle's depth, size 1 around center
+    dd.draw_primitive(debugdraw.DebugShape.CUBE, [1.0, 0.0, 1.0], t)
+    img0 = np.asarray(out["color"])
+    img1 = np.asarray(dd.flush(out["color"], out["depth"], fc.view_proj))
+    # magenta pixels appeared
+    magenta = (img1[..., 0] > 200) & (img1[..., 2] > 200) & (img1[..., 1] < 60)
+    assert magenta.sum() > 10
+    assert not np.array_equal(img0, img1)
+    # queue cleared: second flush is a no-op
+    img2 = np.asarray(dd.flush(jnp.asarray(img1), out["depth"], fc.view_proj))
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_debugdraw_persistent():
+    scene = tri_scene()
+    fc, out = render(scene)
+    dd = debugdraw.DebugDraw()
+    t = np.eye(4, dtype=np.float32)
+    t[3, :3] = [0, 0, 4.5]
+    dd.draw_primitive(debugdraw.DebugShape.SPHERE, [0, 1.0, 0], t,
+                      persistent=True)
+    img1 = np.asarray(dd.flush(out["color"], out["depth"], fc.view_proj))
+    img2 = np.asarray(dd.flush(out["color"], out["depth"], fc.view_proj))
+    np.testing.assert_array_equal(img1, img2)
+    assert not np.array_equal(img1, np.asarray(out["color"]))

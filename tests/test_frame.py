@@ -176,3 +176,100 @@ def test_scene_rotation_consistency():
 
     np.testing.assert_allclose(rotated, base, atol=5e-3 * base.max(),
                                rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Forward rendering path (ref: geo-raster/forward-pass.hlsl,
+# render-jobs/forward-pass.inl, toggled in ui.cpp:346)
+# ---------------------------------------------------------------------------
+
+def test_forward_matches_deferred_opaque():
+    """Config(forward_lighting=True) must produce a frame within ~1 dB of
+    deferred on an opaque scene — the only intended difference is skipping
+    the octahedral normal round trip (exact in f32 away from seams)."""
+    d = np.asarray(render(Config())["color"]).astype(np.float64)
+    f = np.asarray(
+        render(Config(forward_lighting=True))["color"]).astype(np.float64)
+    mse = np.mean((d - f) ** 2)
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 45.0, f"forward vs deferred PSNR {psnr:.1f} dB"
+
+
+def _two_quad_blend_scene(front_alpha):
+    """Opaque green quad at z=8 behind a BLEND red quad at z=5."""
+    from incarnation_tpu.scene import materials as materials_mod
+
+    class _G:
+        materials = [
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.0, 1.0, 0.0, 1.0],
+                "metallicFactor": 0.0, "roughnessFactor": 1.0}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [1.0, 0.0, 0.0, front_alpha],
+                "metallicFactor": 0.0, "roughnessFactor": 1.0},
+             "alphaMode": "BLEND"},
+        ]
+
+    mats = materials_mod.build_material_table(_G)
+    pts = np.array([
+        [-12, -9, 8], [12, -9, 8], [12, 9, 8], [-12, 9, 8],   # back (green)
+        [-3, -2, 5], [3, -2, 5], [3, 2, 5], [-3, 2, 5],       # front (red)
+    ], np.float32)
+    tris = [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]]
+    return make_scene(pts, tris, materials=mats,
+                      tri_prim=[0, 0, 1, 1], num_prims=2,
+                      prim_tri_offset=[0, 2], prim_material=[0, 1],
+                      prim_alpha_mode=[0, 2])
+
+
+def test_forward_blend_compositing():
+    """Forward alpha-composites BLEND layers: a half-transparent red quad
+    over a green background mixes both; at alpha=1 the red quad wins."""
+    out = render(Config(forward_lighting=True),
+                 scene=_two_quad_blend_scene(0.5))
+    hdr = np.asarray(out["hdr"])
+    cy, cx = H // 2, W // 2
+    r, g = hdr[cy, cx, 0], hdr[cy, cx, 1]
+    assert r > 0 and g > 0, f"expected composited r+g, got {hdr[cy, cx]}"
+    # directional sun, same normal/material shape -> contributions are the
+    # 0.5/0.5 mix of the two surfaces' (equal-brightness) responses
+    np.testing.assert_allclose(r, g, rtol=0.05)
+
+    solid = render(Config(forward_lighting=True),
+                   scene=_two_quad_blend_scene(1.0))
+    hdr1 = np.asarray(solid["hdr"])
+    # alpha=1: the red quad fully hides the green one; residual green is
+    # only the white dielectric specular lobe (F0 = 0.04)
+    assert hdr1[cy, cx, 0] > 0
+    assert hdr1[cy, cx, 1] < 0.05 * hdr1[cy, cx, 0]
+
+
+def test_bent_normals_viewmode():
+    out = render(Config(viewmode=ViewMode.BENT_NORMALS))
+    color = np.asarray(out["color"])
+    cy, cx = H // 2, W // 2
+    # geometric normal (0, 0, -1) -> 0.5, 0.5, 0 without HBAO
+    assert abs(int(color[cy, cx, 0]) - 128) <= 1
+    assert color[cy, cx, 2] == 0
+    assert color[2, 2].sum() == 0  # background
+
+
+def test_reflections_viewmode_with_probe():
+    from incarnation_tpu.kernels import ibl
+    # constant blue-ish latlong -> reflections show it everywhere on geo
+    latlong = np.tile(np.asarray([0.1, 0.2, 0.9], np.float32),
+                      (16, 32, 1))
+    probe = ibl.build_probe(jnp.asarray(latlong), envmap_size=16)
+    # sky_brightness sized so refl * EV13 exposure (~1e-4) lands mid-range
+    cfg = no_sky(Config(viewmode=ViewMode.REFLECTIONS, sky_brightness=3000.0))
+    scene = tri_scene()
+    view = View.default(aspect=W / H)
+    fc = frame_mod.FrameConstants.make(
+        view, cfg, sun_dir=[0, 0, -1.0],
+        sun_color_intensity=(1.0, 1.0, 1.0, 100.0))
+    env_brdf = ibl.env_brdf_lut(16)
+    out = frame_mod.render_frame_jit(scene, fc, cfg, PARAMS, probe=probe,
+                                     env_brdf=env_brdf)
+    color = np.asarray(out["color"])
+    c = color[H // 2, W // 2].astype(int)
+    assert c[2] > c[0] > 0, f"reflection should be blue-dominant, got {c}"

@@ -92,17 +92,14 @@ def main():
         trace = json.load(f)
     durs = {}
     shapes = {}
-    keys = ("fusion", "custom", "copy", "sort", "gather", "scatter",
-            "convert", "while", "reduce", "dot", "transpose", "dynamic",
-            "iota", "slice", "concatenate", "broadcast", "pad", "bitcast",
-            "select", "compare", "tanh", "rsqrt", "call")
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
         n_ = ev.get("name", "")
-        if not any(k in n_ for k in keys):
-            continue
         args = ev.get("args") or {}
+        # device ops carry a long_name (HLO); host/python events don't
+        if not args.get("long_name"):
+            continue
         ln = str(args.get("long_name") or "")
         durs.setdefault(n_, [0.0, 0])
         durs[n_][0] += ev.get("dur", 0) / 1e3
