@@ -238,8 +238,18 @@ def build_lbvh(tri_verts: np.ndarray):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SceneBVH:
-    rows: jnp.ndarray        # (N, 16) f32 threaded rows (module docstring)
+    rows: jnp.ndarray        # (N, 16) f32 threaded rows (module docstring);
+    #                          merged=True: (8N, 16) per-octant copies with
+    #                          (hit, miss) links inline at lanes 13/14
     links: jnp.ndarray       # (8N, 2) f32 per-octant (hit, miss) links
+    #                          (unused (1, 2) dummy when merged)
+    merged: bool = dataclasses.field(metadata=dict(static=True),
+                                     default=False)
+
+
+# Per-octant merged-row tables cost 8N x 64 B of HBM; above this node count
+# (~268 MB) fall back to the split rows+links layout (1.6x slower steps).
+_MERGE_LIMIT = 1 << 19
 
 
 def build_scene_bvh(scene) -> SceneBVH:
@@ -261,6 +271,12 @@ def build_scene_bvh(scene) -> SceneBVH:
     prim = np.asarray(scene.tri_prim)[:m.num_triangles]
     ds = np.asarray(scene.prim_double_sided)[np.maximum(prim, 0)]
     rows[leaf, 11] = ds[tri_id[leaf]].astype(np.float32)
+    n_total = rows.shape[0]
+    if n_total <= _MERGE_LIMIT:
+        rows8 = np.tile(rows, (8, 1))
+        rows8[:, 13:15] = links
+        return SceneBVH(rows=jnp.asarray(rows8),
+                        links=jnp.zeros((1, 2), jnp.float32), merged=True)
     return SceneBVH(rows=jnp.asarray(rows), links=jnp.asarray(links))
 
 
@@ -295,11 +311,19 @@ def _step(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
     """One threaded-traversal step over the whole ray batch.
 
     cur holds LOCAL node ids; okt_off (R,) = okt * N picks each ray's
-    ordered link set (links are stored as global okt*N + node indices)."""
+    ordered link set (links are stored as global okt*N + node indices).
+    links=None means `rows` is the per-octant MERGED table (8N, 16) with
+    the octant's (hit, miss) links inline at lanes 13/14 — ONE row gather
+    per step instead of a row + a link gather (gather cost on TPU is
+    per-row; traversal is gather-bound at full ray width)."""
     cur, t_best, best_tri, uo, vo, alive = state
     safe = jnp.maximum(cur, 0)
-    row = rows[safe]                                     # (R, 16) gather
-    lnk = links[safe + okt_off]                          # (R, 2) gather
+    if links is None:
+        row = rows[safe + okt_off]                       # (R, 16) gather
+        lnk = row[:, 13:15]
+    else:
+        row = rows[safe]                                 # (R, 16) gather
+        lnk = links[safe + okt_off]                      # (R, 2) gather
     leaf = row[:, 12] > 0.5
 
     # Leaf: Moller-Trumbore against the inline triangle row.
@@ -395,11 +419,11 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
                             jnp.where(directions >= 0, 1e-12, -1e-12))
     tmax_eff = tmax - tmin
     rows = bvh.rows
-    links = bvh.links
+    links = None if bvh.merged else bvh.links
 
     # Direction octant selects the ordered link set (links are global
     # okt*N + node; cur stays local).
-    n_per = rows.shape[0]
+    n_per = rows.shape[0] // 8 if bvh.merged else rows.shape[0]
     okt_off = n_per * ((directions[:, 0] < 0).astype(jnp.int32)
                        + 2 * (directions[:, 1] < 0).astype(jnp.int32)
                        + 4 * (directions[:, 2] < 0).astype(jnp.int32))

@@ -120,6 +120,23 @@ def pack_env_brdf(lut):
     return quad_pack_image(lut)
 
 
+def env_brdf_approx(no_v, roughness):
+    """Analytic split-sum env-BRDF (A, B) — Karis' mobile fit (public:
+    "Physically Based Shading on Mobile", Epic 2014). Replaces a per-pixel
+    LUT gather (one of three pixel-proportional gathers in the deferred
+    frame, ~3.8 ms at 1080p) with pure VPU math, at up to ~15% error in A
+    at mid roughness. Gated by Config.analytic_env_brdf (off by default);
+    the LUT path (ref: brdf-integration.hlsl) is the parity reference —
+    note the caller flips roughness to mimic the reference's inverted-row
+    fetch (see skylight.sky_lighting)."""
+    r = roughness[..., None] * jnp.asarray([-1.0, -0.0275, -0.572, 0.022]) \
+        + jnp.asarray([1.0, 0.0425, 1.04, -0.04])
+    a004 = (jnp.minimum(r[..., 0] * r[..., 0], jnp.exp2(-9.28 * no_v))
+            * r[..., 0] + r[..., 1])
+    return jnp.stack([-1.04 * a004 + r[..., 2],
+                      1.04 * a004 + r[..., 3]], axis=-1)
+
+
 def sample_env_brdf(lut, no_v, roughness):
     """Bilinear LUT fetch with uv = (NoV, roughness); the texture's y axis
     stores 1-roughness, so v = roughness maps straight to the row

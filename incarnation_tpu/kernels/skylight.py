@@ -19,7 +19,8 @@ from . import ibl, sky as sky_mod
 def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                  sky_brightness, hbao=None, bent_normals=None,
                  diffuse_ibl: bool = True, specular_ibl: bool = True,
-                 lighting_only: bool = False, dither=None, extras=None):
+                 lighting_only: bool = False, dither=None, extras=None,
+                 analytic_env_brdf: bool = False):
     """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl).
 
     dither: frame index enabling stochastic single-mip sampling of the
@@ -61,7 +62,14 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
             lod = lod + _frame_noise(roughness.shape, dither, 2246822519)
         pre = ibl.sample_cube(probe.prefiltered, r, lod=lod,
                               single_mip=dither is not None)
-        ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
+        if analytic_env_brdf:
+            # evaluated at 1-roughness: the reference samples its LUT (whose
+            # y axis stores 1-roughness) at v=roughness, i.e. fetches the
+            # INVERTED row (sky-lighting.hlsl:124 vs brdf-integration.hlsl:38)
+            # — the analytic path mimics that quirk for image parity
+            ab = ibl.env_brdf_approx(no_v, 1.0 - roughness)
+        else:
+            ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
         spec = pre * (f0 * ab[..., 0:1] + ab[..., 1:2])
         if extras is not None:
             from .shading import f_schlick
@@ -74,7 +82,10 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                 lod_cc = lod_cc + _frame_noise(ccr.shape, dither, 2654435761)
             pre_cc = ibl.sample_cube(probe.prefiltered, r, lod=lod_cc,
                                      single_mip=dither is not None)
-            ab_cc = ibl.sample_env_brdf(env_brdf, no_v, ccr)
+            if analytic_env_brdf:
+                ab_cc = ibl.env_brdf_approx(no_v, 1.0 - ccr)
+            else:
+                ab_cc = ibl.sample_env_brdf(env_brdf, no_v, ccr)
             spec_cc = pre_cc * (0.04 * ab_cc[..., 0:1] + ab_cc[..., 1:2])
             spec = spec * (1.0 - fc) + spec_cc * fc
             radiance = radiance * (1.0 - fc)   # attenuate diffuse under coat

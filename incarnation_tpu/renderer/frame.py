@@ -126,7 +126,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 scene.meshlet_bsphere, scene.meshlet_mesh,
                 scene.mesh_transforms, scene.mesh_visible,
                 fc.scene_rotation, fc.view_proj)
-            tri_visible = m_inside[jnp.maximum(scene.tri_meshlet, 0)]
+            # gather as f32 rows, not pred — bool-tiled gathers are ~2x
+            # slower on TPU (profiled 2.1 ms vs ~1 ms at 262k triangles)
+            tri_visible = m_inside.astype(jnp.float32)[
+                jnp.maximum(scene.tri_meshlet, 0)] > 0.0
 
     taa_active = config.enable_taa and history is not None
     stoch = config.stochastic_mip and taa_active
@@ -354,7 +357,8 @@ def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
             specular_ibl=config.enable_specular_ibl,
             lighting_only=(config.viewmode == ViewMode.LIGHTING_ONLY),
             dither=(fc.frame_index if stoch else None),
-            extras=(gb.extras if scene.meta.has_extras else None))
+            extras=(gb.extras if scene.meta.has_extras else None),
+            analytic_env_brdf=config.analytic_env_brdf)
 
     # Direct (sun) lighting with inline ray-traced shadows when a BVH is
     # supplied (ref: lighting/direct-lighting.hlsl +
