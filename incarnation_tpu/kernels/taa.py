@@ -137,10 +137,16 @@ def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
               + jnp.where(ciota == x1l, tx_w, 0.0))       # (C, n)
 
     dma.wait()
+    # bf16 contraction, f32 accumulate: the history block rides in bf16
+    # (more mantissa than the reference's R11G11B10F storage) and the MXU
+    # runs ~4x the f32 rate; the 0/1-weighted selection matrices keep the
+    # fractional weights to bf16 precision (~0.4% subpixel error, inside
+    # the 3x3 clamp's tolerance).
+    rowsel16 = rowsel.astype(jnp.bfloat16)
     for ch in range(3):
-        b = scratch[ch]                                   # (R, C)
+        b = scratch[ch]                                   # (R, C) bf16
         m1 = jax.lax.dot_general(
-            b, rowsel, (((0,), (0,)), ((), ())),
+            b, rowsel16, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (C, n)
         out = jnp.sum(m1 * colsel, axis=0, keepdims=True)  # (1, n)
         out_ref[ch, :, :] = out.reshape(th, tw)
@@ -149,7 +155,7 @@ def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
 def _history_fetch_pallas(history, depth, m, width: int, height: int,
                           interpret: bool):
     """history (H, W, 3) -> reprojected bilinear fetch (H, W, 3)."""
-    hist_cf = jnp.transpose(history, (2, 0, 1))           # (3, H, W)
+    hist_cf = jnp.transpose(history, (2, 0, 1)).astype(jnp.bfloat16)
     tiles = (height // _TILE_H) * (width // _TILE_W)
     tiles_x = width // _TILE_W
     out = pl.pallas_call(
@@ -166,7 +172,7 @@ def _history_fetch_pallas(history, depth, m, width: int, height: int,
             lambda i: (0, i // tiles_x, i % tiles_x)),
         out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, _BLOCK_R, _BLOCK_C), jnp.float32),
+            pltpu.VMEM((3, _BLOCK_R, _BLOCK_C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

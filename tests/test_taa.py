@@ -37,8 +37,10 @@ def test_pallas_fetch_matches_jnp_reference():
     prev_uv = jnp.stack([0.5 * prev_ndc[..., 0] + 0.5,
                          -0.5 * prev_ndc[..., 1] + 0.5], axis=-1)
     fetch_j = taa._bilinear_image(history, prev_uv, w, h)
+    # kernel stores the history block in bf16 (8 mantissa bits — still more
+    # than the reference's R11G11B10F accumulation target): ~0.4% tolerance
     np.testing.assert_allclose(np.asarray(fetch_k), np.asarray(fetch_j),
-                               atol=2e-5)
+                               atol=8e-3)
     assert np.asarray(ref).shape == (h, w, 3)
 
 
@@ -51,7 +53,7 @@ def test_pallas_fetch_identity():
     m = jnp.asarray(np.eye(4, dtype=np.float32))
     out = taa._history_fetch_pallas(history, depth, m, w, h, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(history),
-                               atol=1e-4)
+                               atol=8e-3)   # bf16 history block
 
 
 def test_taa_resolve_first_frame_passthrough():
