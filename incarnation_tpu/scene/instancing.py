@@ -69,6 +69,7 @@ def replicate_scene(scene: Scene, offsets: np.ndarray) -> Scene:
              for i in range(k)])),
         meshlet_bsphere=rep(scene.meshlet_bsphere),
         meshlet_mesh=rep(scene.meshlet_mesh, stride=nm),
+        meshlet_prim=rep(scene.meshlet_prim, stride=p),
         prim_double_sided=rep(scene.prim_double_sided),
         prim_is_decal=rep(scene.prim_is_decal),
         prim_alpha_mode=rep(scene.prim_alpha_mode),

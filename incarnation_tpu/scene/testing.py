@@ -115,10 +115,13 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         prim_double_sided=jnp.full((p,), int(double_sided), jnp.int32),
         prim_is_decal=jnp.zeros((p,), jnp.int32),
         prim_alpha_mode=jnp.asarray(prim_alpha_mode),
-        tri_meshlet=jnp.zeros((t,), jnp.int32),
+        # One meshlet per primitive (meshlets never span primitives — the
+        # raster prep's fused visibility gather relies on that invariant).
+        tri_meshlet=jnp.asarray(np.asarray(tri_prim, np.int32)),
         meshlet_bsphere=jnp.asarray(
-            np.array([[0, 0, 0, 1e6]], np.float32)),
-        meshlet_mesh=jnp.zeros((1,), jnp.int32),
+            np.tile([0, 0, 0, 1e6], (p, 1)).astype(np.float32)),
+        meshlet_mesh=jnp.zeros((p,), jnp.int32),
+        meshlet_prim=jnp.asarray(np.arange(p, dtype=np.int32)),
         mesh_transforms=jnp.asarray(np.asarray(transform, np.float32)[None]),
         mesh_visible=jnp.ones((1,), jnp.int32),
         materials=materials,
