@@ -835,44 +835,49 @@ def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
     w, h = p.width, p.height
     # Per-triangle transform row: localToClip (16) + localToWorld 3x3 (9),
     # ONE gather of small rows (the mesh table is tiny and cache-resident).
+    # The row gather is transposed once to (25, T) so all the setup math
+    # below runs on DENSE 1-D (T,) lane vectors — (T, 3)-shaped arrays tile
+    # as 3 of 128 lanes on TPU and were ~5.7 ms of the frame's prep.
     local_to_world = jnp.einsum("mij,jk->mik", scene.mesh_transforms,
                                 scene_rotation)
     local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
     packed = jnp.concatenate([
         local_to_clip.reshape(-1, 16),
         local_to_world[:, :3, :3].reshape(-1, 9)], axis=-1)   # (M, 25)
-    mrow = packed[scene.tri_mesh]                             # (T, 25)
-    ctab = scene.tri_corner                                   # (T, 36)
+    m = packed[scene.tri_mesh].T                              # (25, T)
+    ctab = scene.tri_corner                                   # (36, T)
 
     def corner(k):
         o = 12 * k
-        pos = ctab[:, o:o + 3]
-        nrm = ctab[:, o + 3:o + 6]
-        tan = ctab[:, o + 6:o + 9]
-        uv = ctab[:, o + 10:o + 12]
-        clip = (pos[:, 0:1] * mrow[:, 0:4] + pos[:, 1:2] * mrow[:, 4:8]
-                + pos[:, 2:3] * mrow[:, 8:12] + mrow[:, 12:16])
-        wn = (nrm[:, 0:1] * mrow[:, 16:19] + nrm[:, 1:2] * mrow[:, 19:22]
-              + nrm[:, 2:3] * mrow[:, 22:25])
-        wt = (tan[:, 0:1] * mrow[:, 16:19] + tan[:, 1:2] * mrow[:, 19:22]
-              + tan[:, 2:3] * mrow[:, 22:25])
-        # layout matches the old vtable row [clip4 uv2 wn3 wt3 sign]
-        return jnp.concatenate(
-            [clip, uv, wn, wt, ctab[:, o + 9:o + 10]], axis=-1)
+        px_, py_, pz_ = ctab[o], ctab[o + 1], ctab[o + 2]
+        clip = [px_ * m[c] + py_ * m[4 + c] + pz_ * m[8 + c] + m[12 + c]
+                for c in range(4)]
+        wn = [ctab[o + 3] * m[16 + c] + ctab[o + 4] * m[19 + c]
+              + ctab[o + 5] * m[22 + c] for c in range(3)]
+        wt = [ctab[o + 6] * m[16 + c] + ctab[o + 7] * m[19 + c]
+              + ctab[o + 8] * m[22 + c] for c in range(3)]
+        # [clip4, uv2, wn3, wt3, sign] as a list of dense (T,) rows
+        return clip + [ctab[o + 10], ctab[o + 11]] + wn + wt + [ctab[o + 9]]
 
     r0, r1, r2 = corner(0), corner(1), corner(2)
-    c0, c1, c2 = r0[:, :4], r1[:, :4], r2[:, :4]
+    c0, c1, c2 = r0[:4], r1[:4], r2[:4]
 
     def screen_h(c):
-        sx = (0.5 * c[:, 0] + 0.5 * c[:, 3]) * w
-        sy = (-0.5 * c[:, 1] + 0.5 * c[:, 3]) * h
-        return jnp.stack([sx, sy, c[:, 3]], axis=-1)
+        sx = (0.5 * c[0] + 0.5 * c[3]) * w
+        sy = (-0.5 * c[1] + 0.5 * c[3]) * h
+        return (sx, sy, c[3])
 
     p0, p1, p2 = screen_h(c0), screen_h(c1), screen_h(c2)
-    e0 = jnp.cross(p1, p2)
-    e1 = jnp.cross(p2, p0)
-    e2 = jnp.cross(p0, p1)
-    det = jnp.sum(p0 * e0, axis=-1)
+
+    def cross3(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    e0 = cross3(p1, p2)
+    e1 = cross3(p2, p0)
+    e2 = cross3(p0, p1)
+    det = p0[0] * e0[0] + p0[1] * e0[1] + p0[2] * e0[2]
 
     # One (rows, 4) table gather per triangle carries double-sided flag,
     # visibility, and material id. When a meshlet-level mask is active the
@@ -897,60 +902,69 @@ def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
             scene.prim_material.astype(jnp.float32),
             jnp.zeros_like(prim_visible, jnp.float32)], axis=-1)
         prow = ptable[jnp.maximum(prim, 0)]
-    double_sided = prow[:, 0] > 0
+    pw = prow.T                                               # (4, T)
+    double_sided = pw[0] > 0
     front = det < 0.0
-    wmin = jnp.minimum(jnp.minimum(c0[:, 3], c1[:, 3]), c2[:, 3])
-    wmax = jnp.maximum(jnp.maximum(c0[:, 3], c1[:, 3]), c2[:, 3])
+    wmin = jnp.minimum(jnp.minimum(c0[3], c1[3]), c2[3])
+    wmax = jnp.maximum(jnp.maximum(c0[3], c1[3]), c2[3])
     # Near-plane-crossing triangles: see triangle_setup — rasterized
     # unclipped with a full-screen bbox, facing cull skipped.
     crossing = (wmin <= _W_EPS) & (wmax > _W_EPS)
 
     valid = (prim >= 0)
-    valid &= prow[:, 1] > 0
+    valid &= pw[1] > 0
     if tri_visible is not None:
         valid &= tri_visible
     valid &= wmax > _W_EPS
     valid &= jnp.abs(det) > 1e-12
     valid &= front | double_sided | crossing
 
-    s = jnp.where(det >= 0.0, 1.0, -1.0)[:, None]
-    e0, e1, e2 = e0 * s, e1 * s, e2 * s
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    e0 = tuple(c * s for c in e0)
+    e1 = tuple(c * s for c in e1)
+    e2 = tuple(c * s for c in e2)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.abs(det), 0.0)
-    z = jnp.stack([c0[:, 2], c1[:, 2], c2[:, 2]], -1) * inv_det[:, None]
-    zplane = e0 * z[:, 0:1] + e1 * z[:, 1:2] + e2 * z[:, 2:3]
+    z0, z1, z2 = c0[2] * inv_det, c1[2] * inv_det, c2[2] * inv_det
+    zplane = tuple(e0[c] * z0 + e1[c] * z1 + e2[c] * z2 for c in range(3))
 
-    sp = jnp.stack([p0, p1, p2], axis=1)
-    xy = sp[..., :2] / jnp.maximum(sp[..., 2:3], _W_EPS)
-    mn = jnp.floor(jnp.min(xy, axis=1)).astype(jnp.int32)
-    mx = jnp.floor(jnp.max(xy, axis=1)).astype(jnp.int32)
-    onscreen = ((mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
-                & (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1))
+    wsafe = [jnp.maximum(pp[2], _W_EPS) for pp in (p0, p1, p2)]
+    xs = [pp[0] / ws for pp, ws in zip((p0, p1, p2), wsafe)]
+    ys = [pp[1] / ws for pp, ws in zip((p0, p1, p2), wsafe)]
+    mnx = jnp.floor(jnp.minimum(jnp.minimum(xs[0], xs[1]), xs[2])) \
+        .astype(jnp.int32)
+    mxx = jnp.floor(jnp.maximum(jnp.maximum(xs[0], xs[1]), xs[2])) \
+        .astype(jnp.int32)
+    mny = jnp.floor(jnp.minimum(jnp.minimum(ys[0], ys[1]), ys[2])) \
+        .astype(jnp.int32)
+    mxy = jnp.floor(jnp.maximum(jnp.maximum(ys[0], ys[1]), ys[2])) \
+        .astype(jnp.int32)
+    onscreen = ((mxx >= 0) & (mnx <= w - 1) & (mxy >= 0) & (mny <= h - 1))
     valid &= onscreen | crossing
-    bbox = jnp.stack([jnp.where(crossing, 0, jnp.clip(mn[:, 0], 0, w - 1)),
-                      jnp.where(crossing, 0, jnp.clip(mn[:, 1], 0, h - 1)),
-                      jnp.where(crossing, w - 1,
-                                jnp.clip(mx[:, 0], 0, w - 1)),
-                      jnp.where(crossing, h - 1,
-                                jnp.clip(mx[:, 1], 0, h - 1))], axis=-1)
+    bbox = jnp.stack([jnp.where(crossing, 0, jnp.clip(mnx, 0, w - 1)),
+                      jnp.where(crossing, 0, jnp.clip(mny, 0, h - 1)),
+                      jnp.where(crossing, w - 1, jnp.clip(mxx, 0, w - 1)),
+                      jnp.where(crossing, h - 1, jnp.clip(mxy, 0, h - 1))],
+                     axis=-1)
 
-    t = ctab.shape[0]
+    t = ctab.shape[1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
-    setup_t = jnp.concatenate([e0.T, e1.T, e2.T, zplane.T], axis=0) \
-        .astype(jnp.float32)
+    setup_t = jnp.stack(list(e0) + list(e1) + list(e2) + list(zplane)) \
+        .astype(jnp.float32)                                  # (12, T)
 
-    # Attribute planes (shared e0/e1/e2 and the per-corner vtable rows),
-    # built directly in the flat (T, 29) layout — the (T, 8, 3) einsum
-    # intermediate costs a tiled-layout copy on TPU.
-    a0, a1, a2 = r0[:, 4:13], r1[:, 4:13], r2[:, 4:13]
+    # Attribute planes: channel c's plane j = sum_k a_k[c] * e_k[j], all as
+    # dense (T,) rows; ONE stack materializes the flat (T, 29) layout the
+    # pair stream consumes (a single layout copy instead of narrow math).
+    a0, a1, a2 = r0[4:13], r1[4:13], r2[4:13]
 
     def plane(c):
-        return (a0[:, c:c + 1] * e0 + a1[:, c:c + 1] * e1
-                + a2[:, c:c + 1] * e2)
+        return [a0[c] * e0[j] + a1[c] * e1[j] + a2[c] * e2[j]
+                for j in range(3)]
 
-    attr_flat = jnp.concatenate(
-        [plane(0), plane(1), e0 + e1 + e2]
-        + [plane(c) for c in range(2, 8)]
-        + [a0[:, 8:9], prow[:, 2:3]], axis=-1).astype(jnp.float32)
+    denom = [e0[j] + e1[j] + e2[j] for j in range(3)]
+    rows = (plane(0) + plane(1) + denom
+            + sum((plane(c) for c in range(2, 8)), [])
+            + [a0[8], pw[2]])
+    attr_flat = jnp.stack(rows, axis=-1).astype(jnp.float32)  # (T, 29)
 
     return PreparedGeometry(setup_t=setup_t, ids=ids, valid=valid, bbox=bbox,
                             attr_flat=attr_flat)

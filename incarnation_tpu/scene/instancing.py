@@ -55,7 +55,8 @@ def replicate_scene(scene: Scene, offsets: np.ndarray) -> Scene:
         tri_vtx=rep(scene.tri_vtx, stride=v),
         tri_prim=jnp.asarray(tri_prim_rep),
         vtx_mesh=rep(scene.vtx_mesh, stride=nm),
-        tri_corner=rep(scene.tri_corner),
+        tri_corner=jnp.asarray(np.concatenate(
+            [np.asarray(scene.tri_corner)] * k, axis=1)),
         tri_mesh=rep(scene.tri_mesh, stride=nm),
         prim_mesh=rep(scene.prim_mesh, stride=nm),
         prim_material=rep(scene.prim_material),

@@ -78,7 +78,8 @@ class Scene:
     # times per triangle — per-frame random access is the scarce TPU
     # resource, HBM bandwidth is not (profiled: the three corner gathers
     # were ~8 ms of the 1080p frame; this table reads at ~full bandwidth).
-    tri_corner: jnp.ndarray      # (T, 36) f32
+    tri_corner: jnp.ndarray      # (36, T) f32 channel-major (see
+    #                                triangle_corner_table)
     tri_mesh: jnp.ndarray        # (T,) i32 mesh-instance index
     # Primitives
     prim_mesh: jnp.ndarray       # (P,) i32 mesh-instance (transform) index
@@ -129,12 +130,17 @@ def _bucket(n: int, quantum: int) -> int:
 
 def triangle_corner_table(positions, normals, tangents, uvs,
                           tri_vtx) -> np.ndarray:
-    """(T, 36) static corner-attribute rows (see Scene.tri_corner)."""
+    """(36, T) static corner-attribute table (see Scene.tri_corner).
+
+    Stored CHANNEL-MAJOR: each of the 36 rows is a dense (T,) lane vector,
+    so the per-frame setup math runs on fully-packed (8, 128) tiles instead
+    of 3-lane-wide (T, 3) arrays (which use 3 of 128 lanes — the narrow
+    layout profiled ~5.7 ms of the 1080p frame's geometry prep)."""
     at = np.concatenate([
         np.asarray(positions, np.float32), np.asarray(normals, np.float32),
         np.asarray(tangents, np.float32), np.asarray(uvs, np.float32),
     ], axis=-1)                                       # (V, 12)
-    return at[np.asarray(tri_vtx, np.int32)].reshape(-1, 36)
+    return at[np.asarray(tri_vtx, np.int32)].reshape(-1, 36).T.copy()
 
 
 def load_scene(path, texture_max_dim: int = 2048,
@@ -325,8 +331,9 @@ def load_scene(path, texture_max_dim: int = 2048,
         tri_vtx=jnp.asarray(pad(tri_vtx, pt)),
         tri_prim=jnp.asarray(pad(tri_prim, pt, fill=-1)),
         vtx_mesh=jnp.asarray(pad(vtx_mesh, pv)),
-        tri_corner=jnp.asarray(pad(triangle_corner_table(
-            positions, normals, tangents, uvs, tri_vtx), pt)),
+        tri_corner=jnp.asarray(np.pad(triangle_corner_table(
+            positions, normals, tangents, uvs, tri_vtx),
+            ((0, 0), (0, pt - nt)))),
         tri_mesh=jnp.asarray(pad(
             np.asarray(vtx_mesh, np.int32)[tri_vtx[:, 0]], pt)),
         prim_mesh=jnp.asarray(pad(np.asarray(prim_mesh, np.int32), pp)),

@@ -101,7 +101,7 @@ def make_scene(positions, tris, normals=None, uvs=None, tangents=None,
         tri_vtx=jnp.asarray(tris),
         tri_prim=jnp.asarray(np.asarray(tri_prim, np.int32)),
         vtx_mesh=jnp.zeros((v,), jnp.int32),
-        tri_corner=jnp.asarray(loader_mod.triangle_corner_table(
+        tri_corner=jnp.asarray(loader_mod.triangle_corner_table(  # (36, T)
             positions, normals, tangents, uvs, tris)),
         tri_mesh=jnp.zeros((t,), jnp.int32),
         prim_mesh=jnp.zeros((p,), jnp.int32),
