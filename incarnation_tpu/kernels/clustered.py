@@ -81,7 +81,8 @@ def _cluster_corners(config, proj, inv_view_proj, near: float):
         corner(x0, y0, z_far),
     ], axis=-2)                               # (gz, gy, gx, 8, 4)
 
-    w = corners_ndc @ inv_view_proj
+    w = jnp.matmul(corners_ndc, inv_view_proj,
+                   precision=jax.lax.Precision.HIGHEST)
     return w[..., :3] / w[..., 3:]
 
 

@@ -284,7 +284,8 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
                         -(2.0 * xy[..., 1] / height - 1.0)], -1)
     ndc = jnp.concatenate([screen, jnp.full((r, 1), 1e-4),
                            jnp.ones((r, 1))], -1)
-    world = ndc @ fc.inv_view_proj
+    world = jnp.matmul(ndc, fc.inv_view_proj,
+                       precision=jax.lax.Precision.HIGHEST)
     world = world[..., :3] / world[..., 3:]
     primary = mu.normalize(world - fc.eye)
     focal = fc.eye + fc.focal_length * primary

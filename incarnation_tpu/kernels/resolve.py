@@ -57,7 +57,9 @@ def world_from_depth(depth, inv_view_proj, width: int, height: int):
     ys = (jax.lax.broadcasted_iota(jnp.float32, depth.shape, 0) + 0.5)
     ndc = jnp.stack([2.0 * xs / width - 1.0, -2.0 * ys / height + 1.0,
                      depth, jnp.ones_like(depth)], axis=-1)
-    wp = ndc @ inv_view_proj
+    # HIGHEST: TPU matmul defaults to bf16 — too coarse for world-space
+    # reconstruction (shadow-ray origins, reprojection).
+    wp = jnp.matmul(ndc, inv_view_proj, precision=jax.lax.Precision.HIGHEST)
     return wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:]) > 1e-20,
                                    wp[..., 3:], 1.0)
 

@@ -66,6 +66,27 @@ def _bilinear_image(img, uv, width: int, height: int, jitter=None):
     return (top * (1 - ty) + bot * ty)[..., :c]
 
 
+def _bilinear_const_shift(img, sx, sy):
+    """Bilinear fetch of (H, W, C) at pixel + (sx, sy), a constant
+    (traced-scalar) subpixel shift with edge clamp — the static-camera TAA
+    reprojection (see taa_resolve). |sx|, |sy| <= 3 (caller-gated)."""
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    tx = sx - ix.astype(jnp.float32)
+    ty = sy - iy.astype(jnp.float32)
+    pad = 4
+    padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+    def g(dy, dx):
+        return jax.lax.dynamic_slice(
+            padded, (pad + iy + dy, pad + ix + dx, 0), img.shape)
+
+    top = g(0, 0) * (1 - tx) + g(0, 1) * tx
+    bot = g(1, 0) * (1 - tx) + g(1, 1) * tx
+    return top * (1 - ty) + bot * ty
+
+
 _TILE_H = 16
 _TILE_W = 128
 _MARGIN_Y = 16          # vertical reprojection reach (rows)
@@ -232,13 +253,51 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
     if use_kernel:
         # Projectively, ndc -> world -> prev-clip collapses to one matrix:
         # the intermediate division by world w cancels in prev_ndc.
-        m = inv_view_proj @ prev_view_proj
-        prev_color = _history_fetch_pallas(history, depth, m, width, height,
-                                           interpret=_should_interpret())
+        # HIGHEST precision: TPU matmuls default to bf16, which puts ~1e-2
+        # relative error in the combined matrix — enough to displace the
+        # reprojection by pixels (and to defeat the static-shift detection).
+        m = jnp.matmul(inv_view_proj, prev_view_proj,
+                       precision=jax.lax.Precision.HIGHEST)
+
+        # Static-camera fast path: when the camera is stationary and only
+        # the TAA jitter changed, m is a pure NDC translation (the depth
+        # dependence cancels), so the reprojected fetch is ONE constant
+        # subpixel shift — four shifted reads instead of the per-tile DMA
+        # kernel (~5.5 ms -> ~0.4 ms at 1080p). Chosen at runtime by
+        # lax.cond so camera motion falls back to the exact kernel.
+        mn = m / m[3, 3]
+        # Thresholds sized so accepted error stays < 0.05 px at the screen
+        # edge while tolerating f32 matrix-inversion noise (~1e-7).
+        is_shift = ((jnp.abs(mn[0, 0] - 1.0) < 1e-6)
+                    & (jnp.abs(mn[1, 1] - 1.0) < 1e-6)
+                    & (jnp.abs(mn[0, 1]) < 1e-6) & (jnp.abs(mn[1, 0]) < 1e-6)
+                    & (jnp.abs(mn[2, 0]) < 1e-5) & (jnp.abs(mn[2, 1]) < 1e-5)
+                    & (jnp.abs(mn[0, 3]) < 1e-7) & (jnp.abs(mn[1, 3]) < 1e-7)
+                    & (jnp.abs(mn[2, 3]) < 1e-7))
+        # ndc translation -> pixel shift (u = 0.5x + 0.5, v = -0.5y + 0.5)
+        sx = 0.5 * mn[3, 0] * width
+        sy = -0.5 * mn[3, 1] * height
+        small = (jnp.abs(sx) <= 3.0) & (jnp.abs(sy) <= 3.0)
+
+        def fetch_shift(_):
+            return _bilinear_const_shift(history, sx, sy)
+
+        def fetch_kernel(_):
+            return _history_fetch_pallas(history, depth, m, width, height,
+                                         interpret=_should_interpret())
+
+        if _should_interpret():
+            # interpret mode (CPU tests): cond would trace both branches on
+            # every call; keep the kernel path deterministic there.
+            prev_color = fetch_kernel(None)
+        else:
+            prev_color = jax.lax.cond(is_shift & small, fetch_shift,
+                                      fetch_kernel, None)
     else:
         wp = world_from_depth(depth, inv_view_proj, width, height)
-        prev_clip = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])],
-                                    -1) @ prev_view_proj
+        prev_clip = jnp.matmul(
+            jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1),
+            prev_view_proj, precision=jax.lax.Precision.HIGHEST)
         prev_ndc = prev_clip[..., :3] / jnp.where(
             jnp.abs(prev_clip[..., 3:]) > 1e-20, prev_clip[..., 3:], 1.0)
         prev_uv = jnp.stack([0.5 * prev_ndc[..., 0] + 0.5,

@@ -62,3 +62,52 @@ def test_taa_resolve_first_frame_passthrough():
     ivp = jnp.asarray(np.eye(4, dtype=np.float32))
     out = taa.taa_resolve(hdr, history, depth, ivp, ivp, False, w, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(hdr), atol=1e-6)
+
+
+def test_static_camera_shift_path_matches_kernel_fetch():
+    """With a stationary camera and jitter-only change, the reprojection
+    matrix is a pure NDC translation; the constant-shift fetch must equal
+    the generic bilinear reprojection (and the predicate must fire)."""
+    from incarnation_tpu.core.view import View
+    w, h = 128, 64
+    view = View.from_lookat([0.0, 2.0, -8.0], [0.0, 0.0, 0.0], aspect=w / h)
+    j0 = np.array([0.3, -0.2]) * 2.0 / np.array([w, h])
+    j1 = np.array([-0.4, 0.1]) * 2.0 / np.array([w, h])
+    vp_prev = np.asarray(view.view_proj(j0), np.float32)
+    vp_cur = np.asarray(view.view_proj(j1), np.float32)
+    inv_vp = np.linalg.inv(vp_cur).astype(np.float32)
+    m = jnp.asarray(inv_vp @ vp_prev)
+
+    mn = m / m[3, 3]
+    is_shift = ((abs(float(mn[0, 0]) - 1.0) < 1e-6)
+                and (abs(float(mn[1, 1]) - 1.0) < 1e-6)
+                and (abs(float(mn[0, 1])) < 1e-6)
+                and (abs(float(mn[1, 0])) < 1e-6)
+                and (abs(float(mn[2, 0])) < 1e-5)
+                and (abs(float(mn[2, 1])) < 1e-5)
+                and (abs(float(mn[0, 3])) < 1e-7)
+                and (abs(float(mn[1, 3])) < 1e-7)
+                and (abs(float(mn[2, 3])) < 1e-7))
+    assert is_shift, np.asarray(mn)
+
+    history = jnp.asarray(
+        np.random.RandomState(3).rand(h, w, 3).astype(np.float32))
+    depth = jnp.asarray(
+        np.random.RandomState(4).rand(h, w).astype(np.float32) * 0.5 + 0.1)
+    sx = 0.5 * mn[3, 0] * w
+    sy = -0.5 * mn[3, 1] * h
+    fast = taa._bilinear_const_shift(history, sx, sy)
+
+    # generic reprojection reference (depth-dependent path)
+    from incarnation_tpu.kernels.resolve import world_from_depth
+    wp = world_from_depth(depth, jnp.asarray(inv_vp), w, h)
+    prev_clip = jnp.concatenate(
+        [wp, jnp.ones_like(wp[..., :1])], -1) @ jnp.asarray(vp_prev)
+    prev_ndc = prev_clip[..., :3] / prev_clip[..., 3:]
+    prev_uv = jnp.stack([0.5 * prev_ndc[..., 0] + 0.5,
+                         -0.5 * prev_ndc[..., 1] + 0.5], axis=-1)
+    ref = taa._bilinear_image(history, prev_uv, w, h)
+    # interior only: the shift path edge-clamps identically but FP noise in
+    # the uv path can flip a floor() at the exact border
+    np.testing.assert_allclose(np.asarray(fast)[2:-2, 2:-2],
+                               np.asarray(ref)[2:-2, 2:-2], atol=2e-3)
