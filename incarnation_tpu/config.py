@@ -121,13 +121,14 @@ class Config:
     # behind it — ref: visibility-pass.hlsl clip). 2 covers typical foliage
     # overlap; raise for dense vegetation.
     masked_depth_peels: int = 2
-    # Analytic split-sum env-BRDF (Karis mobile fit, mimicking the
-    # reference's inverted-row fetch quirk) instead of the LUT gather: one
-    # of the three pixel-proportional gathers in the deferred frame
-    # (~3.8 ms at 1080p) becomes pure VPU math, at up to ~15% error in the
-    # specular scale at mid roughness. Off by default — the LUT path is
-    # bit-parity with the reference's sky-lighting.hlsl:124 behavior.
-    analytic_env_brdf: bool = False
+    # Analytic split-sum env-BRDF (a 14x14 Chebyshev tensor fitted to the
+    # reference integration, mimicking the reference's inverted-row fetch
+    # quirk) instead of the LUT gather: one of the three pixel-proportional
+    # gathers in the deferred frame (~3.8 ms at 1080p) becomes pure VPU
+    # math at <=0.5% absolute error in the specular scale (kernels/ibl.py
+    # env_brdf_approx). On by default; the LUT path remains bit-parity
+    # with the reference's sky-lighting.hlsl:124 behavior.
+    analytic_env_brdf: bool = True
     # Stochastic single-texel TAA history fetch (1 gather instead of 4).
     # Off by default: the history feedback loop turns the fetch noise into
     # visible mottling (33.9 dB vs exact after 32 frames — tools/

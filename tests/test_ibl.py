@@ -95,3 +95,67 @@ def test_sky_latlong_shape_and_scale():
     img = np.asarray(sky.sky_latlong(sun, 2.0, 64, 32))
     assert img.shape == (32, 64, 3)
     assert np.isfinite(img).all()
+
+
+def test_env_brdf_fit_matches_lut():
+    """The fitted analytic env-BRDF (config default) must track the
+    integrated LUT over the practical domain (NoV >= 1/16; the fit's error
+    concentrates in the extreme-grazing mirror corner, which the
+    frame-level PSNR gate below covers)."""
+    lut = np.asarray(ibl.env_brdf_lut(64, num_samples=1024))
+    s = 64
+    no_v = np.broadcast_to((np.arange(s) / s)[None, :], (s, s))
+    rough = np.broadcast_to((1.0 - np.arange(s) / s)[:, None], (s, s))
+    ab = np.asarray(ibl.env_brdf_approx(
+        jnp.asarray(no_v, jnp.float32), jnp.asarray(rough, jnp.float32)))
+    dom = no_v >= 1.0 / 16.0
+    rel_a = (np.abs(ab[..., 0] - lut[..., 0])
+             / np.maximum(lut[..., 0], 5e-2))[dom]
+    rel_b = (np.abs(ab[..., 1] - lut[..., 1])
+             / np.maximum(lut[..., 1], 5e-2))[dom]
+    assert rel_a.max() < 0.04, rel_a.max()
+    assert rel_b.max() < 0.04, rel_b.max()
+
+
+def test_env_brdf_fit_frame_psnr_vs_lut():
+    """Frame-level gate for the analytic env-BRDF default: a probe-lit
+    frame rendered with the fitted analytic path must stay within tight
+    PSNR of the LUT-gather path (sky_lighting's only difference)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from scene_util import make_scene
+    from incarnation_tpu.config import Config, EnvSkyMode
+    from incarnation_tpu.core import View
+    from incarnation_tpu.kernels.raster import RasterParams
+    from incarnation_tpu.renderer import frame as frame_mod
+    from incarnation_tpu.utils.imageio import psnr
+
+    w, h = 128, 64
+    params = RasterParams(width=w, height=h, tile_h=16, tile_w=128,
+                          pair_capacity=256, bin_max_span=4,
+                          big_tri_capacity=16, chunk=8)
+    pts = np.array([[-5, -3, 6], [5, -3, 6], [0, 4, 6]], np.float32)
+    scene = make_scene(pts, [[0, 1, 2]])
+    # mixed roughness via material params: moderately glossy metal-ish
+    import dataclasses
+    mp = np.array(scene.mat_params)
+    mp[0, 7] = 0.6   # metallic
+    mp[0, 8] = 0.25  # roughness
+    scene = dataclasses.replace(scene, mat_params=jnp.asarray(mp))
+    latlong = np.tile(np.asarray([0.4, 0.5, 0.9], np.float32), (16, 32, 1))
+    probe = ibl.build_probe(jnp.asarray(latlong), envmap_size=16)
+    env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128, num_samples=1024))
+    view = View.default(aspect=w / h)
+
+    outs = {}
+    for analytic in (False, True):
+        cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP,
+                     analytic_env_brdf=analytic)
+        fc = frame_mod.FrameConstants.make(
+            view, cfg, sun_dir=[0.3, 0.5, -1.0],
+            sun_color_intensity=[1.0, 1.0, 1.0, 100.0])
+        outs[analytic] = np.asarray(frame_mod.render_frame_jit(
+            scene, fc, cfg, params, probe=probe,
+            env_brdf=env_brdf)["color"]).astype(np.float32)
+    p = psnr(outs[True] / 255.0, outs[False] / 255.0)
+    assert p > 42.0, f"analytic env-BRDF frame PSNR vs LUT = {p:.1f} dB"
