@@ -252,6 +252,10 @@ class CubeMips:
     packed: jnp.ndarray = None  # (total, 12) quad-packed rows (one-gather
     #                             bilinear in the hot passes); built lazily
     #                             by with_packed()
+    flat4: jnp.ndarray = None   # (total, 4) 16-byte-padded texel rows — the
+    #                             stochastic single-texel fetch path (16 B
+    #                             row gathers hit the TPU gather fast path;
+    #                             48 B quad rows cost ~2.2x per index)
 
     @staticmethod
     def from_levels(levels):
@@ -283,23 +287,37 @@ class CubeMips:
             xyp = jnp.concatenate([yp[:, :, 1:], yp[:, :, -1:]], axis=2)
             packs.append(jnp.concatenate([lv, xp, yp, xyp], -1)
                          .reshape(-1, 12))
-        return dataclasses.replace(self, packed=jnp.concatenate(packs, 0))
+        return dataclasses.replace(
+            self, packed=jnp.concatenate(packs, 0),
+            flat4=jnp.concatenate(
+                [self.flat, jnp.zeros_like(self.flat[:, :1])], axis=-1))
 
 
 jax.tree_util.register_pytree_node(
     CubeMips,
-    lambda c: ((c.flat, c.packed), (c.size, c.num_levels, c.bases)),
-    lambda aux, ch: CubeMips(ch[0], *aux, packed=ch[1]))
+    lambda c: ((c.flat, c.packed, c.flat4), (c.size, c.num_levels, c.bases)),
+    lambda aux, ch: CubeMips(ch[0], *aux, packed=ch[1], flat4=ch[2]))
 
 
-def _sample_cube_level(cube: CubeMips, base, s, d):
+def _sample_cube_level(cube: CubeMips, base, s, d, jitter=None):
     """Bilinear sample one cube level at directions d (clamp at face edges;
     not seam-blended — the reference relies on HW seamless filtering).
-    ONE gather when the quad-packed table exists, else four."""
+    ONE gather when the quad-packed table exists, else four.
+
+    jitter: (..., 2) uniforms — stochastic-bilinear single-texel fetch from
+    the 16-byte flat4 rows (a third the gather bytes of the quad rows);
+    the expectation over jitter equals the bilinear result, which the TAA
+    accumulation realizes (same scheme as textures.sample_material_stack)."""
     face, uv = dir_to_face_uv(d)
     sf = s.astype(jnp.float32) if hasattr(s, "astype") else float(s)
     fx = uv[..., 0] * sf - 0.5
     fy = uv[..., 1] * sf - 0.5
+    if jitter is not None and cube.flat4 is not None:
+        x = jnp.clip(jnp.floor(fx + jitter[..., 0]).astype(jnp.int32),
+                     0, s - 1)
+        y = jnp.clip(jnp.floor(fy + jitter[..., 1]).astype(jnp.int32),
+                     0, s - 1)
+        return cube.flat4[base + (face * s + y) * s + x][..., :3]
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = (fx - x0)[..., None]
@@ -324,19 +342,23 @@ def _sample_cube_level(cube: CubeMips, base, s, d):
     return top * (1 - ty) + bot * ty
 
 
-def sample_cube(cube: CubeMips, d, lod=None, single_mip: bool = False):
+def sample_cube(cube: CubeMips, d, lod=None, single_mip: bool = False,
+                jitter=None):
     """Trilinear cube sample at float mip `lod` (None = level 0).
 
     single_mip: sample only floor(lod) — pair with a dithered lod + TAA
-    (stochastic mip filtering) to halve the gathers."""
+    (stochastic mip filtering) to halve the gathers.
+    jitter: (..., 2) uniforms — additionally single-texel stochastic
+    bilinear (see _sample_cube_level)."""
     if lod is None:
-        return _sample_cube_level(cube, cube.bases[0], cube.size, d)
+        return _sample_cube_level(cube, cube.bases[0], cube.size, d,
+                                  jitter=jitter)
     bases = jnp.asarray(np.asarray(cube.bases, np.int32))
     sizes = jnp.asarray(np.asarray(
         [cube.size >> l for l in range(cube.num_levels)], np.int32))
     lod = jnp.clip(lod, 0.0, cube.num_levels - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
-    s0 = _sample_cube_level(cube, bases[l0], sizes[l0], d)
+    s0 = _sample_cube_level(cube, bases[l0], sizes[l0], d, jitter=jitter)
     if single_mip:
         return s0
     l1 = jnp.minimum(l0 + 1, cube.num_levels - 1)

@@ -534,9 +534,26 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
             setup_hbm.at[pl.ds(row_start + c * kr, kr), :],
             setup_scratch.at[slot], sems.at[slot])
 
+    # Pass-2 DMA plumbing is declared here so its FIRST chunk can prefetch
+    # during pass-1 compute (the per-tile DMA latency was serialized
+    # between the passes otherwise).
+    akr = k // _APAIRS_PER_ROW                    # attr rows per chunk
+    arow_start = start // _APAIRS_PER_ROW
+    arow_off = start - arow_start * _APAIRS_PER_ROW
+    anch = pl.cdiv(count + arow_off, k)
+
+    def adma(slot, c):
+        return pltpu.make_async_copy(
+            attr_hbm.at[pl.ds(arow_start + c * akr, akr), :],
+            attr_scratch.at[slot], asems.at[slot])
+
     @pl.when(nch > 0)
     def _():
         dma(0, 0).start()
+
+    @pl.when(anch > 0)
+    def _():
+        adma(0, 0).start()
 
     def chunk_body(c, carry):
         zb, vb = carry
@@ -584,19 +601,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
 
     # ---- Pass 2: attribute select (winning pair's coefficients) ----
-    akr = k // _APAIRS_PER_ROW                    # attr rows per chunk
-    arow_start = start // _APAIRS_PER_ROW
-    arow_off = start - arow_start * _APAIRS_PER_ROW
-    anch = pl.cdiv(count + arow_off, k)
-
-    def adma(slot, c):
-        return pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(arow_start + c * akr, akr), :],
-            attr_scratch.at[slot], asems.at[slot])
-
-    @pl.when(anch > 0)
-    def _():
-        adma(0, 0).start()
+    # (first chunk DMA already in flight — started before pass 1)
 
     def attr_chunk(c, coeffs):
         slot = jax.lax.rem(c, 2)

@@ -20,12 +20,15 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                  sky_brightness, hbao=None, bent_normals=None,
                  diffuse_ibl: bool = True, specular_ibl: bool = True,
                  lighting_only: bool = False, dither=None, extras=None,
-                 analytic_env_brdf: bool = False):
+                 analytic_env_brdf: bool = False, uv_dither: bool = False):
     """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl).
 
     dither: frame index enabling stochastic single-mip sampling of the
     prefiltered specular cube (converges to trilinear under TAA; halves the
-    cube gathers).
+    cube gathers). uv_dither additionally jitters the bilinear footprint so
+    the cube fetch is ONE 16-byte texel row per pixel (a third the gather
+    bytes of the quad-packed rows; same stochastic-filtering scheme as
+    textures.sample_material_stack).
     extras: gb.extras (transmission, clearcoat, ccRoughness) — transmission
     removes transmitted energy from the diffuse albedo as the reference's
     forward pass does (ref: forward-pass.hlsl:160); the clearcoat IBL lobe
@@ -57,11 +60,17 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
         r = mu.normalize(2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v)
         mips = probe.prefiltered.num_levels
         lod = roughness * (mips - 1)
+        jitter = None
         if dither is not None:
             from .resolve import _frame_noise
             lod = lod + _frame_noise(roughness.shape, dither, 2246822519)
+            if uv_dither:
+                jitter = jnp.stack(
+                    [_frame_noise(roughness.shape, dither, 3323198485),
+                     _frame_noise(roughness.shape, dither, 2654435769)],
+                    axis=-1)
         pre = ibl.sample_cube(probe.prefiltered, r, lod=lod,
-                              single_mip=dither is not None)
+                              single_mip=dither is not None, jitter=jitter)
         if analytic_env_brdf:
             # evaluated at 1-roughness: the reference samples its LUT (whose
             # y axis stores 1-roughness) at v=roughness, i.e. fetches the
@@ -77,11 +86,18 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
             ccr = jnp.maximum(extras[..., 2], 0.03)
             fc = f_schlick(no_v[..., None], jnp.full_like(cc, 0.04)) * cc
             lod_cc = ccr * (mips - 1)
+            jitter_cc = None
             if dither is not None:
                 from .resolve import _frame_noise
                 lod_cc = lod_cc + _frame_noise(ccr.shape, dither, 2654435761)
+                if uv_dither:
+                    jitter_cc = jnp.stack(
+                        [_frame_noise(ccr.shape, dither, 1449091825),
+                         _frame_noise(ccr.shape, dither, 2716044179)],
+                        axis=-1)
             pre_cc = ibl.sample_cube(probe.prefiltered, r, lod=lod_cc,
-                                     single_mip=dither is not None)
+                                     single_mip=dither is not None,
+                                     jitter=jitter_cc)
             if analytic_env_brdf:
                 ab_cc = ibl.env_brdf_approx(no_v, 1.0 - ccr)
             else:

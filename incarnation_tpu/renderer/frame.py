@@ -358,7 +358,8 @@ def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
             lighting_only=(config.viewmode == ViewMode.LIGHTING_ONLY),
             dither=(fc.frame_index if stoch else None),
             extras=(gb.extras if scene.meta.has_extras else None),
-            analytic_env_brdf=config.analytic_env_brdf)
+            analytic_env_brdf=config.analytic_env_brdf,
+            uv_dither=config.stochastic_bilinear)
 
     # Direct (sun) lighting with inline ray-traced shadows when a BVH is
     # supplied (ref: lighting/direct-lighting.hlsl +

@@ -74,8 +74,9 @@ def load_probe_cached(builder, key: str, use_cache: bool = True):
     content similarly, ref: src/scene.cpp:1103-1113). `builder` is a
     zero-arg callable producing the probe; `key` identifies the inputs
     (hdri path+mtime, or sun/turbidity for the dynamic sky)."""
-    # v3: CubeMips grew the quad-packed row table (stale pickles lack it)
-    h = hashlib.sha1((key + ":v3").encode()).hexdigest()[:20]
+    # v4: CubeMips grew the 16-byte flat4 rows (stochastic single-texel
+    # fetch); stale pickles lack them and silently fall back to quad rows
+    h = hashlib.sha1((key + ":v4").encode()).hexdigest()[:20]
     cache_file = CACHE_DIR / f"probe-{h}.pkl"
     if use_cache and cache_file.exists():
         with open(cache_file, "rb") as f:
