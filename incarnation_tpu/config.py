@@ -116,12 +116,18 @@ class Config:
     # The TAA accumulation converges both to the trilinear result.
     stochastic_mip: bool = True
     stochastic_bilinear: bool = True
+    # Stochastic anisotropic filtering (reference: 16x aniso static
+    # samplers, src/demo.cpp:445-493): the per-frame stochastic tap is
+    # jittered along the footprint's major axis with the mip picked from
+    # the minor axis — converges to the anisotropic integral under TAA at
+    # zero extra gathers. <= 1 disables (isotropic stochastic mip).
+    max_anisotropy: int = 16
     # Alpha-masked geometry: number of depth-peel layers rastered for
     # MASK/BLEND primitives (a failed alpha test exposes the next fragment
     # behind it — ref: visibility-pass.hlsl clip). 2 covers typical foliage
     # overlap; raise for dense vegetation.
     masked_depth_peels: int = 2
-    # Analytic split-sum env-BRDF (a 14x14 Chebyshev tensor fitted to the
+    # Analytic split-sum env-BRDF (a 16x16 Chebyshev tensor fitted to the
     # reference integration, mimicking the reference's inverted-row fetch
     # quirk) instead of the LUT gather: one of the three pixel-proportional
     # gathers in the deferred frame (~3.8 ms at 1080p) becomes pure VPU

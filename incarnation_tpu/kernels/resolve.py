@@ -75,7 +75,37 @@ def _interp_lod(scene, mat_id, interp):
     return jnp.log2(jnp.maximum(rho, 1e-8))
 
 
-def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False):
+def _interp_lod_aniso(scene, mat_id, interp, max_aniso: float):
+    """Anisotropic mip selection + major-axis tap vector.
+
+    The reference samples material textures with a 16x anisotropic sampler
+    (ref: src/demo.cpp:445-493 aniso static samplers). The TPU-native
+    equivalent is STOCHASTIC anisotropy: pick the mip from the footprint's
+    MINOR axis (clamped so the implied tap count <= max_aniso) and place
+    the frame's single stochastic texel tap at a uniformly-jittered offset
+    along the MAJOR axis — the TAA accumulation converges to the
+    anisotropic line integral at ZERO extra gathers per pixel.
+
+    Returns (lod, major) where major is the (..., 2) uv-per-pixel major
+    footprint axis to jitter along."""
+    meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
+    size_f = meta[..., 1].astype(jnp.float32)
+    dudx, dudy, dvdx, dvdy = interp[10], interp[11], interp[12], interp[13]
+    rx = jnp.sqrt(dudx * dudx + dvdx * dvdx)
+    ry = jnp.sqrt(dudy * dudy + dvdy * dvdy)
+    rmax = jnp.maximum(rx, ry)
+    rmin = jnp.minimum(rx, ry)
+    # minor-axis mip, clamped to at most max_aniso taps across the major
+    rho = jnp.maximum(rmin, rmax / max_aniso) * size_f
+    lod = jnp.log2(jnp.maximum(rho, 1e-8))
+    x_major = rx >= ry
+    major = jnp.stack([jnp.where(x_major, dudx, dudy),
+                       jnp.where(x_major, dvdx, dvdy)], axis=-1)
+    return lod, major
+
+
+def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
+                 max_aniso: float = 16.0):
     """Per-pixel opacity + pass-threshold for a masked raster layer.
 
     MASK prims alpha-clip at the material's alphaCutoff
@@ -86,14 +116,21 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False):
     """
     mat_id = interp[9].astype(jnp.int32)
     uv = jnp.stack([interp[0], interp[1]], axis=-1)
-    lod = _interp_lod(scene, mat_id, interp)
     jitter = None
     if mip_dither is not None:
+        if max_aniso > 1.0:
+            lod, major = _interp_lod_aniso(scene, mat_id, interp, max_aniso)
+            xi = _frame_noise(tri.shape, mip_dither, 2428444049)
+            uv = uv + major * (xi - 0.5)[..., None]
+        else:
+            lod = _interp_lod(scene, mat_id, interp)
         lod = jnp.floor(lod + _frame_noise(tri.shape, mip_dither, 741103597))
         if uv_dither:
             jitter = jnp.stack(
                 [_frame_noise(tri.shape, mip_dither, 1181783497),
                  _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
+    else:
+        lod = _interp_lod(scene, mat_id, interp)
     chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
                                           lod=lod, trilinear=False,
                                           jitter=jitter)
@@ -123,7 +160,8 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
                     width: int, height: int,
                     trilinear: bool = True,
                     mip_dither=None, uv_dither: bool = False,
-                    return_normal3: bool = False):
+                    return_normal3: bool = False,
+                    max_aniso: float = 16.0):
     """tri: (H, W) int32 global triangle indices (-1 = background);
     interp: (16, H, W) f32 per-pixel attributes emitted by the raster
     kernel's attribute-select pass (raster.INTERP_CHANNELS layout:
@@ -152,18 +190,27 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
     t = mu.normalize(wt)
     b = mu.normalize(jnp.cross(n, t) * sign)
 
-    lod = _interp_lod(scene, mat_id, interp)
     jitter = None
     if mip_dither is not None:
         # Stochastic single-level mip selection: dither the fractional mip
         # by a per-pixel noise + TAA frame offset; the temporal accumulation
-        # converges to trilinear at half the texture gathers.
+        # converges to trilinear at half the texture gathers. max_aniso > 1
+        # additionally jitters the tap along the footprint's major axis
+        # (stochastic anisotropic filtering — see _interp_lod_aniso).
+        if max_aniso > 1.0:
+            lod, major = _interp_lod_aniso(scene, mat_id, interp, max_aniso)
+            xi = _frame_noise(tri.shape, mip_dither, 2428444049)
+            uv = uv + major * (xi - 0.5)[..., None]
+        else:
+            lod = _interp_lod(scene, mat_id, interp)
         lod = jnp.floor(lod + _frame_noise(tri.shape, mip_dither, 2654435761))
         trilinear = False
         if uv_dither:
             jitter = jnp.stack(
                 [_frame_noise(tri.shape, mip_dither, 1181783497),
                  _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
+    else:
+        lod = _interp_lod(scene, mat_id, interp)
 
     # One interleaved fetch for every texture slot
     chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,

@@ -164,7 +164,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
-                uv_dither=(config.stochastic_bilinear and stoch))
+                uv_dither=(config.stochastic_bilinear and stoch),
+                max_aniso=float(config.max_anisotropy))
             hit = m_tri >= 0
             passed = hit & (alpha >= thresh)
             newly = passed & (acc_tri < 0)
@@ -194,13 +195,14 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             params.width, params.height,
             mip_dither=(fc.frame_index if stoch else None),
             uv_dither=(config.stochastic_bilinear and stoch),
-            return_normal3=True)
+            return_normal3=True, max_aniso=float(config.max_anisotropy))
     else:
         gb = resolve.resolve_gbuffer(
             tri, depth, scene, interp, fc.inv_view_proj,
             params.width, params.height,
             mip_dither=(fc.frame_index if stoch else None),
-            uv_dither=(config.stochastic_bilinear and stoch))
+            uv_dither=(config.stochastic_bilinear and stoch),
+            max_aniso=float(config.max_anisotropy))
 
     # Decal pass (ref: render-jobs/gbuffer-raster-pass.inl:126-191): decal
     # meshes raster on top with GREATER_EQUAL depth against the scene,

@@ -89,3 +89,37 @@ def test_all_opaque_front_quad_fully_covers():
     prim = _prim_map(scene, out)
     # A block safely inside the front quad's projection: no holes.
     assert (prim[24:40, 56:72] == 0).all()
+
+
+def test_aniso_lod_uses_minor_axis():
+    """Stochastic anisotropic filtering: mip from the minor footprint axis
+    (clamped by max aniso), tap axis = major axis."""
+    import jax.numpy as jnp
+    from incarnation_tpu.kernels import resolve
+    from scene_util import make_scene
+    import numpy as np
+    scene = make_scene(np.array([[-1, -1, 4], [1, -1, 4], [0, 1, 4]],
+                                np.float32), [[0, 1, 2]])
+    size = float(scene.mat_stack.meta[0, 1])
+    h, w = 8, 128
+    interp = np.zeros((16, h, w), np.float32)
+    # footprint: 8 texels/px along x, 1/size texels... du/dx = 8/size,
+    # dv/dy = 1/size -> aniso 8, mip should follow the minor axis
+    interp[10] = 8.0 / size   # dudx
+    interp[13] = 1.0 / size   # dvdy
+    mat = np.zeros((h, w), np.float32)
+    interp[9] = mat
+    lod_a, major = resolve._interp_lod_aniso(
+        scene, jnp.asarray(mat, jnp.int32), jnp.asarray(interp), 16.0)
+    lod_i = resolve._interp_lod(scene, jnp.asarray(mat, jnp.int32),
+                                jnp.asarray(interp))
+    assert np.allclose(np.asarray(lod_a), 0.0, atol=1e-4)   # minor = 1 texel
+    assert np.allclose(np.asarray(lod_i), 3.0, atol=1e-4)   # major = 8 texels
+    # major axis is the x-derivative pair
+    assert np.allclose(np.asarray(major)[..., 0], 8.0 / size)
+    assert np.allclose(np.asarray(major)[..., 1], 0.0)
+    # aniso clamp: 64:1 footprint clamps the implied taps at 16
+    interp[10] = 64.0 / size
+    lod_c, _ = resolve._interp_lod_aniso(
+        scene, jnp.asarray(mat, jnp.int32), jnp.asarray(interp), 16.0)
+    assert np.allclose(np.asarray(lod_c), 2.0, atol=1e-4)   # 64/16 = 4 texels
