@@ -273,3 +273,64 @@ def test_reflections_viewmode_with_probe():
     color = np.asarray(out["color"])
     c = color[H // 2, W // 2].astype(int)
     assert c[2] > c[0] > 0, f"reflection should be blue-dominant, got {c}"
+
+
+def test_multi_material_mixed_stack_sizes():
+    """Two primitives with different materials whose texture stacks have
+    DIFFERENT power-of-two sizes: each prim must resolve its own base color
+    through the interleaved per-material stack (catches regressions in the
+    per-meshlet material row and per-material stack addressing)."""
+    import dataclasses
+    from incarnation_tpu.scene import textures as textures_mod
+
+    # material 0: 1x1 red base; material 1: 4x4 green base (with mips)
+    def solid_rows(rgb, size):
+        levels = []
+        s = size
+        base = np.uint32(0xFF000000 | (rgb[2] << 16) | (rgb[1] << 8) | rgb[0])
+        while s >= 1:
+            w0 = np.full((s * s,), base, np.uint32)
+            levels.append(np.stack([
+                w0, np.full_like(w0, 0xFFFF8080),
+                np.full_like(w0, 0xFFFFFFFF),
+                np.full_like(w0, 0x00FFFFFF)], axis=-1))
+            if s == 1:
+                break
+            s //= 2
+        return np.concatenate(levels, axis=0)
+
+    r0 = solid_rows((255, 0, 0), 1)        # 1 row
+    r1 = solid_rows((0, 255, 0), 4)        # 16+4+1 rows
+    flat = np.concatenate([r0, r1], axis=0)
+    meta = np.asarray([[0, 1, 1, 0], [1, 4, 3, 0]], np.int32)
+    stack = textures_mod.MaterialTextureStack(
+        flat=jnp.asarray(flat.astype(np.uint32).view(np.int32)),
+        meta=jnp.asarray(meta))
+
+    pts = np.array([[-5, -3, 6], [0, -3, 6], [-2.5, 3, 6],
+                    [0.5, -3, 6], [5, -3, 6], [3, 3, 6]], np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [3, 4, 5]],
+                       tri_prim=np.asarray([0, 1], np.int32), num_prims=2,
+                       prim_tri_offset=np.asarray([0, 1], np.int32),
+                       prim_material=np.asarray([0, 1], np.int32),
+                       mat_stack=stack)
+    # two materials required in the params/table too
+    from incarnation_tpu.scene import materials as materials_mod
+
+    class _G:
+        materials = [{}, {}]
+    mats = materials_mod.build_material_table(_G)
+    scene = dataclasses.replace(
+        scene, materials=mats,
+        mat_params=materials_mod.pack_material_params(mats))
+
+    cfg = no_sky(Config(viewmode=ViewMode.BASE_COLOR))
+    fc = frame_mod.FrameConstants.make(View.default(aspect=W / H), cfg)
+    out = frame_mod.render_frame_jit(scene, fc, cfg, PARAMS)
+    color = np.asarray(out["color"])
+    tri = np.asarray(out["tri"])
+    assert (tri == 0).any() and (tri == 1).any()
+    left = color[tri == 0].astype(int).mean(axis=0)
+    right = color[tri == 1].astype(int).mean(axis=0)
+    assert left[0] > 150 and left[1] < 80, f"prim 0 should be red: {left}"
+    assert right[1] > 150 and right[0] < 80, f"prim 1 should be green: {right}"
