@@ -124,11 +124,19 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
     return fn(*args)
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_jit(config, params, mesh, axis):
+    # Cached so repeated frames reuse one traced program (a fresh jax.jit
+    # wrapper per frame would re-trace the full sharded frame every call and
+    # the multi-chip FPS metric would measure host retracing, not devices).
+    return jax.jit(functools.partial(render_frame_sharded, config=config,
+                                     params=params, mesh=mesh, axis=axis))
+
+
 def render_frame_sharded_jit(scene, fc, config, params, mesh, axis="band",
                              probe=None, env_brdf=None, history=None,
                              scene_bvh=None):
-    f = jax.jit(functools.partial(render_frame_sharded, config=config,
-                                  params=params, mesh=mesh, axis=axis))
+    f = _sharded_jit(config, params, mesh, axis)
     return f(scene, fc, probe=probe, env_brdf=env_brdf, history=history,
              scene_bvh=scene_bvh)
 

@@ -67,7 +67,24 @@ def _alpha_at_hit(scene, tri, u, v, noise):
     return (mode == 0) | (alpha >= thresh)
 
 
-def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False):
+def _peel_noise(seed, peel, tri, noise_u):
+    """BLEND stochastic-threshold noise for alpha peel `peel`. When the
+    caller supplies a CMJ base value per ray (noise_u, sharing the pixel
+    stratification of the accumulation sequence) the peels decorrelate via a
+    golden-ratio Cranley-Patterson rotation; otherwise a hash of
+    (seed, peel, tri) stands in (the raster sun-shadow path, where there is
+    no per-pixel sample sequence)."""
+    if noise_u is not None:
+        x = noise_u + np.float32(peel) * np.float32(0.6180339887498949)
+        return x - jnp.floor(x)
+    h = ((jnp.asarray(seed, jnp.uint32) + jnp.uint32(peel * 747796405))
+         * jnp.uint32(2891336453)
+         ^ (tri.astype(jnp.uint32) * jnp.uint32(277803737)))
+    return ((h >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+
+
+def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
+                 noise_u=None):
     """bvh.trace with alpha-masked continuation: a hit on a MASK/BLEND prim
     that fails the opacity test is skipped by re-tracing from just past it
     (up to ALPHA_PEELS times). Zero cost for scenes without masked prims."""
@@ -77,11 +94,7 @@ def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False):
     for peel in range(ALPHA_PEELS):
         tri = res["tri"]
         hit = tri >= 0
-        # hash noise for the BLEND stochastic threshold
-        h = ((jnp.asarray(seed, jnp.uint32) + jnp.uint32(peel * 747796405))
-             * jnp.uint32(2891336453)
-             ^ (tri.astype(jnp.uint32) * jnp.uint32(277803737)))
-        noise = ((h >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+        noise = _peel_noise(seed, peel, tri, noise_u)
         accept = _alpha_at_hit(scene, tri, res["u"], res["v"], noise)
         transparent = hit & ~accept
         # continue past the transparent hit; opaque/miss rays park on a
@@ -97,10 +110,7 @@ def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False):
     # rays whose last peel still failed count as misses through the cutout
     tri = res["tri"]
     hit = tri >= 0
-    h = ((jnp.asarray(seed, jnp.uint32) + jnp.uint32(ALPHA_PEELS * 747796405))
-         * jnp.uint32(2891336453)
-         ^ (tri.astype(jnp.uint32) * jnp.uint32(277803737)))
-    noise = ((h >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+    noise = _peel_noise(seed, ALPHA_PEELS, tri, noise_u)
     accept = _alpha_at_hit(scene, tri, res["u"], res["v"], noise)
     bad = hit & ~accept
     res["tri"] = jnp.where(bad, -1, res["tri"])
@@ -160,14 +170,20 @@ def _direct_radiance(light_i, lights, wp, base, metallic, roughness, n, v,
     light types)."""
     lt = lights.type[light_i]
     xform = lights.transform[light_i]
+    inten = lights.intensity[light_i]
+    color = lights.color[light_i]
     is_dir = lt == lights_mod.LIGHT_DIRECTIONAL
+    if jnp.ndim(is_dir):            # light_i is a per-ray index array
+        is_dir = is_dir[..., None]
+        inten_d = inten[..., None]
+    else:
+        inten_d = inten
     l_dir = jnp.broadcast_to(lights_mod.light_direction_toward(xform),
                              wp.shape)
     l_pn, rad_pn = shading.punctual_light(
-        lt, xform, lights.color[light_i], lights.intensity[light_i],
+        lt, xform, color, inten,
         lights.range[light_i], lights.spot_angles[light_i], wp)
-    rad_dir = shading.directional_light_radiance(
-        lights.color[light_i], lights.intensity[light_i])
+    rad_dir = shading.directional_light_radiance(color, inten_d)
     l = jnp.where(is_dir, l_dir, l_pn)
     radiance_in = jnp.where(is_dir, jnp.broadcast_to(rad_dir, wp.shape),
                             rad_pn)
@@ -300,15 +316,24 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
 
     sun_w = fc.sun_dir if sun_dir_world is None else sun_dir_world
 
+    # Alpha any-hit noise rides the CMJ sequence (one extra stratified draw
+    # per trace) so BLEND thresholds share the accumulation sequence's
+    # pixel stratification instead of an uncorrelated hash.
+    masked = scene.meta.has_masked
+
     def shadow_fn(o, d, _seed=[0]):
         _seed[0] += 1
         return _trace_alpha(scene, bvh, o, d, 0.1, 1000.0,
                             sidx * jnp.uint32(131) + jnp.uint32(_seed[0]),
-                            any_hit=True)["tri"] >= 0
+                            any_hit=True,
+                            noise_u=(sample_point(sidx)[..., 0] if masked
+                                     else None))["tri"] >= 0
 
     for bounce in range(MAX_BOUNCES):
         hit = _trace_alpha(scene, bvh, origin, direction, RAY_OFFSET, 1e4,
-                           sidx * jnp.uint32(17) + jnp.uint32(bounce))
+                           sidx * jnp.uint32(17) + jnp.uint32(bounce),
+                           noise_u=(sample_point(sidx)[..., 0] if masked
+                                    else None))
         tri = hit["tri"]
         missed = (tri < 0) & alive
 
@@ -354,16 +379,31 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
             jnp.concatenate([nxy, nz[..., None]], -1), t, b, n))
         v = -direction
 
-        # NEE over all lights (skipped entirely for lightless scenes —
-        # the device table pads to one row)
+        # NEE (ref: pathtracing.hlsl:231-243 loops all lights): small light
+        # sets keep the exact all-lights loop (preserves crosspath parity);
+        # larger sets pick ONE light uniformly per ray per bounce and weight
+        # by the count (pdf 1/L) so cost stays at one shadow trace instead
+        # of L full BVH passes.
         nl = scene.meta.num_lights
-        for li in range(nl):
-            on = li < scene.lights.count
+        if 0 < nl <= 4:
+            for li in range(nl):
+                on = li < scene.lights.count
+                contrib = _direct_radiance(li, scene.lights, wp,
+                                           m["base_color"], m["metallic"],
+                                           m["roughness"], n, v, shadow_fn)
+                radiance = radiance + jnp.where(
+                    (alive & on)[..., None], beta * contrib, 0.0)
+        elif nl > 4:
+            cnt = scene.lights.count
+            cnt_f = cnt.astype(jnp.float32)
+            u_l = sample_point(sidx)[..., 0]
+            li = jnp.minimum((u_l * cnt_f).astype(jnp.int32),
+                             jnp.maximum(cnt - 1, 0))
             contrib = _direct_radiance(li, scene.lights, wp,
                                        m["base_color"], m["metallic"],
                                        m["roughness"], n, v, shadow_fn)
             radiance = radiance + jnp.where(
-                (alive & on)[..., None], beta * contrib, 0.0)
+                (alive & (cnt > 0))[..., None], beta * contrib * cnt_f, 0.0)
 
         # sky sample
         if probe is not None:

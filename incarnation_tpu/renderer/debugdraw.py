@@ -142,7 +142,8 @@ def primitive_edges(shape: int, transform=None, segments: int = 16):
             out.append(_ring_segments(
                 _circle_pts(np.sqrt(max(1 - y * y, 0.0)), y, segments)))
         t = np.linspace(0, np.pi, segments // 2 + 1)
-        for a in np.linspace(0, np.pi, 5)[:-1]:    # meridians
+        # pole-to-pole half-arcs at 8 azimuths = 4 full great circles
+        for a in np.linspace(0, 2 * np.pi, 9)[:-1]:    # meridians
             pts = np.stack([np.sin(t) * np.cos(a), np.cos(t),
                             np.sin(t) * np.sin(a)], axis=-1)
             out.append(_ring_segments(pts.astype(np.float32)))

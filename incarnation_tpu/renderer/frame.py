@@ -137,6 +137,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                                    meshlet_visible=meshlet_visible)
     if not scene.meta.has_masked:
         tri, depth, interp, stats = raster.raster_layer(prep, params)
+        stats["peel_overflow"] = jnp.zeros((), jnp.int32)
     else:
         # Alpha-masked geometry (ref: visibility-pass.hlsl:101-111 clip):
         # opaque prims raster normally; MASK/BLEND prims raster as
@@ -176,6 +177,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             zlim = jnp.where(cont, m_depth, 0.0)
             for k_ in ("bin_overflow", "big_overflow"):
                 stats[k_] = stats[k_] + m_stats[k_]
+        # Pixels whose LAST peel still alpha-failed fall through to the
+        # opaque/background winner silently — count them (mirror of
+        # bin_overflow; ref clip never truncates, visibility-pass.hlsl:101).
+        stats["peel_overflow"] = cont.sum().astype(jnp.int32)
         # Merge: the surviving masked fragment wins where it is closer
         # than the opaque winner (reverse-Z: larger z = closer).
         win = (acc_tri >= 0) & (acc_depth > depth)

@@ -88,6 +88,26 @@ class Gltf:
 
     # -- accessors -----------------------------------------------------------
 
+    def _read_view(self, view_index: int, byte_offset: int, count: int,
+                   comps: int, dtype) -> np.ndarray:
+        """Read `count` (comps,)-elements of `dtype` from a bufferView,
+        honoring byteStride interleaving."""
+        elem_bytes = np.dtype(dtype).itemsize * comps
+        view = self.doc["bufferViews"][view_index]
+        buf = self.buffers[view["buffer"]]
+        stride = view.get("byteStride") or elem_bytes
+        start = view.get("byteOffset", 0) + byte_offset
+        if stride == elem_bytes:
+            return np.frombuffer(
+                buf, dtype=dtype, count=count * comps, offset=start
+            ).reshape(count, comps)
+        raw = np.frombuffer(
+            buf, dtype=np.uint8,
+            count=(count - 1) * stride + elem_bytes, offset=start)
+        strided = np.lib.stride_tricks.as_strided(
+            raw, shape=(count, elem_bytes), strides=(stride, 1))
+        return strided.copy().view(dtype).reshape(count, comps)
+
     def accessor(self, index: int, dequantize: bool = True) -> np.ndarray:
         """Read accessor `index` into a contiguous (count, comps) array.
 
@@ -95,32 +115,32 @@ class Gltf:
         glTF spec, and leaves index-style integer accessors as integers.
         """
         acc = self.doc["accessors"][index]
-        if "sparse" in acc:
-            raise NotImplementedError("sparse accessors not supported")
         count = acc["count"]
         comps = _TYPE_COMPONENT_COUNT[acc["type"]]
         dtype = _COMPONENT_DTYPES[acc["componentType"]]
-        itemsize = np.dtype(dtype).itemsize
-        elem_bytes = itemsize * comps
 
         if "bufferView" not in acc:
             out = np.zeros((count, comps), dtype=dtype)
         else:
-            view = self.doc["bufferViews"][acc["bufferView"]]
-            buf = self.buffers[view["buffer"]]
-            stride = view.get("byteStride") or elem_bytes
-            start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-            if stride == elem_bytes:
-                out = np.frombuffer(
-                    buf, dtype=dtype, count=count * comps, offset=start
-                ).reshape(count, comps)
-            else:
-                raw = np.frombuffer(
-                    buf, dtype=np.uint8,
-                    count=(count - 1) * stride + elem_bytes, offset=start)
-                strided = np.lib.stride_tricks.as_strided(
-                    raw, shape=(count, elem_bytes), strides=(stride, 1))
-                out = strided.copy().view(dtype).reshape(count, comps)
+            out = self._read_view(acc["bufferView"], acc.get("byteOffset", 0),
+                                  count, comps, dtype)
+
+        if "sparse" in acc:
+            # Sparse accessor (glTF 2.0 §3.6.2.3, tinygltf parity): base
+            # array (zeros when bufferView is absent) overlaid with `count`
+            # (index, value) substitutions.
+            sp = acc["sparse"]
+            sc = sp["count"]
+            idx = self._read_view(
+                sp["indices"]["bufferView"],
+                sp["indices"].get("byteOffset", 0), sc, 1,
+                _COMPONENT_DTYPES[sp["indices"]["componentType"]],
+            ).reshape(-1).astype(np.int64)
+            vals = self._read_view(sp["values"]["bufferView"],
+                                   sp["values"].get("byteOffset", 0),
+                                   sc, comps, dtype)
+            out = out.copy()    # frombuffer views are read-only
+            out[idx] = vals
 
         if dequantize and acc.get("normalized", False):
             info = np.iinfo(dtype)

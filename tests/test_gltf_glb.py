@@ -79,3 +79,39 @@ def test_normalized_accessor():
     v = g.accessor(0)
     np.testing.assert_allclose(v, [[0.0, 1.0], [128 / 255, 64 / 255]],
                                atol=1e-6)
+
+
+def test_sparse_accessor():
+    # glTF 2.0 §3.6.2.3: base array (here zeros — no bufferView) with
+    # sparse (index, value) substitutions, like tinygltf accepts.
+    import base64
+    idx = np.array([1, 3], np.uint16).tobytes()
+    vals = np.array([[1, 2, 3], [4, 5, 6]], np.float32).tobytes()
+    blob = idx + vals
+    doc = {
+        "asset": {"version": "2.0"},
+        "accessors": [{
+            "componentType": 5126, "count": 5, "type": "VEC3",
+            "sparse": {
+                "count": 2,
+                "indices": {"bufferView": 0, "componentType": 5123},
+                "values": {"bufferView": 1},
+            }}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 4},
+            {"buffer": 0, "byteOffset": 4, "byteLength": 24},
+        ],
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                     + base64.b64encode(blob).decode()}],
+    }
+    from incarnation_tpu.scene import gltf as gltf_mod
+    import pathlib
+    g = gltf_mod.Gltf(doc, [gltf_mod._resolve_buffer(doc["buffers"][0],
+                                                     pathlib.Path("."))],
+                      pathlib.Path("."))
+    v = g.accessor(0)
+    expect = np.zeros((5, 3), np.float32)
+    expect[1] = [1, 2, 3]
+    expect[3] = [4, 5, 6]
+    np.testing.assert_allclose(v, expect)
