@@ -66,8 +66,13 @@ def main(argv=None):
                     help="progressive path tracing instead of raster")
     ap.add_argument("--spp", type=int, default=16,
                     help="path-tracing samples per pixel to accumulate")
-    ap.add_argument("--shadows", action="store_true",
-                    help="ray-traced sun shadows in the raster path")
+    ap.add_argument("--shadows", nargs="?", const="rt", default="map",
+                    choices=["off", "map", "rt"],
+                    help="sun shadows: 'map' (default; rasterized shadow "
+                         "map, the TPU-native always-on path), 'rt' (exact "
+                         "BVH shadow rays like the reference's DXR ray), "
+                         "'off'")
+    ap.add_argument("--shadow-res", type=int, default=2048)
     ap.add_argument("--forward", action="store_true",
                     help="forward lighting path (exact normals; BLEND "
                          "geometry alpha-composited — ref ui.cpp:346)")
@@ -94,7 +99,9 @@ def main(argv=None):
     cfg = Config(viewmode=args.viewmode, exposure=args.exposure,
                  enable_sky_lighting=not args.no_sky,
                  enable_hbao=args.hbao, use_bent_normals=args.hbao,
-                 forward_lighting=args.forward)
+                 forward_lighting=args.forward,
+                 sun_shadow_mode=args.shadows,
+                 shadow_map_resolution=args.shadow_res)
     if args.no_sky:
         from ..config import EnvSkyMode
         cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
@@ -134,9 +141,14 @@ def main(argv=None):
         scene_rotation[0, 0] = scene_rotation[2, 2] = np.cos(a)
         scene_rotation[0, 2] = -np.sin(a)
         scene_rotation[2, 0] = np.sin(a)
+    shadow_bounds = None
+    if cfg.sun_shadow_mode == "map":
+        shadow_bounds = (host.bounds_center,
+                         float(np.linalg.norm(host.bounds_extent)) + 1e-3)
     fc = frame_mod.FrameConstants.make(view, cfg, sun_dir=sun_dir,
                                        sun_color_intensity=sun_ci,
-                                       scene_rotation=scene_rotation)
+                                       scene_rotation=scene_rotation,
+                                       shadow_bounds=shadow_bounds)
 
     probe = env_brdf = None
     if args.hdri:
@@ -206,7 +218,7 @@ def main(argv=None):
         return
 
     scene_bvh = None
-    if args.shadows or args.hbao:
+    if args.shadows == "rt" or args.hbao:
         from ..kernels import bvh as bvh_mod
         t0 = time.time()
         scene_bvh = bvh_mod.build_scene_bvh(host.scene)
@@ -226,8 +238,9 @@ def main(argv=None):
             j = jitters[i % 16] * 2.0 / np.array([args.width, args.height])
             fc = frame_mod.FrameConstants.make(
                 view, cfg, sun_dir=sun_dir, sun_color_intensity=sun_ci,
+                scene_rotation=scene_rotation,
                 jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0),
-                frame_index=i)
+                frame_index=i, shadow_bounds=shadow_bounds)
             if history is None:
                 history = jnp.zeros((args.height, args.width, 3))
         out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,

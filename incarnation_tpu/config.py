@@ -135,6 +135,18 @@ class Config:
     # env_brdf_approx). On by default; the LUT path remains bit-parity
     # with the reference's sky-lighting.hlsl:124 behavior.
     analytic_env_brdf: bool = True
+    # Sun shadows. The reference ALWAYS traces a per-pixel DXR shadow ray
+    # toward the sun (ref: lighting/common.hlsli:91-116); a per-pixel BVH
+    # walk is HBM-gather-bound on TPU, so the TPU-first default for real
+    # frames is a rasterized orthographic shadow map with a stochastic PCF
+    # tap (kernels/shadow.py). Modes:
+    #   "auto" — "rt" when a scene BVH is supplied, else no shadows
+    #            (round-2 compatibility for tests/tools)
+    #   "map"  — rasterized sun shadow map (the bench/CLI frame)
+    #   "rt"   — exact BVH shadow rays (parity/reference mode; slow)
+    #   "off"  — sun always visible
+    sun_shadow_mode: str = "auto"
+    shadow_map_resolution: int = 2048
     # Stochastic single-texel TAA history fetch (1 gather instead of 4).
     # Off by default: the history feedback loop turns the fetch noise into
     # visible mottling (33.9 dB vs exact after 32 frames — tools/

@@ -60,6 +60,9 @@ class RasterParams(NamedTuple):
     interpret: bool = None    # force Pallas interpret mode (None = auto by
     #                           the default device; set by the band sharder
     #                           from the mesh's platform)
+    depth_only: bool = False  # depth/coverage only: no attribute stream is
+    #                           built or selected (shadow-map passes — the
+    #                           kernel's second pass and its DMA are skipped)
 
     @property
     def tiles_x(self) -> int:
@@ -412,24 +415,32 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
         setup_t.T, ids_f,
         jnp.zeros((t, _PAIR_STRIDE - _SETUP_ROWS - 1), jnp.float32),
     ], axis=-1)                                        # (T, 16)
-    # Attribute rows, id at lane _ID_LANE so the kernel's second pass can
-    # match pairs against the winner id map.
-    if attr_flat is None:
-        attr_flat = jnp.zeros((t, ATTR_ROWS), jnp.float32)
-    attr32 = jnp.concatenate([
-        attr_flat, ids_f,
-        jnp.zeros((t, _APAIR_STRIDE - ATTR_ROWS - 1), jnp.float32),
-    ], axis=-1)                                        # (T, 32)
-    # ONE 48-lane-row gather builds BOTH pair streams (gather cost on TPU is
-    # ~per-row, so one 192 B row beats a 64 B + a 128 B row); the slices
-    # after it are sequential.
-    row48 = jnp.concatenate([setup16, attr32], axis=-1)[tri_s]   # (P, 48)
+    if p.depth_only:
+        # Shadow/depth passes: 16-lane pair rows only — the attribute
+        # stream (2/3 of the pair-row gather bytes) is never built.
+        row48 = setup16[tri_s]                         # (P, 16)
+    else:
+        # Attribute rows, id at lane _ID_LANE so the kernel's second pass
+        # can match pairs against the winner id map.
+        if attr_flat is None:
+            attr_flat = jnp.zeros((t, ATTR_ROWS), jnp.float32)
+        attr32 = jnp.concatenate([
+            attr_flat, ids_f,
+            jnp.zeros((t, _APAIR_STRIDE - ATTR_ROWS - 1), jnp.float32),
+        ], axis=-1)                                    # (T, 32)
+        # ONE 48-lane-row gather builds BOTH pair streams (gather cost on
+        # TPU is ~per-row, so one 192 B row beats a 64 B + a 128 B row);
+        # the slices after it are sequential.
+        row48 = jnp.concatenate([setup16, attr32], axis=-1)[tri_s]  # (P, 48)
     flat = row48[:, :_PAIR_STRIDE].reshape(
         cap_pairs // _PAIRS_PER_ROW, _PAIRS_PER_ROW * _PAIR_STRIDE)
     flat = jnp.pad(flat, ((0, p.chunk // _PAIRS_PER_ROW + 1), (0, 0)))
-    aflat = row48[:, _PAIR_STRIDE:].reshape(
-        cap_pairs // _APAIRS_PER_ROW, _APAIRS_PER_ROW * _APAIR_STRIDE)
-    aflat = jnp.pad(aflat, ((0, p.chunk // _APAIRS_PER_ROW + 1), (0, 0)))
+    if p.depth_only:
+        aflat = jnp.zeros((1, _APAIRS_PER_ROW * _APAIR_STRIDE), jnp.float32)
+    else:
+        aflat = row48[:, _PAIR_STRIDE:].reshape(
+            cap_pairs // _APAIRS_PER_ROW, _APAIRS_PER_ROW * _APAIR_STRIDE)
+        aflat = jnp.pad(aflat, ((0, p.chunk // _APAIRS_PER_ROW + 1), (0, 0)))
 
     # Big-triangle list = bucket 0 at the head of the sorted stream: a
     # static slice of the already-gathered rows (no cumsum/scatter pass).
@@ -443,7 +454,10 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
     big_setup = jnp.where(big_slot_ok[:, None], br[:, :_SETUP_ROWS],
                           jnp.asarray(_INVALID_ROW)[None, :])
     big_ids = jnp.where(big_slot_ok, br[:, _SETUP_ROWS], 0.0)[:, None]
-    big_attr = jnp.where(big_slot_ok[:, None], br[:, _PAIR_STRIDE:], 0.0)
+    if p.depth_only:
+        big_attr = jnp.zeros((cap, _APAIR_STRIDE), jnp.float32)
+    else:
+        big_attr = jnp.where(big_slot_ok[:, None], br[:, _PAIR_STRIDE:], 0.0)
 
     return Bins(setup=flat, attr=aflat, starts=starts, counts=counts,
                 big_setup=big_setup, big_ids=big_ids, big_attr=big_attr,
@@ -455,8 +469,7 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
 # 4. Fine raster (Pallas)
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
-                   big_setup_ref, big_ids_ref, big_attr_ref, *rest,
+def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
                    params: RasterParams, has_zlim: bool = False):
     """Per-tile fine raster + attribute select. The CSR pair arrays stay in
     HBM; each tile streams its contiguous slice with double-buffered async
@@ -473,14 +486,29 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
 
     has_zlim: extra per-pixel depth upper bound input (strict z < limit) —
     the masked-geometry depth-peel layers use it to find the next fragment
-    behind a failed alpha test."""
-    if has_zlim:
-        (zlim_ref, tri_ref, z_ref, interp_ref,
-         setup_scratch, attr_scratch, sems, asems) = rest
+    behind a failed alpha test.
+
+    params.depth_only statically drops pass 2: no attribute inputs, interp
+    output, or attribute DMA exist (shadow-map rendering)."""
+    if params.depth_only:
+        setup_hbm, big_setup_ref, big_ids_ref, *rest = refs
+        attr_hbm = big_attr_ref = None
+        if has_zlim:
+            zlim_ref, tri_ref, z_ref, setup_scratch, sems = rest
+        else:
+            tri_ref, z_ref, setup_scratch, sems = rest
+            zlim_ref = None
+        interp_ref = attr_scratch = asems = None
     else:
-        (tri_ref, z_ref, interp_ref,
-         setup_scratch, attr_scratch, sems, asems) = rest
-        zlim_ref = None
+        (setup_hbm, attr_hbm, big_setup_ref, big_ids_ref, big_attr_ref,
+         *rest) = refs
+        if has_zlim:
+            (zlim_ref, tri_ref, z_ref, interp_ref,
+             setup_scratch, attr_scratch, sems, asems) = rest
+        else:
+            (tri_ref, z_ref, interp_ref,
+             setup_scratch, attr_scratch, sems, asems) = rest
+            zlim_ref = None
     p = params
     k = p.chunk
     ti = pl.program_id(0)
@@ -537,23 +565,25 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
     # Pass-2 DMA plumbing is declared here so its FIRST chunk can prefetch
     # during pass-1 compute (the per-tile DMA latency was serialized
     # between the passes otherwise).
-    akr = k // _APAIRS_PER_ROW                    # attr rows per chunk
-    arow_start = start // _APAIRS_PER_ROW
-    arow_off = start - arow_start * _APAIRS_PER_ROW
-    anch = pl.cdiv(count + arow_off, k)
+    if not params.depth_only:
+        akr = k // _APAIRS_PER_ROW                # attr rows per chunk
+        arow_start = start // _APAIRS_PER_ROW
+        arow_off = start - arow_start * _APAIRS_PER_ROW
+        anch = pl.cdiv(count + arow_off, k)
 
-    def adma(slot, c):
-        return pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(arow_start + c * akr, akr), :],
-            attr_scratch.at[slot], asems.at[slot])
+        def adma(slot, c):
+            return pltpu.make_async_copy(
+                attr_hbm.at[pl.ds(arow_start + c * akr, akr), :],
+                attr_scratch.at[slot], asems.at[slot])
 
     @pl.when(nch > 0)
     def _():
         dma(0, 0).start()
 
-    @pl.when(anch > 0)
-    def _():
-        adma(0, 0).start()
+    if not params.depth_only:
+        @pl.when(anch > 0)
+        def _():
+            adma(0, 0).start()
 
     def chunk_body(c, carry):
         zb, vb = carry
@@ -599,6 +629,9 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, setup_hbm, attr_hbm,
 
     tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w).astype(jnp.int32)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
+
+    if params.depth_only:
+        return
 
     # ---- Pass 2: attribute select (winning pair's coefficients) ----
     # (first chunk DMA already in flight — started before pass 1)
@@ -675,56 +708,67 @@ def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None):
     p = params
     tile_spec = pl.BlockSpec((p.tile_h, p.tile_w),
                              lambda i, *_: (i // p.tiles_x, i % p.tiles_x))
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),   # setup pairs (HBM)
-        pl.BlockSpec(memory_space=pl.ANY),   # attr pairs (HBM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]   # setup pairs (HBM)
+    inputs = [bins.setup]
+    if not p.depth_only:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # attr pairs
+        inputs.append(bins.attr)
+    in_specs += [
         pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
                      lambda i, *_: (0, 0)),
         pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
-        pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
-                     lambda i, *_: (0, 0)),
     ]
-    inputs = [bins.setup, bins.attr, bins.big_setup, bins.big_ids,
-              bins.big_attr]
+    inputs += [bins.big_setup, bins.big_ids]
+    if not p.depth_only:
+        in_specs.append(pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
+                                     lambda i, *_: (0, 0)))
+        inputs.append(bins.big_attr)
     if z_limit is not None:
         in_specs.append(tile_spec)
         zl = jnp.pad(z_limit, ((0, p.padded_height - p.height),
                                (0, p.padded_width - p.width)))
         inputs.append(zl)
+    out_specs = [tile_spec, tile_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((p.padded_height, p.padded_width), jnp.int32),
+        jax.ShapeDtypeStruct((p.padded_height, p.padded_width), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
+                    _PAIRS_PER_ROW * _PAIR_STRIDE), jnp.float32),
+    ]
+    if not p.depth_only:
+        out_specs.append(
+            pl.BlockSpec((INTERP_CHANNELS, p.tile_h, p.tile_w),
+                         lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((INTERP_CHANNELS, p.padded_height,
+                                  p.padded_width), jnp.float32))
+        scratch_shapes.append(
+            pltpu.VMEM((2, p.chunk // _APAIRS_PER_ROW,
+                        _APAIRS_PER_ROW * _APAIR_STRIDE), jnp.float32))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+    if not p.depth_only:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(p.num_tiles,),
         in_specs=in_specs,
-        out_specs=[
-            tile_spec,
-            tile_spec,
-            pl.BlockSpec((INTERP_CHANNELS, p.tile_h, p.tile_w),
-                         lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
-                        _PAIRS_PER_ROW * _PAIR_STRIDE), jnp.float32),
-            pltpu.VMEM((2, p.chunk // _APAIRS_PER_ROW,
-                        _APAIRS_PER_ROW * _APAIR_STRIDE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
-    tri, depth, interp = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_raster_kernel, params=p,
                           has_zlim=z_limit is not None),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((p.padded_height, p.padded_width),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((p.padded_height, p.padded_width),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((INTERP_CHANNELS, p.padded_height,
-                                  p.padded_width), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=(p.interpret if p.interpret is not None
                    else _should_interpret()),
     )(bins.starts, bins.counts, bins.big_count, *inputs)
+    if p.depth_only:
+        tri, depth = out
+        return tri[:p.height, :p.width], depth[:p.height, :p.width], None
+    tri, depth, interp = out
     return (tri[:p.height, :p.width], depth[:p.height, :p.width],
             interp[:, :p.height, :p.width])
 
@@ -825,9 +869,22 @@ def raster_layer(prep: PreparedGeometry, params: RasterParams,
     return tri, depth, interp, stats
 
 
+def raster_depth(prep: PreparedGeometry, params: RasterParams,
+                 layer_valid=None):
+    """Depth-only raster (params.depth_only must be True): returns
+    (tri, depth, stats) — the shadow-map pass."""
+    assert params.depth_only
+    valid = prep.valid if layer_valid is None else prep.valid & layer_valid
+    bins = bin_triangles(prep.setup_t, prep.ids, valid, prep.bbox, params)
+    tri, depth, _ = rasterize_tiles(bins, params)
+    stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow)
+    return tri, depth, stats
+
+
 def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
                      params: RasterParams, tri_visible=None,
-                     meshlet_visible=None) -> PreparedGeometry:
+                     meshlet_visible=None,
+                     emit_attributes: bool = True) -> PreparedGeometry:
     """Fused vertex transform + triangle setup + attribute-plane build.
 
     Reads the STATIC per-triangle corner table (scene.tri_corner, built at
@@ -959,17 +1016,19 @@ def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
     # Attribute planes: channel c's plane j = sum_k a_k[c] * e_k[j], all as
     # dense (T,) rows; ONE stack materializes the flat (T, 29) layout the
     # pair stream consumes (a single layout copy instead of narrow math).
-    a0, a1, a2 = r0[4:13], r1[4:13], r2[4:13]
+    attr_flat = None
+    if emit_attributes:
+        a0, a1, a2 = r0[4:13], r1[4:13], r2[4:13]
 
-    def plane(c):
-        return [a0[c] * e0[j] + a1[c] * e1[j] + a2[c] * e2[j]
-                for j in range(3)]
+        def plane(c):
+            return [a0[c] * e0[j] + a1[c] * e1[j] + a2[c] * e2[j]
+                    for j in range(3)]
 
-    denom = [e0[j] + e1[j] + e2[j] for j in range(3)]
-    rows = (plane(0) + plane(1) + denom
-            + sum((plane(c) for c in range(2, 8)), [])
-            + [a0[8], pw[2]])
-    attr_flat = jnp.stack(rows, axis=-1).astype(jnp.float32)  # (T, 29)
+        denom = [e0[j] + e1[j] + e2[j] for j in range(3)]
+        rows = (plane(0) + plane(1) + denom
+                + sum((plane(c) for c in range(2, 8)), [])
+                + [a0[8], pw[2]])
+        attr_flat = jnp.stack(rows, axis=-1).astype(jnp.float32)  # (T, 29)
 
     return PreparedGeometry(setup_t=setup_t, ids=ids, valid=valid, bbox=bbox,
                             attr_flat=attr_flat)

@@ -27,6 +27,7 @@ from ..config import Config, EnvSkyMode, ViewMode
 from ..core import mathutils as mu
 from ..kernels import (clustered, cull, post, raster, resolve, shading,
                        skylight, taa)
+from ..kernels import shadow as shadow_mod
 from ..scene import lights as lights_mod
 
 
@@ -56,12 +57,33 @@ class FrameConstants:
     inv_scene_rotation: jnp.ndarray  # (4, 4) — rays are inverse-rotated into
     #   the BVH's unrotated world space instead of rebuilding the TLAS per
     #   frame like the reference (ref: render-jobs/update-tlas.inl)
+    sun_view_proj: jnp.ndarray   # (4, 4) ortho sun-view VP for the shadow
+    #   map (identity when shadow_bounds was not supplied to make())
 
     @staticmethod
     def make(view, config: Config, sun_dir=None, sun_color_intensity=None,
              scene_rotation=None, jitter=None, prev_view_proj=None,
-             history_valid=False, frame_index=0):
+             history_valid=False, frame_index=0, shadow_bounds=None):
+        """shadow_bounds: optional (center (3,), radius) world bounding
+        sphere — builds the sun shadow-map projection (rotation-invariant,
+        so scene_rotation needs only the center rotated)."""
         vp = view.view_proj(jitter)
+        sun_np = np.asarray(
+            lights_mod.DEFAULT_SUN_DIR if sun_dir is None else sun_dir,
+            np.float32)
+        sun_vp = np.eye(4, dtype=np.float32)
+        if config.sun_shadow_mode == "map" and shadow_bounds is None:
+            raise ValueError(
+                "sun_shadow_mode='map' needs shadow_bounds=(center, radius) "
+                "— pass the HostScene's bounds to FrameConstants.make")
+        if shadow_bounds is not None:
+            from ..kernels import shadow as shadow_mod
+            center, radius = shadow_bounds
+            center = np.asarray(center, np.float32)
+            if scene_rotation is not None:
+                center = (np.append(center, 1.0)
+                          @ np.asarray(scene_rotation))[:3]
+            sun_vp = shadow_mod.sun_view_proj(sun_np, center, radius)
         return FrameConstants(
             view_proj=jnp.asarray(vp),
             inv_view_proj=jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
@@ -71,9 +93,7 @@ class FrameConstants:
                 np.eye(4, dtype=np.float32) if scene_rotation is None
                 else scene_rotation),
             exposure=jnp.asarray(np.float32(config.exposure)),
-            sun_dir=jnp.asarray(
-                lights_mod.DEFAULT_SUN_DIR if sun_dir is None else
-                np.asarray(sun_dir, np.float32)),
+            sun_dir=jnp.asarray(sun_np),
             sun_color_intensity=jnp.asarray(
                 np.asarray([1.0, 1.0, 1.0, 0.0], np.float32)
                 if sun_color_intensity is None
@@ -93,6 +113,7 @@ class FrameConstants:
             inv_scene_rotation=jnp.asarray(np.linalg.inv(
                 np.eye(4, dtype=np.float32) if scene_rotation is None
                 else scene_rotation).astype(np.float32)),
+            sun_view_proj=jnp.asarray(sun_vp),
         )
 
 
@@ -242,6 +263,19 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         if n3 is not None:
             n3 = jnp.where(opaque, mu.oct_decode(d_gb.normals), n3)
 
+    # Sun shadow map, rendered once per frame and sampled by every shaded
+    # surface (TPU-native stand-in for the reference's per-pixel DXR sun
+    # shadow ray, ref: lighting/common.hlsli:91-116; kernels/shadow.py)
+    sun_shadow_map = None
+    if (config.sun_shadow_mode == "map" and config.enable_direct_lighting):
+        sm_params = shadow_mod.shadow_params(
+            config.shadow_map_resolution, config)
+        if params.interpret is not None:
+            sm_params = sm_params._replace(interpret=params.interpret)
+        sun_shadow_map, sm_stats = shadow_mod.render_sun_shadow_map(
+            scene, fc.scene_rotation, fc.sun_view_proj, sm_params)
+        stats["shadow_bin_overflow"] = sm_stats["bin_overflow"]
+
     # Light-cluster grid, built once per frame and shared by every shaded
     # surface (ref: render-jobs/light-culling.inl)
     mask_grid = None
@@ -261,7 +295,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     hdr, ao_map, bent_normals, v = _shade_surface(
         scene, gb, n, depth, fc, config=config, params=params, probe=probe,
         env_brdf=env_brdf, scene_bvh=scene_bvh, mask_grid=mask_grid,
-        stoch=stoch)
+        stoch=stoch, sun_shadow_map=sun_shadow_map)
 
     # Environment background at far depth (ref: renderer.cpp:1928-1960)
     if config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY:
@@ -294,7 +328,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             hdr_b, _, _, _ = _shade_surface(
                 scene, gb_b, n3_b, b_depth, fc, config=config,
                 params=params, probe=probe, env_brdf=env_brdf,
-                scene_bvh=scene_bvh, mask_grid=mask_grid, stoch=False)
+                scene_bvh=scene_bvh, mask_grid=mask_grid, stoch=False,
+                sun_shadow_map=sun_shadow_map)
             # Only fragments in front of the opaque winner contribute
             # (reverse-Z: larger z = closer).
             vis_b = gb_b.mask & (b_depth > depth)
@@ -326,7 +361,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
 
 
 def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
-                   probe, env_brdf, scene_bvh, mask_grid, stoch):
+                   probe, env_brdf, scene_bvh, mask_grid, stoch,
+                   sun_shadow_map=None):
     """Per-pixel shading shared by the deferred frame, the forward frame,
     and the forward blend layers: emissive + IBL + sun (ray-traced shadow) +
     clustered punctual. Deferred evaluates these as separate additive
@@ -375,7 +411,17 @@ def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
         radiance_in = shading.directional_light_radiance(
             fc.sun_color_intensity[:3], fc.sun_color_intensity[3])
         sun_vis = 1.0
-        if scene_bvh is not None:
+        rt_shadows = (scene_bvh is not None
+                      and config.sun_shadow_mode in ("auto", "rt"))
+        if sun_shadow_map is not None and not rt_shadows:
+            # Shadow-map sun visibility (TPU-native replacement for the
+            # reference's always-on DXR shadow ray — kernels/shadow.py)
+            ndl = jnp.sum(n * fc.sun_dir, -1)
+            sun_vis = shadow_mod.sun_visibility(
+                gb.world_pos, ndl, sun_shadow_map, fc.sun_view_proj,
+                config.shadow_map_resolution,
+                dither=(fc.frame_index if stoch else None))[..., None]
+        elif rt_shadows:
             r3 = fc.inv_scene_rotation[:3, :3]
             origins = gb.world_pos.reshape(-1, 3) @ r3 \
                 + fc.inv_scene_rotation[3, :3]
