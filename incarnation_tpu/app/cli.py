@@ -22,7 +22,7 @@ from ..config import Config
 from ..core.view import View
 from ..kernels.raster import RasterParams
 from ..renderer import frame as frame_mod
-from ..scene import load_scene
+from ..scene.cache import load_scene_cached as load_scene
 from ..utils import imageio as io_mod
 
 
@@ -245,6 +245,17 @@ def main(argv=None):
                 history = jnp.zeros((args.height, args.width, 3))
         out = frame_mod.render_frame_jit(host.scene, fc, cfg, params, probe,
                                          env_brdf, history, scene_bvh)
+        if i == 0 and host.scene.meta.has_masked:
+            # Adaptive peel count (VERDICT r2 item 6): if the last masked
+            # peel still alpha-failed for many pixels, raise the layer
+            # count for subsequent frames (one extra jit specialization).
+            ov = int(out["stats"]["peel_overflow"])
+            if ov > 256 and cfg.masked_depth_peels < 4:
+                old = cfg.masked_depth_peels
+                cfg = cfg.replace(masked_depth_peels=old
+                                  + (2 if ov > 65536 else 1))
+                print(f"[peels] {ov} px overflowed {old}-layer peeling -> "
+                      f"masked_depth_peels={cfg.masked_depth_peels}")
         if cfg.enable_taa and args.frames > 1:
             history = out["accumulation"]
             prev_vp = np.asarray(fc.view_proj)

@@ -10,15 +10,26 @@ inverse-rotating rays).
 
 The tree is THREADED for traversal (skip pointers, stackless): every node
 row carries a hit link (first child) and a miss link (next subtree in DFS
-order), leaves carry their Moller-Trumbore triangle row INLINE, so a
-traversal step is exactly ONE 64-byte row gather plus a slab test or
-triangle intersection and a few selects — no per-ray stack (round 1's
-48-deep one-hot stack was ~5x the per-step cost and capped the tracer at
+order), leaves carry their Moller-Trumbore triangle rows INLINE, so a
+traversal step is exactly ONE row gather plus a slab test or triangle
+intersection and a few selects — no per-ray stack (round 1's 48-deep
+one-hot stack was ~5x the per-step cost and capped the tracer at
 0.07 Mray/s).
 
-  row (16 f32): internal  [lo(3), hi(3), -, -, -, miss, hit, -, 0, pad]
-                leaf      [v0(3), e1(3), e2(3), miss, tri, ds, 1, pad]
-  (links and triangle ids stored as exact small floats)
+Leaves are QUADS: 4 Morton-consecutive triangles inline in one 192-byte
+row. Traversal is HBM-latency bound per ROW (measured: 16 B vs 48 B rows
+gather at the same rate), so 4 triangles per gather quarters the leaf
+visits and halves total node count — the round-3 step-count lever
+(VERDICT r2 item 2; the RT-core DXR equivalent is
+raytracing/pathtracing.hlsl).
+
+  row (48 f32):
+    internal [lo(3), hi(3), .., flag0@12, hit@13, miss@14, pad..]
+    leaf     [v0a(3), e1a(3), e2a(3), -, tri_a, ds_a, flag1@12,
+              hit@13, miss@14, v0b..(9) @15, v0c..(9) @24, v0d..(9) @33,
+              tri_b..d @42:45, ds_b..d @45:48]
+  (links and triangle ids stored as exact small floats; empty quad slots
+  hold degenerate triangles that never intersect)
 
 Traversal runs straight-line unrolled segments (no while_loop bookkeeping)
 with ray COMPACTION between segments: the median ray finishes in ~16 steps
@@ -125,26 +136,21 @@ def _karras_topology(codes64: np.ndarray, t: int):
     return left, right
 
 
+ROW_LANES = 48
+LEAF_K = 4            # triangles per leaf quad
+_TRI1_OFF = (15, 24, 33)   # lanes of quad slots b, c, d
+_ID1_OFF = 42              # tri ids of slots b, c, d
+_DS1_OFF = 45              # double-sided flags of slots b, c, d
+
+
 def build_lbvh(tri_verts: np.ndarray):
-    """tri_verts: (T, 3, 3) world-space triangles -> (rows (N, 16) f32,
-    links (8N, 2) f32). rows hold boxes / inline triangles (module
+    """tri_verts: (T, 3, 3) world-space triangles -> (rows (N, 48) f32,
+    links (8N, 2) f32, leaf_tri (N, 4) i64 original-triangle ids per leaf
+    slot, -1 = empty). rows hold boxes / inline triangle quads (module
     docstring; root is node 0); links hold the per-octant (hit, miss)
     threading as GLOBAL indices okt*N + node. The caller fills the
-    double-sided lane 11 per leaf's ORIGINAL triangle index (lane 10)."""
+    double-sided lanes from leaf_tri."""
     t = tri_verts.shape[0]
-    tri_lo_all = tri_verts.min(axis=1)
-    tri_hi_all = tri_verts.max(axis=1)
-
-    if t == 1:
-        row = np.zeros((1, 16), np.float32)
-        v0 = tri_verts[0, 0]
-        row[0, 0:3] = v0
-        row[0, 3:6] = tri_verts[0, 1] - v0
-        row[0, 6:9] = tri_verts[0, 2] - v0
-        row[0, 10] = 0.0       # tri id
-        row[0, 12] = 1.0       # leaf flag
-        links = np.full((8, 2), -1.0, np.float32)
-        return row, links
 
     centroids = tri_verts.mean(axis=1)
     lo = centroids.min(0)
@@ -152,15 +158,54 @@ def build_lbvh(tri_verts: np.ndarray):
     norm = (centroids - lo) / np.maximum(hi - lo, 1e-12)
     codes = morton3(norm)
     order = np.argsort(codes, kind="stable").astype(np.int64)
-    codes64 = (codes[order].astype(np.uint64) << np.uint64(32)) \
-        | np.arange(t, dtype=np.uint64)
 
-    left, right = _karras_topology(codes64, t)
-    n_int = t - 1
+    # Group Morton-consecutive triangles into quads (the leaf unit).
+    q = -(-t // LEAF_K)
+    pad = q * LEAF_K - t
+    order_p = np.concatenate([order, np.full(pad, -1, np.int64)])
+    quad_tri = order_p.reshape(q, LEAF_K)           # (Q, 4) orig ids, -1 pad
+    qs = np.where(quad_tri >= 0, quad_tri, quad_tri[:, 0:1])
+    quad_lo = tri_verts[qs].min(axis=(1, 2))
+    quad_hi = tri_verts[qs].max(axis=(1, 2))
+
+    def leaf_rows(quads):
+        """(Qn, 4) orig ids -> (Qn, 48) leaf rows (geometry lanes only)."""
+        qn = quads.shape[0]
+        rows = np.zeros((qn, ROW_LANES), np.float32)
+        for s in range(LEAF_K):
+            tid = quads[:, s]
+            ok = tid >= 0
+            tv = tri_verts[np.maximum(tid, 0)]
+            v0 = np.where(ok[:, None], tv[:, 0], 0.0)
+            e1 = np.where(ok[:, None], tv[:, 1] - tv[:, 0], 0.0)
+            e2 = np.where(ok[:, None], tv[:, 2] - tv[:, 0], 0.0)
+            if s == 0:
+                o9, oid = 0, 10
+            else:
+                o9, oid = _TRI1_OFF[s - 1], _ID1_OFF + s - 1
+            rows[:, o9:o9 + 3] = v0
+            rows[:, o9 + 3:o9 + 6] = e1
+            rows[:, o9 + 6:o9 + 9] = e2
+            rows[:, oid] = np.where(ok, tid, -1).astype(np.float32)
+        rows[:, 12] = 1.0
+        return rows
+
+    if q == 1:
+        row = leaf_rows(quad_tri)
+        links = np.full((8, 2), -1.0, np.float32)
+        return row, links, quad_tri
+
+    qcodes = codes[qs[:, 0]]
+    codes64 = (qcodes.astype(np.uint64) << np.uint64(32)) \
+        | np.arange(q, dtype=np.uint64)
+
+    left, right = _karras_topology(codes64, q)
+    n_int = q - 1
+    t = q                 # leaf count for the threading below
 
     # Bottom-up AABBs for internal nodes.
-    tri_lo = tri_lo_all[order]
-    tri_hi = tri_hi_all[order]
+    tri_lo = quad_lo
+    tri_hi = quad_hi
     node_lo = np.full((n_int, 3), np.inf, np.float32)
     node_hi = np.full((n_int, 3), -np.inf, np.float32)
     ready = np.zeros(n_int, bool)
@@ -195,22 +240,18 @@ def build_lbvh(tri_verts: np.ndarray):
     l_e = entry(left)
     r_e = entry(right)
     n_total = n_int + t
-    leaf_orig = order                                 # sorted pos -> tri id
-    v0 = tri_verts[leaf_orig, 0]
 
     llo, lhi, _ = child_box(left)
     rlo, rhi, _ = child_box(right)
     c_l = 0.5 * (llo + lhi)
     c_r = 0.5 * (rlo + rhi)
 
-    base = np.zeros((n_total, 16), np.float32)
+    base = np.zeros((n_total, ROW_LANES), np.float32)
     base[:n_int, 0:3] = node_lo
     base[:n_int, 3:6] = node_hi
-    base[n_int:, 0:3] = v0
-    base[n_int:, 3:6] = tri_verts[leaf_orig, 1] - v0
-    base[n_int:, 6:9] = tri_verts[leaf_orig, 2] - v0
-    base[n_int:, 10] = leaf_orig.astype(np.float32)
-    base[n_int:, 12] = 1.0
+    base[n_int:] = leaf_rows(quad_tri)
+    leaf_tri = np.concatenate([np.full((n_int, LEAF_K), -1, np.int64),
+                               quad_tri])
 
     links = np.zeros((8 * n_total, 2), np.float32)
     idx_int = np.arange(n_int)
@@ -232,14 +273,14 @@ def build_lbvh(tri_verts: np.ndarray):
         links[off:off + n_int, 0] = (near + off).astype(np.float32)
         links[off:off + n_total, 1] = np.where(
             miss >= 0, miss + off, -1).astype(np.float32)
-    return base, links
+    return base, links, leaf_tri
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SceneBVH:
-    rows: jnp.ndarray        # (N, 16) f32 threaded rows (module docstring);
-    #                          merged=True: (8N, 16) per-octant copies with
+    rows: jnp.ndarray        # (N, 48) f32 threaded rows (module docstring);
+    #                          merged=True: (8N, 48) per-octant copies with
     #                          (hit, miss) links inline at lanes 13/14
     links: jnp.ndarray       # (8N, 2) f32 per-octant (hit, miss) links
     #                          (unused (1, 2) dummy when merged)
@@ -247,9 +288,10 @@ class SceneBVH:
                                      default=False)
 
 
-# Per-octant merged-row tables cost 8N x 64 B of HBM; above this node count
-# (~268 MB) fall back to the split rows+links layout (1.6x slower steps).
-_MERGE_LIMIT = 1 << 19
+# Per-octant merged-row tables cost 8N x 192 B of HBM; above this node
+# count (~400 MB; ~2M triangles with quad leaves) fall back to the split
+# rows+links layout (1.6x slower steps).
+_MERGE_LIMIT = 1 << 21
 
 
 def build_scene_bvh(scene) -> SceneBVH:
@@ -263,14 +305,16 @@ def build_scene_bvh(scene) -> SceneBVH:
                       xf[vm])[:, :3]
     tv = np.asarray(scene.tri_vtx)[:m.num_triangles]
     tris = world[tv]                                     # (T, 3, 3)
-    rows, links = build_lbvh(tris)
-    # Per-leaf double-sided flag (lane 11): backface culling matches the
-    # reference's RAY_FLAG_CULL_BACK_FACING_TRIANGLES for single-sided.
-    leaf = rows[:, 12] > 0.5
-    tri_id = rows[:, 10].astype(np.int64)
+    rows, links, leaf_tri = build_lbvh(tris)
+    # Per-slot double-sided flags: backface culling matches the reference's
+    # RAY_FLAG_CULL_BACK_FACING_TRIANGLES for single-sided.
     prim = np.asarray(scene.tri_prim)[:m.num_triangles]
     ds = np.asarray(scene.prim_double_sided)[np.maximum(prim, 0)]
-    rows[leaf, 11] = ds[tri_id[leaf]].astype(np.float32)
+    for s in range(LEAF_K):
+        tid = leaf_tri[:, s]
+        ok = tid >= 0
+        lane = 11 if s == 0 else _DS1_OFF + s - 1
+        rows[ok, lane] = ds[tid[ok]].astype(np.float32)
     n_total = rows.shape[0]
     if n_total <= _MERGE_LIMIT:
         rows8 = np.tile(rows, (8, 1))
@@ -319,26 +363,35 @@ def _step(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
     cur, t_best, best_tri, uo, vo, alive = state
     safe = jnp.maximum(cur, 0)
     if links is None:
-        row = rows[safe + okt_off]                       # (R, 16) gather
+        row = rows[safe + okt_off]                       # (R, 48) gather
         lnk = row[:, 13:15]
     else:
-        row = rows[safe]                                 # (R, 16) gather
+        row = rows[safe]                                 # (R, 48) gather
         lnk = links[safe + okt_off]                      # (R, 2) gather
     leaf = row[:, 12] > 0.5
 
-    # Leaf: Moller-Trumbore against the inline triangle row.
-    cull = row[:, 11] < 0.5
-    t_hit, u, v = _tri_intersect(row[:, 0:9], o, d, cull)
-    tri = row[:, 10].astype(jnp.int32)
-    accept = leaf & alive & (t_hit < t_best) & (t_hit <= tmax_eff)
-    if alpha_of is not None:
-        accept &= alpha_of(tri, u, v)
-    t_best = jnp.where(accept, t_hit, t_best)
-    best_tri = jnp.where(accept, tri, best_tri)
-    uo = jnp.where(accept, u, uo)
-    vo = jnp.where(accept, v, vo)
-    if any_hit:
-        alive = alive & ~accept
+    # Leaf: Moller-Trumbore against the 4 inline quad slots (empty slots
+    # hold degenerate triangles with det 0 and id -1 — never accepted).
+    for s in range(4):
+        if s == 0:
+            o9, oid, ods = 0, 10, 11
+        else:
+            o9 = _TRI1_OFF[s - 1]
+            oid = _ID1_OFF + s - 1
+            ods = _DS1_OFF + s - 1
+        cull = row[:, ods] < 0.5
+        t_hit, u, v = _tri_intersect(row[:, o9:o9 + 9], o, d, cull)
+        tri = row[:, oid].astype(jnp.int32)
+        accept = (leaf & alive & (tri >= 0) & (t_hit < t_best)
+                  & (t_hit <= tmax_eff))
+        if alpha_of is not None:
+            accept &= alpha_of(tri, u, v)
+        t_best = jnp.where(accept, t_hit, t_best)
+        best_tri = jnp.where(accept, tri, best_tri)
+        uo = jnp.where(accept, u, uo)
+        vo = jnp.where(accept, v, vo)
+        if any_hit:
+            alive = alive & ~accept
 
     # Internal: slab test against the node's own box (pruned by t_best).
     t0 = (row[:, 0:3] - o) * inv_d
@@ -376,20 +429,35 @@ def _compact(alive, cap, arrays):
 # Step schedule: straight-line segment at full width, then a compaction
 # ladder — each tier packs the surviving rays into a fraction of the width
 # and runs more straight-line steps; the final (narrowest) tier runs an
-# 8-step-unrolled while_loop until the worst rays finish.
+# unrolled while_loop until the worst rays finish.
 #
-# Tuned against the measured survival curve (helmet primaries, 640x360:
-# alive 27% @ step 4, 16% @ 20, 7% @ 48, 1.6% @ 96): each tier's capacity
-# keeps >= 1.6x headroom over the curve so capacity truncation stays a
-# dense-scene corner case (counted in `trunc`). Traversal cost is the
-# per-step row gather at CURRENT width, so compacting at step 4 instead of
-# 16 cuts the gather volume ~1.7x.
-_SEG0 = 4             # full-width unrolled steps
-_TIERS = ((1, 16), (2, 28), (3, 48), (5, None))
-#                     (width shift, straight steps); None = final while tier
-_TAIL_UNROLL = 8
-_TAIL_ITERS = 120     # up to 960 further steps for the worst rays
+# Tuned for QUAD leaves (one leaf visit tests 4 triangles, halving total
+# steps vs the r2 single-tri schedule) against the r2-measured survival
+# curve shape (helmet primaries: ~73% of rays die in the first few steps,
+# long tail thereafter). Each tier's capacity keeps >= 1.6x headroom over
+# the curve so capacity truncation stays a dense-scene corner case
+# (counted in `trunc`). Fewer unrolled steps also bound XLA compile time
+# (the 4-slot leaf step is ~3x the program size of the r2 step; the r2
+# 104-step schedule pushed PT compiles past 15 minutes).
+_SEG0 = 3             # full-width steps
+_TIERS = ((1, 10), (2, 16), (3, 28), (5, None))
+#                     (width shift, steps); None = final while tier
+_TAIL_UNROLL = 2
+_TAIL_ITERS = 480     # up to 960 further steps for the worst rays
 _MIN_COMPACT = 8192   # below this many rays, skip compaction machinery
+
+
+def _run_steps(n, rows, links, okt_off, o, d, inv_d, tmax_eff, state,
+               any_hit, alpha_of):
+    """n fixed traversal steps as a fori_loop (ONE _step instantiation —
+    straight-line unrolling of the 4-slot quad-leaf step pushed PT
+    compiles past 15 minutes; the loop-carry overhead is noise next to the
+    per-step HBM row gather)."""
+    return jax.lax.fori_loop(
+        0, n,
+        lambda _, st: _step(rows, links, okt_off, o, d, inv_d, tmax_eff,
+                            st, any_hit, alpha_of),
+        state)
 
 
 def _run_while(rows, links, okt_off, o, d, inv_d, tmax_eff, state, any_hit,
@@ -439,9 +507,8 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
              jnp.full((r,), -1, jnp.int32),
              jnp.zeros((r,)), jnp.zeros((r,)),
              jnp.ones((r,), bool))
-    for _ in range(_SEG0):
-        state = _step(rows, links, okt_off, o, directions, inv_d, tmax_eff,
-                      state, any_hit, alpha_of)
+    state = _run_steps(_SEG0, rows, links, okt_off, o, directions, inv_d,
+                       tmax_eff, state, any_hit, alpha_of)
     cur, t_best, best_tri, uo, vo, alive = state
     trunc = jnp.int32(0)
 
@@ -473,9 +540,8 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
             st = _run_while(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
                             st, any_hit, alpha_of)
         else:
-            for _ in range(steps):
-                st = _step(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
-                           st, any_hit, alpha_of)
+            st = _run_steps(steps, rows, links, p_off, p_o, p_d, p_inv,
+                            tmax_eff, st, any_hit, alpha_of)
         tier_stack.append((orig, cur_bufs))
         cur_bufs = st[:5]
         cur_o, cur_d, cur_inv, cur_off, cur_alive = (p_o, p_d, p_inv, p_off,

