@@ -89,7 +89,9 @@ def _pt_fc(host, cfg, w, h, frame_mod):
     view = _bench_view(host, w, h)
     return frame_mod.FrameConstants.make(
         view, cfg, sun_dir=np.asarray(host.scene.sun_dir),
-        sun_color_intensity=[1.0, 1.0, 1.0, 100.0])
+        sun_color_intensity=[1.0, 1.0, 1.0, 100.0],
+        shadow_bounds=(host.bounds_center,
+                       float(np.linalg.norm(host.bounds_extent)) + 1e-3))
 
 
 def _bench_view(host, w, h):

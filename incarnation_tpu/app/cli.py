@@ -14,6 +14,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 import time
 
 import numpy as np
@@ -66,6 +68,12 @@ def main(argv=None):
                     help="progressive path tracing instead of raster")
     ap.add_argument("--spp", type=int, default=16,
                     help="path-tracing samples per pixel to accumulate")
+    ap.add_argument("--pt-checkpoint", type=str, default=None,
+                    help="save the path-trace accumulation + sample "
+                         "counter to this .npz after the run")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume accumulation from --pt-checkpoint if it "
+                         "exists (bit-identical to an uninterrupted run)")
     ap.add_argument("--shadows", nargs="?", const="rt", default="map",
                     choices=["off", "map", "rt"],
                     help="sun shadows: 'map' (default; rasterized shadow "
@@ -193,26 +201,55 @@ def main(argv=None):
               f"{time.time() - t0:.1f}s")
         cfg = cfg.replace(max_sample_count=max(args.spp, 1))
         history = jnp.zeros((args.height, args.width, 3))
+        # checkpoint/resume of the accumulation array + sample counter
+        # (SURVEY §5: the reference's scene-rebuild equivalent; samples are
+        # keyed on their index so a resumed run is bit-identical)
+        start_s = 0
+        ckpath = pathlib.Path(args.pt_checkpoint) if args.pt_checkpoint \
+            else None
+        if ckpath is not None and args.resume and ckpath.exists():
+            ck = np.load(ckpath)
+            if (int(ck["width"]), int(ck["height"])) != \
+                    (args.width, args.height):
+                sys.exit(f"checkpoint {ckpath} is "
+                         f"{int(ck['width'])}x{int(ck['height'])}, "
+                         f"not {args.width}x{args.height}")
+            history = jnp.asarray(ck["history"])
+            start_s = int(ck["next_sample"])
+            print(f"[pt] resumed {ckpath} at sample {start_s}")
+        out = None
         t0 = time.time()
-        for s in range(args.spp):
+        for s in range(start_s, args.spp):
             out = frame_mod.render_pathtrace_jit(
                 host.scene, bvh, fc, history, jnp.asarray(s, jnp.uint32),
                 cfg, args.width, args.height, probe)
             history = out["history"]
-            if s == 0:
+            if s == start_s:
                 out["color"].block_until_ready()
                 print(f"[pt] first sample (incl. compile): "
                       f"{time.time() - t0:.1f}s")
                 t0 = time.time()
+        if out is None:
+            # checkpoint already holds all requested samples; color is a
+            # pure function of the accumulated history
+            from ..kernels import post
+            color = post.to_uint8(post.tonemap(history, fc.exposure))
+            out = dict(color=color, history=history)
         out["color"].block_until_ready()
-        if args.spp > 1:
-            dt = (time.time() - t0) / (args.spp - 1)
+        if args.spp - start_s > 1:
+            dt = (time.time() - t0) / (args.spp - start_s - 1)
             # traces per sample: 4 bounce rays + 4 sky-shadow rays
             # + 4 x num_lights NEE shadow rays
             n_tr = 8 + 4 * host.scene.meta.num_lights
             mrays = args.width * args.height * n_tr / dt / 1e6
             print(f"[pt] {dt * 1e3:.0f} ms/sample (~{mrays:.2f} Mrays/s "
                   f"incl. shadow rays)")
+        if ckpath is not None:
+            ckpath.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(ckpath, history=np.asarray(history),
+                     next_sample=args.spp,
+                     width=args.width, height=args.height)
+            print(f"[pt] checkpoint -> {ckpath}")
         io_mod.save_png(args.out, np.asarray(out["color"]))
         print(f"[out] {args.out}")
         return

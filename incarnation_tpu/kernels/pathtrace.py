@@ -59,10 +59,9 @@ def _alpha_at_hit(scene, tri, u, v, noise):
     prim = jnp.maximum(scene.tri_prim[safe], 0)
     mode = scene.prim_alpha_mode[prim]
     mat_id = scene.prim_material[prim]
-    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
-                                          lod=None)
+    a_tex = tex_mod.sample_stack_alpha(scene.mat_stack, mat_id, uv)
     fac = scene.mat_params[jnp.maximum(mat_id, 0)]
-    alpha = fac[..., 6] * chans[..., 3]
+    alpha = fac[..., 6] * a_tex
     thresh = jnp.where(mode >= 2, jnp.maximum(noise, 1e-3), fac[..., 11])
     return (mode == 0) | (alpha >= thresh)
 

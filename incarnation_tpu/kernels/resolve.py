@@ -131,11 +131,10 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
                  _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
     else:
         lod = _interp_lod(scene, mat_id, interp)
-    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
-                                          lod=lod, trilinear=False,
-                                          jitter=jitter)
+    a_tex = tex_mod.sample_stack_alpha(scene.mat_stack, mat_id, uv,
+                                       lod=lod, jitter=jitter)
     fac = scene.mat_params[jnp.maximum(mat_id, 0)]
-    alpha = fac[..., 6] * chans[..., 3]
+    alpha = fac[..., 6] * a_tex
     blend_noise = _frame_noise(
         tri.shape, 0 if mip_dither is None else mip_dither, 1597334677)
     thresh = jnp.where(fac[..., 12] >= 2.0,

@@ -243,7 +243,12 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             world_n_v=world_n_v, world_t_v=world_t_v)
         d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, d_interp,
                                        fc.inv_view_proj, params.width,
-                                       params.height)
+                                       params.height,
+                                       mip_dither=(fc.frame_index
+                                                   if stoch else None),
+                                       uv_dither=(config.stochastic_bilinear
+                                                  and stoch),
+                                       max_aniso=float(config.max_anisotropy))
         covers = d_gb.mask & (d_depth >= depth - 1e-5)
         a = jnp.where(covers, d_gb.base_color[..., 3], 0.0)[..., None]
         opaque = (a > 0.5)

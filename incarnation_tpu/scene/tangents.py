@@ -1,10 +1,30 @@
 """Tangent generation for primitives with a normal map but no TANGENT.
 
 The reference runs MikkTSpace (ref: src/mesh-utils.cpp:560-638,
-MeshUtils::FixupMeshes). Here we use the standard Lengyel per-triangle
-accumulation with Gram-Schmidt orthogonalization — not bit-exact MikkTSpace,
-but equivalent for the smooth, welded meshes in the content set (the only
-asset lacking tangents, transmission-test, has no normal maps at all).
+MeshUtils::FixupMeshes -> genTangSpaceDefault). This is a vectorized
+implementation of MikkTSpace's accumulation rules rather than a port of
+the C implementation:
+
+- per-face texture-space tangent/bitangent are NORMALIZED before
+  accumulation (mikktspace.c projects per-face vOs/vOt to unit length);
+- each face's contribution to a vertex is weighted by the corner ANGLE at
+  that vertex (mikktspace.c fAngle weighting), not by UV-area magnitude as
+  in the classic Lengyel accumulation;
+- the output handedness follows the glTF convention the reference's assets
+  ship with (bitangent = w * cross(n, t) with V-down UVs), which is the
+  OPPOSITE sign of the raw cross-product test on the accumulated Lengyel
+  bitangent.
+
+Parity (tests/test_scene.py::test_mikktspace_tangent_parity): regenerating
+the DamagedHelmet tangents from stripped attributes matches the asset's
+shipped MikkTSpace tangents to max 0.26 deg / mean 0.006 deg direction
+error and 100% handedness agreement (the area-weighted Lengyel variant was
+44 deg max / 0% handedness).
+
+Differences from bit-exact MikkTSpace that do not matter for the shipped
+content: no orientation-group splitting at mirrored-UV seams (such seams
+have distinct welded vertices in every asset here) and no subgroup
+averaging across hard edges (wedges are pre-welded by the glTF exporter).
 """
 
 from __future__ import annotations
@@ -16,23 +36,34 @@ def generate_tangents(positions: np.ndarray, normals: np.ndarray,
                       uvs: np.ndarray, tri_indices: np.ndarray) -> np.ndarray:
     """positions/normals (V,3), uvs (V,2), tri_indices (T,3) -> (V,4)
     tangent xyz + handedness w."""
-    v = positions.shape[0]
+    pos = positions.astype(np.float64)
+    uv = uvs.astype(np.float64)
+    v = pos.shape[0]
     tan = np.zeros((v, 3), np.float64)
     bitan = np.zeros((v, 3), np.float64)
 
     i0, i1, i2 = tri_indices[:, 0], tri_indices[:, 1], tri_indices[:, 2]
-    e1 = positions[i1] - positions[i0]
-    e2 = positions[i2] - positions[i0]
-    duv1 = uvs[i1] - uvs[i0]
-    duv2 = uvs[i2] - uvs[i0]
+    e1 = pos[i1] - pos[i0]
+    e2 = pos[i2] - pos[i0]
+    duv1 = uv[i1] - uv[i0]
+    duv2 = uv[i2] - uv[i0]
     det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
     r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
     t = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r[:, None]
     b = (e2 * duv1[:, 0:1] - e1 * duv2[:, 0:1]) * r[:, None]
+    # mikktspace normalizes the per-face frame before accumulation so large
+    # triangles don't dominate; degenerate-UV faces contribute nothing
+    t = _safe_unit(t)
+    b = _safe_unit(b)
 
-    for idx in (i0, i1, i2):
-        np.add.at(tan, idx, t)
-        np.add.at(bitan, idx, b)
+    # angle-weighted accumulation at each corner (mikktspace fAngle)
+    for vi, ea, eb in ((i0, pos[i1] - pos[i0], pos[i2] - pos[i0]),
+                       (i1, pos[i2] - pos[i1], pos[i0] - pos[i1]),
+                       (i2, pos[i0] - pos[i2], pos[i1] - pos[i2])):
+        cosang = np.sum(_safe_unit(ea) * _safe_unit(eb), axis=-1)
+        w = np.arccos(np.clip(cosang, -1.0, 1.0))[:, None]
+        np.add.at(tan, vi, t * w)
+        np.add.at(bitan, vi, b * w)
 
     n = normals.astype(np.float64)
     # Gram-Schmidt orthogonalize against the vertex normal
@@ -41,10 +72,17 @@ def generate_tangents(positions: np.ndarray, normals: np.ndarray,
     fallback = _any_perpendicular(n)
     t_unit = np.where(lens > 1e-8, t_ortho / np.maximum(lens, 1e-20),
                       fallback)
+    # glTF/MikkTSpace sign with V-down UVs: opposite of the raw
+    # cross-product test (validated against the helmet's shipped tangents)
     w = np.where(np.sum(np.cross(n, t_unit) * bitan, axis=-1) < 0.0,
-                 -1.0, 1.0)
+                 1.0, -1.0)
     return np.concatenate(
         [t_unit, w[:, None]], axis=-1).astype(np.float32)
+
+
+def _safe_unit(x: np.ndarray) -> np.ndarray:
+    l = np.linalg.norm(x, axis=-1, keepdims=True)
+    return np.where(l > 1e-20, x / np.maximum(l, 1e-30), 0.0)
 
 
 def _any_perpendicular(n: np.ndarray) -> np.ndarray:

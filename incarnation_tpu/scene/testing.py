@@ -22,8 +22,7 @@ def neutral_material_stack(n_materials: int = 1
         np.ones(n_materials, np.int32),                  # levels
         np.zeros(n_materials, np.int32),                 # address (wrap)
     ], axis=-1)
-    return textures_mod.MaterialTextureStack(
-        flat=jnp.asarray(flat.view(np.int32)), meta=jnp.asarray(meta))
+    return textures_mod.make_material_stack(flat, meta)
 
 
 def checkerboard_alpha_stack(size: int = 4
@@ -40,9 +39,7 @@ def checkerboard_alpha_stack(size: int = 4
         np.full_like(w0, 0x00FFFFFF),
     ], axis=-1).reshape(-1, 4)
     meta = np.asarray([[0, size, 1, textures_mod.ADDRESS_CLAMP]], np.int32)
-    return textures_mod.MaterialTextureStack(
-        flat=jnp.asarray(rows.astype(np.uint32).view(np.int32)),
-        meta=jnp.asarray(meta))
+    return textures_mod.make_material_stack(rows.astype(np.uint32), meta)
 
 
 def two_material_stack(size: int = 4) -> textures_mod.MaterialTextureStack:
@@ -63,8 +60,7 @@ def two_material_stack(size: int = 4) -> textures_mod.MaterialTextureStack:
         [0, 1, 1, textures_mod.ADDRESS_WRAP],
         [1, size, 1, textures_mod.ADDRESS_CLAMP],
     ], np.int32)
-    return textures_mod.MaterialTextureStack(
-        flat=jnp.asarray(flat.view(np.int32)), meta=jnp.asarray(meta))
+    return textures_mod.make_material_stack(flat, meta)
 
 
 def make_rich_scene():

@@ -292,6 +292,11 @@ _NEUTRAL_TEXEL = np.array(
 class MaterialTextureStack:
     flat: jnp.ndarray       # (K, 4) uint32 texel rows
     meta: jnp.ndarray       # (NM, 4) int32: base, size, num_levels, address
+    # alpha-only mirror, 16 texels per row (base-color alpha u8): alpha
+    # tests (masked peels, PT any-hit) gather this ~16x smaller table —
+    # HBM-gather cost is locality-bound, so a 1/16th-size table fetches
+    # several times faster than the full interleaved rows
+    alpha: jnp.ndarray      # (ceil(K/16), 4) int32, 4 texels per word
 
 
 def _slot_image(gltf, tex_index, size, srgb, default):
@@ -415,9 +420,34 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                     cur_r = 0.25 * (cur_r[0::2, 0::2] + cur_r[1::2, 0::2]
                                     + cur_r[0::2, 1::2] + cur_r[1::2, 1::2])
 
+    flat_u32 = np.concatenate(rows, 0)
     return MaterialTextureStack(
-        flat=jnp.asarray(np.concatenate(rows, 0).view(np.int32)),
-        meta=jnp.asarray(meta))
+        flat=jnp.asarray(flat_u32.view(np.int32)),
+        meta=jnp.asarray(meta),
+        alpha=jnp.asarray(_pack_alpha_table(flat_u32)))
+
+
+def make_material_stack(flat_u32: np.ndarray,
+                        meta: np.ndarray) -> MaterialTextureStack:
+    """Construct a stack from (K, 4) uint32 texel rows + (NM, 4) meta,
+    deriving the packed alpha mirror."""
+    return MaterialTextureStack(
+        flat=jnp.asarray(flat_u32.view(np.int32)),
+        meta=jnp.asarray(meta),
+        alpha=jnp.asarray(_pack_alpha_table(flat_u32)))
+
+
+def _pack_alpha_table(flat_u32: np.ndarray) -> np.ndarray:
+    """Base-color alpha bytes of every texel row, 16 per (4-word) row."""
+    a = (flat_u32[:, 0] >> 24).astype(np.uint32)
+    n = a.shape[0]
+    pad = (-n) % 16
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, np.uint32)])
+    a = a.reshape(-1, 4, 4)
+    words = (a[:, :, 0] | (a[:, :, 1] << 8) | (a[:, :, 2] << 16)
+             | (a[:, :, 3] << 24))
+    return words.view(np.int32)
 
 
 def _vmf_r_form(nm_f: np.ndarray, rough: np.ndarray) -> np.ndarray:
@@ -539,6 +569,59 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
     out1 = _stack_bilinear(stack.flat, b1, s1, uv, address)
     frac = (lod - l0.astype(jnp.float32))[..., None]
     return out0 * (1 - frac) + out1 * frac
+
+
+def sample_stack_alpha(stack: MaterialTextureStack, mat_id, uv, lod=None,
+                       jitter=None):
+    """Base-color ALPHA only, from the packed 16-texel-per-row mirror.
+
+    Same addressing as sample_material_stack but gathers the ~16x smaller
+    alpha table — the fast path for alpha tests (masked depth peels,
+    ref: visibility-pass.hlsl:101-111 clip; PT any-hit). jitter enables the
+    stochastic-bilinear single-texel fetch; without it the footprint is
+    4-tap bilinear (still on the small table).
+    """
+    meta = stack.meta[jnp.maximum(mat_id, 0)]
+    base = meta[..., 0]
+    size = meta[..., 1]
+    levels = meta[..., 2]
+    address = meta[..., 3]
+    if lod is None:
+        b0, s0 = base, size
+    else:
+        lod = jnp.clip(lod, 0.0, (levels - 1).astype(jnp.float32))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        b0 = base + _level_offset(size, l0)
+        s0 = jnp.maximum(size >> l0, 1)
+
+    def fetch(x, y):
+        idx = b0 + y * s0 + x
+        row = stack.alpha[idx >> 4].astype(jnp.uint32)    # (..., 4) words
+        w = idx >> 2
+        word = jnp.where(
+            (w & 3) == 0, row[..., 0],
+            jnp.where((w & 3) == 1, row[..., 1],
+                      jnp.where((w & 3) == 2, row[..., 2], row[..., 3])))
+        return _unpack_u8(word, (idx & 3) * 8)
+
+    sf = s0.astype(jnp.float32)
+    if jitter is not None:
+        fx = uv[..., 0] * sf - 0.5 + jitter[..., 0]
+        fy = uv[..., 1] * sf - 0.5 + jitter[..., 1]
+        x = _address(jnp.floor(fx).astype(jnp.int32), s0, address)
+        y = _address(jnp.floor(fy).astype(jnp.int32), s0, address)
+        return fetch(x, y)
+    fx = uv[..., 0] * sf - 0.5
+    fy = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - x0
+    ty = fy - y0
+    xs = [_address(x0, s0, address), _address(x0 + 1, s0, address)]
+    ys = [_address(y0, s0, address), _address(y0 + 1, s0, address)]
+    top = fetch(xs[0], ys[0]) * (1 - tx) + fetch(xs[1], ys[0]) * tx
+    bot = fetch(xs[0], ys[1]) * (1 - tx) + fetch(xs[1], ys[1]) * tx
+    return top * (1 - ty) + bot * ty
 
 
 def decode_stack_channels(c):

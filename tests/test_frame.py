@@ -303,9 +303,7 @@ def test_multi_material_mixed_stack_sizes():
     r1 = solid_rows((0, 255, 0), 4)        # 16+4+1 rows
     flat = np.concatenate([r0, r1], axis=0)
     meta = np.asarray([[0, 1, 1, 0], [1, 4, 3, 0]], np.int32)
-    stack = textures_mod.MaterialTextureStack(
-        flat=jnp.asarray(flat.astype(np.uint32).view(np.int32)),
-        meta=jnp.asarray(meta))
+    stack = textures_mod.make_material_stack(flat.astype(np.uint32), meta)
 
     pts = np.array([[-5, -3, 6], [0, -3, 6], [-2.5, 3, 6],
                     [0.5, -3, 6], [5, -3, 6], [3, 3, 6]], np.float32)

@@ -142,3 +142,32 @@ def test_pathtrace_scene_rotation_matches_prerotated():
     a, b = np.asarray(out_a), np.asarray(out_b)
     # identical sampling sequences -> near-bit-equal radiance
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2 * b.mean())
+
+
+def test_pathtrace_checkpoint_resume_bit_identical(tmp_path):
+    """Saving history + sample counter and resuming must reproduce the
+    uninterrupted accumulation exactly (VERDICT r2 item 10; samples are
+    keyed on their index so the stream is restartable)."""
+    scene, bvh, cfg, fc = _pt_setup(emissive=True)
+
+    def sample(history, s):
+        out = frame_mod.render_pathtrace(
+            scene, bvh, fc, history, jnp.asarray(s, jnp.uint32),
+            config=cfg, width=W, height=H)
+        return out["history"]
+
+    straight = jnp.zeros((H, W, 3))
+    for s in range(4):
+        straight = sample(straight, s)
+
+    half = jnp.zeros((H, W, 3))
+    for s in range(2):
+        half = sample(half, s)
+    ck = tmp_path / "pt.npz"
+    np.savez(ck, history=np.asarray(half), next_sample=2)
+    loaded = np.load(ck)
+    resumed = jnp.asarray(loaded["history"])
+    for s in range(int(loaded["next_sample"]), 4):
+        resumed = sample(resumed, s)
+
+    np.testing.assert_array_equal(np.asarray(straight), np.asarray(resumed))
