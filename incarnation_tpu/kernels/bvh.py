@@ -143,13 +143,170 @@ _ID1_OFF = 42              # tri ids of slots b, c, d
 _DS1_OFF = 45              # double-sided flags of slots b, c, d
 
 
-def build_lbvh(tri_verts: np.ndarray):
+def _sah_topology(tri_verts: np.ndarray, leaf_k: int, nbins: int = 16):
+    """Top-down binned-SAH build (level-synchronous: every frontier node is
+    processed with one set of vectorized segment ops per level). Returns
+    (left, right, quad_tri): internal-node child arrays in the Karras
+    convention (negative = ~leaf_index) and (Q, leaf_k) original-triangle
+    ids per leaf (-1 pad).
+
+    The Morton/Karras topology groups leaves by code locality only; on
+    architectural interiors that costs several times more traversal steps
+    than an SAH tree (the reference's DXR BVH is SAH-built by the driver),
+    and the per-step row gather is THE path-tracer cost on TPU.
+    """
+    t = tri_verts.shape[0]
+    cent_all = tri_verts.mean(axis=1)
+    tlo_all = tri_verts.min(axis=1)
+    thi_all = tri_verts.max(axis=1)
+
+    # provisional node table (root = 0); children rewritten to dense
+    # internal ids / ~leaf ids in the final compaction
+    prov_l = [-1]
+    prov_r = [-1]
+    prov_is_leaf = [False]
+    prov_leaf = [-1]
+
+    tids = np.arange(t, dtype=np.int64)    # original ids of frontier tris
+    label = np.zeros(t, np.int64)          # frontier-local node per tri
+    gid = np.array([0], np.int64)          # frontier-local -> provisional
+    leaf_tris = []                         # per leaf: original tri ids
+
+    def sa(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                + d[..., 2] * d[..., 0])
+
+    while tids.size:
+        k = gid.shape[0]
+        cent = cent_all[tids]
+        tlo = tlo_all[tids]
+        thi = thi_all[tids]
+        counts = np.bincount(label, minlength=k)
+
+        clo = np.full((k, 3), np.inf)
+        chi = np.full((k, 3), -np.inf)
+        np.minimum.at(clo, label, cent)
+        np.maximum.at(chi, label, cent)
+        ext = chi - clo
+        axis = ext.argmax(axis=1)
+        ax_ext = ext[np.arange(k), axis]
+
+        cval = cent[np.arange(tids.size), axis[label]]
+        rel = (cval - clo[label, axis[label]]) \
+            / np.maximum(ax_ext[label], 1e-20)
+        b = np.clip((rel * nbins).astype(np.int64), 0, nbins - 1)
+
+        flat = label * nbins + b
+        bc = np.bincount(flat, minlength=k * nbins).reshape(k, nbins)
+        blo = np.full((k * nbins, 3), np.inf)
+        bhi = np.full((k * nbins, 3), -np.inf)
+        np.minimum.at(blo, flat, tlo)
+        np.maximum.at(bhi, flat, thi)
+        blo = blo.reshape(k, nbins, 3)
+        bhi = bhi.reshape(k, nbins, 3)
+
+        plo = np.minimum.accumulate(blo, axis=1)
+        phi = np.maximum.accumulate(bhi, axis=1)
+        slo = np.minimum.accumulate(blo[:, ::-1], axis=1)[:, ::-1]
+        shi = np.maximum.accumulate(bhi[:, ::-1], axis=1)[:, ::-1]
+        pc = np.cumsum(bc, axis=1)
+        nl = pc[:, :-1]                    # split after bin s: left <= s
+        nr = counts[:, None] - nl
+        cost = sa(plo[:, :-1], phi[:, :-1]) * nl \
+            + sa(slo[:, 1:], shi[:, 1:]) * nr
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        split = cost.argmin(axis=1)
+        degenerate = ~np.isfinite(cost[np.arange(k), split]) \
+            | (ax_ext <= 1e-12)
+
+        make_leaf = counts <= leaf_k
+
+        go_left = b <= split[label]
+        if (degenerate & ~make_leaf).any():
+            # identical/collapsed centroids: split by per-node rank parity
+            order = np.argsort(label, kind="stable")
+            starts = np.concatenate(
+                [[0], np.cumsum(counts)[:-1]])
+            rank = np.empty(tids.size, np.int64)
+            rank[order] = np.arange(tids.size) - starts[label[order]]
+            go_left = np.where(degenerate[label],
+                               rank < (counts[label] + 1) // 2, go_left)
+
+        # emit leaves
+        leaf_nodes = np.flatnonzero(make_leaf)
+        if leaf_nodes.size:
+            lab_order = np.argsort(label, kind="stable")
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            for i in leaf_nodes:
+                g = gid[i]
+                prov_is_leaf[g] = True
+                prov_leaf[g] = len(leaf_tris)
+                seg = lab_order[starts[i]:starts[i] + counts[i]]
+                leaf_tris.append(tids[seg])
+
+        split_idx = np.flatnonzero(~make_leaf)
+        if split_idx.size == 0:
+            break
+        # create children (BFS order)
+        l_gid = np.zeros(k, np.int64)
+        r_gid = np.zeros(k, np.int64)
+        for i in split_idx:
+            g = gid[i]
+            l_gid[i] = len(prov_l)
+            prov_l.append(-1)
+            prov_r.append(-1)
+            prov_is_leaf.append(False)
+            prov_leaf.append(-1)
+            r_gid[i] = len(prov_l)
+            prov_l.append(-1)
+            prov_r.append(-1)
+            prov_is_leaf.append(False)
+            prov_leaf.append(-1)
+            prov_l[g] = l_gid[i]
+            prov_r[g] = r_gid[i]
+
+        keep = ~make_leaf[label]
+        tids = tids[keep]
+        new_prov = np.where(go_left[keep], l_gid[label[keep]],
+                            r_gid[label[keep]])
+        gid = np.unique(new_prov)
+        remap = np.zeros(int(gid.max()) + 1, np.int64)
+        remap[gid] = np.arange(gid.shape[0])
+        label = remap[new_prov]
+
+    # compact: dense internal numbering (provisional BFS order keeps the
+    # root at 0), leaf children become ~leaf_id
+    prov_l = np.asarray(prov_l)
+    prov_r = np.asarray(prov_r)
+    prov_is_leaf = np.asarray(prov_is_leaf)
+    prov_leaf = np.asarray(prov_leaf)
+    internal = ~prov_is_leaf
+    int_id = np.cumsum(internal) - 1
+
+    def map_child(c):
+        return np.where(prov_is_leaf[c], ~prov_leaf[c], int_id[c])
+
+    left = map_child(prov_l[internal])
+    right = map_child(prov_r[internal])
+
+    q = len(leaf_tris)
+    quad_tri = np.full((q, leaf_k), -1, np.int64)
+    for i, tr in enumerate(leaf_tris):
+        quad_tri[i, :tr.size] = tr
+    return left, right, quad_tri
+
+
+def build_lbvh(tri_verts: np.ndarray, method: str = "sah"):
     """tri_verts: (T, 3, 3) world-space triangles -> (rows (N, 48) f32,
     links (8N, 2) f32, leaf_tri (N, 4) i64 original-triangle ids per leaf
     slot, -1 = empty). rows hold boxes / inline triangle quads (module
     docstring; root is node 0); links hold the per-octant (hit, miss)
     threading as GLOBAL indices okt*N + node. The caller fills the
-    double-sided lanes from leaf_tri."""
+    double-sided lanes from leaf_tri.
+
+    method: "sah" (binned SAH topology, default — fewest traversal steps)
+    or "morton" (Karras radix tree, faster to build)."""
     t = tri_verts.shape[0]
 
     centroids = tri_verts.mean(axis=1)
@@ -195,11 +352,19 @@ def build_lbvh(tri_verts: np.ndarray):
         links = np.full((8, 2), -1.0, np.float32)
         return row, links, quad_tri
 
-    qcodes = codes[qs[:, 0]]
-    codes64 = (qcodes.astype(np.uint64) << np.uint64(32)) \
-        | np.arange(q, dtype=np.uint64)
-
-    left, right = _karras_topology(codes64, q)
+    if method == "sah":
+        # SAH leaves replace the Morton quads (leaf count may differ —
+        # SAH leaves are <= LEAF_K, not exactly LEAF_K)
+        left, right, quad_tri = _sah_topology(tri_verts, LEAF_K)
+        q = quad_tri.shape[0]
+        qs = np.where(quad_tri >= 0, quad_tri, quad_tri[:, 0:1])
+        quad_lo = tri_verts[qs].min(axis=(1, 2))
+        quad_hi = tri_verts[qs].max(axis=(1, 2))
+    else:
+        qcodes = codes[qs[:, 0]]
+        codes64 = (qcodes.astype(np.uint64) << np.uint64(32)) \
+            | np.arange(q, dtype=np.uint64)
+        left, right = _karras_topology(codes64, q)
     n_int = q - 1
     t = q                 # leaf count for the threading below
 
@@ -294,8 +459,13 @@ class SceneBVH:
 _MERGE_LIMIT = 1 << 21
 
 
-def build_scene_bvh(scene) -> SceneBVH:
-    """World-space threaded LBVH over the packed scene's real triangles."""
+def build_scene_bvh(scene, method: str = "sah",
+                    use_cache: bool = True) -> SceneBVH:
+    """World-space threaded BVH over the packed scene's real triangles.
+
+    The SAH build costs tens of seconds host-side at 300k triangles, so
+    the emitted (rows, links) are disk-cached keyed on the world geometry
+    (the equivalent of the reference's driver-side BLAS cache)."""
     m = scene.meta
     pos = np.asarray(scene.positions)
     xf = np.asarray(scene.mesh_transforms)
@@ -305,16 +475,38 @@ def build_scene_bvh(scene) -> SceneBVH:
                       xf[vm])[:, :3]
     tv = np.asarray(scene.tri_vtx)[:m.num_triangles]
     tris = world[tv]                                     # (T, 3, 3)
-    rows, links, leaf_tri = build_lbvh(tris)
-    # Per-slot double-sided flags: backface culling matches the reference's
-    # RAY_FLAG_CULL_BACK_FACING_TRIANGLES for single-sided.
     prim = np.asarray(scene.tri_prim)[:m.num_triangles]
     ds = np.asarray(scene.prim_double_sided)[np.maximum(prim, 0)]
+
+    cache_file = None
+    if use_cache:
+        import hashlib
+        from ..scene import cache as cache_mod
+        h = hashlib.sha1()
+        h.update(tris.tobytes())
+        h.update(ds.tobytes())
+        h.update(f"bvh-v2-{method}-{LEAF_K}".encode())
+        cache_file = cache_mod.CACHE_DIR / f"bvh-{h.hexdigest()[:20]}.npz"
+        if cache_file.exists():
+            z = np.load(cache_file)
+            rows, links = z["rows"], z["links"]
+            return _finish_bvh(rows, links)
+
+    rows, links, leaf_tri = build_lbvh(tris, method=method)
+    # Per-slot double-sided flags: backface culling matches the reference's
+    # RAY_FLAG_CULL_BACK_FACING_TRIANGLES for single-sided.
     for s in range(LEAF_K):
         tid = leaf_tri[:, s]
         ok = tid >= 0
         lane = 11 if s == 0 else _DS1_OFF + s - 1
         rows[ok, lane] = ds[tid[ok]].astype(np.float32)
+    if cache_file is not None:
+        cache_file.parent.mkdir(exist_ok=True)
+        np.savez(cache_file, rows=rows, links=links)
+    return _finish_bvh(rows, links)
+
+
+def _finish_bvh(rows: np.ndarray, links: np.ndarray) -> SceneBVH:
     n_total = rows.shape[0]
     if n_total <= _MERGE_LIMIT:
         rows8 = np.tile(rows, (8, 1))
@@ -446,6 +638,25 @@ _TAIL_UNROLL = 2
 _TAIL_ITERS = 480     # up to 960 further steps for the worst rays
 _MIN_COMPACT = 8192   # below this many rays, skip compaction machinery
 
+# Schedules tuned to measured survival curves (tools/bvh_curve.py).
+# Small trees (helmet-class): median ray dies in ~16 steps. Big trees
+# (atrium-class 156k-node SAH): primaries 71% alive @64 / 23% @96 / 5.5%
+# @128; incoherent bounce rays 40% @48 / 7% @96. Each tier keeps >= 1.25x
+# capacity headroom over the curve; overflow is recovered (not dropped)
+# by the full-width tail, so a mis-predicted curve costs time, not hits.
+_BIG_NODES = 32768
+_SCHEDULES = {
+    # (big_tree, profile): (seg0, tiers)
+    (False, "primary"): (_SEG0, _TIERS),
+    (False, "incoherent"): (_SEG0, _TIERS),
+    (False, "anyhit"): (_SEG0, _TIERS),
+    (True, "primary"): (96, ((1, 48), (4, 64), (6, None))),
+    (True, "incoherent"): (48, ((1, 32), (2, 48), (4, None))),
+    # any-hit rays die on FIRST accepted hit — much earlier compaction;
+    # capacity overflow is recovered, so a mis-guess costs time, not hits
+    (True, "anyhit"): (16, ((1, 16), (2, 32), (3, 48), (5, None))),
+}
+
 
 def _run_steps(n, rows, links, okt_off, o, d, inv_d, tmax_eff, state,
                any_hit, alpha_of):
@@ -478,7 +689,8 @@ def _run_while(rows, links, okt_off, o, d, inv_d, tmax_eff, state, any_hit,
 
 
 def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
-          any_hit: bool = False, alpha_of=None):
+          any_hit: bool = False, alpha_of=None,
+          profile: str = "incoherent"):
     """Trace rays against the BVH.
 
     origins/directions: (R, 3). Returns dict(t (R,), tri (R,) i32 [-1 miss],
@@ -486,7 +698,9 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
     best-so-far hit). any_hit=True stops at the first accepted hit (shadow
     rays, ref: lighting/common.hlsli:96-116). alpha_of(tri, u, v) -> bool:
     optional any-hit acceptance filter (alpha-masked geometry,
-    ref: pathtracing.hlsl ahsMain).
+    ref: pathtracing.hlsl ahsMain). profile: "primary" for camera-coherent
+    rays, "incoherent" for bounce/shadow rays — selects the compaction
+    schedule tuned to that survival curve (static, per-jit-instance).
     """
     r = origins.shape[0]
     o = origins + directions * tmin
@@ -502,12 +716,17 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
     okt_off = n_per * ((directions[:, 0] < 0).astype(jnp.int32)
                        + 2 * (directions[:, 1] < 0).astype(jnp.int32)
                        + 4 * (directions[:, 2] < 0).astype(jnp.int32))
+    if any_hit and profile != "primary":
+        profile = "anyhit"
+    seg0, tiers = _SCHEDULES[
+        (n_per > _BIG_NODES,
+         profile if profile in ("primary", "anyhit") else "incoherent")]
     state = (jnp.zeros((r,), jnp.int32),
              jnp.full((r,), jnp.inf),
              jnp.full((r,), -1, jnp.int32),
              jnp.zeros((r,)), jnp.zeros((r,)),
              jnp.ones((r,), bool))
-    state = _run_steps(_SEG0, rows, links, okt_off, o, directions, inv_d,
+    state = _run_steps(seg0, rows, links, okt_off, o, directions, inv_d,
                        tmax_eff, state, any_hit, alpha_of)
     cur, t_best, best_tri, uo, vo, alive = state
     trunc = jnp.int32(0)
@@ -524,16 +743,21 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
 
     # Compaction ladder. Each tier packs the previous tier's survivors.
     # Scatter-back indices are remembered per tier and applied inner-first.
+    # `alive` rides in the buffers so capacity OVERFLOW is safe: a ray that
+    # didn't fit a tier keeps alive=True in its parent's buffers, the
+    # unwind surfaces it, and the final full-width while-tail finishes it
+    # (cost ~zero when the ladder fits the scene's survival curve — the
+    # tail's first cond exits; the r2 ladder silently DROPPED overflow,
+    # which truncated 97% of rays on the 289k-tri atrium interior).
     tier_stack = []   # (orig_idx, buffers-at-tier before overwrite)
-    cur_bufs = (cur, t_best, best_tri, uo, vo)
+    cur_bufs = (cur, t_best, best_tri, uo, vo, alive)
     cur_o, cur_d, cur_inv, cur_off, cur_alive = (o, directions, inv_d,
                                                  okt_off, alive)
-    for shift, steps in _TIERS:
+    for shift, steps in tiers:
         cap = max(r >> shift, 1)
         orig, ok, packed, ov = _compact(
             cur_alive, cap,
-            list(cur_bufs) + [cur_o, cur_d, cur_inv, cur_off])
-        trunc += ov
+            list(cur_bufs[:5]) + [cur_o, cur_d, cur_inv, cur_off])
         p_cur, p_t, p_tri, p_u, p_v, p_o, p_d, p_inv, p_off = packed
         st = (p_cur, p_t, p_tri, p_u, p_v, ok)
         if steps is None:
@@ -543,22 +767,44 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
             st = _run_steps(steps, rows, links, p_off, p_o, p_d, p_inv,
                             tmax_eff, st, any_hit, alpha_of)
         tier_stack.append((orig, cur_bufs))
-        cur_bufs = st[:5]
+        cur_bufs = st
         cur_o, cur_d, cur_inv, cur_off, cur_alive = (p_o, p_d, p_inv, p_off,
                                                      st[5])
         if steps is None:
-            trunc += jnp.sum(st[5].astype(jnp.int32))
             break
 
     # Unwind: scatter each tier's results into its parent (empty slots
-    # carry out-of-range indices and drop).
+    # carry out-of-range indices and drop). Overflowed rays keep their
+    # parent-tier state with alive=True.
     child = cur_bufs
     for orig, parent in reversed(tier_stack):
         merged = tuple(
             pa.at[orig].set(ch, mode="drop")
             for pa, ch in zip(parent, child))
         child = merged
-    _, t_best, best_tri, uo, vo = child
+    cur, t_best, best_tri, uo, vo, alive = child
+
+    # Overflow-recovery: first COMPACTED (cap r/4 — overflow survivors are
+    # stragglers), then a full-width while whose cond exits immediately in
+    # the common all-done case. Keeps mis-tuned ladders correct without
+    # paying full width for a handful of wandering rays.
+    rec_cap = max(r >> 2, 1)
+    orig, ok, packed, _ = _compact(
+        alive, rec_cap,
+        [cur, t_best, best_tri, uo, vo, o, directions, inv_d, okt_off])
+    p_cur, p_t, p_tri, p_u, p_v, p_o, p_d, p_inv, p_off = packed
+    st = _run_while(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
+                    (p_cur, p_t, p_tri, p_u, p_v, ok), any_hit, alpha_of)
+    parent = (cur, t_best, best_tri, uo, vo, alive)
+    merged = tuple(pa.at[orig].set(ch, mode="drop")
+                   for pa, ch in zip(parent, st))
+    cur, t_best, best_tri, uo, vo, alive = merged
+
+    st = _run_while(rows, links, okt_off, o, directions, inv_d, tmax_eff,
+                    (cur, t_best, best_tri, uo, vo, alive),
+                    any_hit, alpha_of)
+    _, t_best, best_tri, uo, vo, alive = st
+    trunc += jnp.sum(alive.astype(jnp.int32))
 
     t_out = jnp.where(best_tri >= 0, t_best + tmin, jnp.inf)
     return dict(t=t_out, tri=best_tri, u=uo, v=vo, trunc=trunc)

@@ -16,13 +16,26 @@ compaction).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import shading
+from ..core import mathutils as mu
 from ..scene import lights as lights_mod
 
 MAX_LIGHT_RANGE = 4.0  # ref: cluster-culling.hlsli:4
+
+# Pallas shading blocks: each block loops only over the lights present in
+# the union of its pixels' cluster masks (the reference's per-cluster light
+# LIST walk, clustered-lighting.hlsl:37-58, reshaped to TPU blocks). The
+# XLA fallback below loops all L lights at full resolution — 66 lights cost
+# ~38 ms/frame on the atrium bench; the block walk does ~avg-lights-per-
+# block full-block BRDF evaluations instead.
+_BH, _BW = 32, 128
 
 
 def cluster_grid_shape(config):
@@ -156,9 +169,19 @@ def clustered_lighting(gb, n, v, depth, lights: lights_mod.LightTable,
                        cluster_mask, config, near: float,
                        width: int, height: int):
     """Additive punctual-light radiance using the cluster bitmask grid
-    (ref: lighting/clustered-lighting.hlsl)."""
+    (ref: lighting/clustered-lighting.hlsl). Dispatches to the Pallas
+    block-list kernel when the frame tiles evenly; small/odd frames take
+    the dense XLA loop."""
     cid = pixel_cluster_id(depth, config, near, width, height)
     words = cluster_mask[cid]                  # (H, W, W32) — 1-2 gathers
+    if height % _BH == 0 and width % _BW == 0:
+        return _clustered_lighting_pallas(gb, n, v, words, lights,
+                                          width, height)
+    return clustered_lighting_dense(gb, n, v, words, lights)
+
+
+def clustered_lighting_dense(gb, n, v, words, lights: lights_mod.LightTable):
+    """All-lights XLA loop (fallback + conformance reference)."""
     base = gb.base_color[..., :3]
     metallic = gb.mrao[..., 0]
     roughness = gb.mrao[..., 1]
@@ -179,3 +202,191 @@ def clustered_lighting(gb, n, v, depth, lights: lights_mod.LightTable,
 
     return jax.lax.fori_loop(0, nl, add_light,
                              jnp.zeros_like(base))
+
+
+def _block_light_lists(words, nby, nbx, num_lights: int):
+    """Per-block union of the pixel mask words -> (counts (NB,),
+    lists (NB, L) light indices with the set bits packed first). Bits at
+    or beyond num_lights are dropped (guards the kernel's SMEM row walk)."""
+    h, w, w32 = words.shape
+    wb = words.reshape(nby, _BH, nbx, _BW, w32)
+    # OR-fold the block pixels (log2 tree; bitwise_or has no reduce)
+    m = _BH
+    while m > 1:
+        wb = wb[:, :m // 2] | wb[:, m // 2:m]
+        m //= 2
+    m = _BW
+    while m > 1:
+        wb = wb[:, :, :, :m // 2] | wb[:, :, :, m // 2:m]
+        m //= 2
+    union = wb.reshape(nby * nbx, w32)                     # (NB, W32)
+    l_pad = w32 * 32
+    bit = ((union[:, :, None] >> jnp.arange(32)[None, None, :]) & 1)
+    bits = bit.reshape(-1, l_pad)                          # (NB, Lpad)
+    bits = bits * (jnp.arange(l_pad)[None, :] < num_lights)
+    counts = bits.sum(-1).astype(jnp.int32)
+    # set bits first, ascending light index
+    key = (1 - bits) * l_pad + jnp.arange(l_pad)[None, :]
+    lists = jnp.argsort(key, axis=-1).astype(jnp.int32)
+    return counts, lists
+
+
+def _pack_light_rows(lights: lights_mod.LightTable):
+    """(L, 16) f32 scalar rows for the kernel's SMEM walk: pos(3), type,
+    color(3), intensity, range, spot_dir(3), cos_inner, cos_outer."""
+    pos = lights.transform[:, 3, :3]
+    spot_dir = lights_mod.light_direction_toward(lights.transform)
+    rows = jnp.concatenate([
+        pos,
+        lights.type[:, None].astype(jnp.float32),
+        lights.color,
+        lights.intensity[:, None],
+        lights.range[:, None],
+        spot_dir,
+        jnp.cos(lights.spot_angles[:, 0:1]),
+        jnp.cos(lights.spot_angles[:, 1:2]),
+        jnp.zeros((lights.type.shape[0], 2), jnp.float32),
+    ], axis=-1)
+    return rows
+
+
+def _clustered_block_kernel(count_ref, list_ref, light_ref, px_ref,
+                            words_ref, out_ref, *, w32: int, nbx: int):
+    """One (3, _BH, _BW) radiance block: walk this block's light list,
+    gating each light per pixel with its cluster mask bit."""
+    by = pl.program_id(0)
+    bx = pl.program_id(1)
+    b = by * nbx + bx
+
+    basr, basg, basb = px_ref[0], px_ref[1], px_ref[2]
+    nx, ny, nz = px_ref[3], px_ref[4], px_ref[5]
+    vx, vy, vz = px_ref[6], px_ref[7], px_ref[8]
+    wpx, wpy, wpz = px_ref[9], px_ref[10], px_ref[11]
+    metallic = px_ref[12]
+    roughness = px_ref[13]
+    maskb = px_ref[14] > 0.0
+
+    no_v = jnp.clip(nx * vx + ny * vy + nz * vz, 0.0, 1.0)
+    f0r = metallic * basr + (1.0 - metallic) * 0.04
+    f0g = metallic * basg + (1.0 - metallic) * 0.04
+    f0b = metallic * basb + (1.0 - metallic) * 0.04
+    alr = (1.0 - metallic) * basr * mu.INV_PI
+    alg = (1.0 - metallic) * basg * mu.INV_PI
+    alb = (1.0 - metallic) * basb * mu.INV_PI
+    a = roughness * roughness
+    a2 = a * a
+
+    def body(k, acc):
+        accr, accg, accb = acc
+        i = list_ref[b, k]
+        lx, ly, lz = light_ref[i, 0], light_ref[i, 1], light_ref[i, 2]
+        ltype = light_ref[i, 3]
+        cr, cg, cb = light_ref[i, 4], light_ref[i, 5], light_ref[i, 6]
+        inten = light_ref[i, 7]
+        rng = light_ref[i, 8]
+        sdx, sdy, sdz = light_ref[i, 9], light_ref[i, 10], light_ref[i, 11]
+        cos_in, cos_out = light_ref[i, 12], light_ref[i, 13]
+
+        # punctual radiance (ref: lighting/common.hlsli:20-82; matches
+        # shading.punctual_light incl. the spec-correct spot window)
+        dx = lx - wpx
+        dy = ly - wpy
+        dz = lz - wpz
+        dist_sq = dx * dx + dy * dy + dz * dz
+        dist = jnp.sqrt(dist_sq)
+        il = 1.0 / jnp.maximum(dist, 1e-8)
+        ldx, ldy, ldz = dx * il, dy * il, dz * il
+        q = dist / jnp.maximum(rng, 1e-8)
+        q2 = q * q
+        bounded = jnp.maximum(jnp.minimum(1.0 - q2 * q2, 1.0), 0.0) \
+            / jnp.maximum(dist_sq, 1e-4)
+        unbounded = 1.0 / jnp.maximum(dist_sq, 1e-4)
+        radial = jnp.where(rng > 0.0, bounded, unbounded)
+        cd = sdx * ldx + sdy * ldy + sdz * ldz
+        scale = 1.0 / jnp.maximum(cos_in - cos_out, 1e-3)
+        ang = jnp.clip(cd * scale - cos_out * scale, 0.0, 1.0)
+        ang = ang * ang
+        angular = jnp.where(
+            ltype == float(lights_mod.LIGHT_SPOT),
+            jnp.where(cd > cos_out, ang, 0.0), 1.0)
+        rad = 10000.0 * inten * radial * angular
+
+        # Cook-Torrance + Lambert (shading.brdf_response without the
+        # transmission/clearcoat terms — the XLA path omits them too)
+        hx = ldx + vx
+        hy = ldy + vy
+        hz = ldz + vz
+        hl = 1.0 / jnp.sqrt(jnp.maximum(
+            hx * hx + hy * hy + hz * hz, 1e-12))
+        hx, hy, hz = hx * hl, hy * hl, hz * hl
+        no_l = jnp.clip(nx * ldx + ny * ldy + nz * ldz, 0.0, 1.0)
+        no_h = jnp.clip(nx * hx + ny * hy + nz * hz, 0.0, 1.0)
+        vo_h = jnp.clip(vx * hx + vy * hy + vz * hz, 0.0, 1.0)
+        denom = no_h * no_h * (a2 - 1.0) + 1.0
+        d = a2 / jnp.maximum(jnp.float32(mu.PI) * denom * denom, 1e-4)
+        fw = (1.0 - vo_h) ** 5
+        # NOTE: g_smith_ggx_correlated uses roughness^2 (a), while the NDF
+        # uses roughness^4 (a2) — matches shading.py / ref pbr.hlsli
+        ggx_v = no_l * jnp.sqrt(no_v * no_v * (1.0 - a) + a)
+        ggx_l = no_v * jnp.sqrt(no_l * no_l * (1.0 - a) + a)
+        g = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-5)
+        spec = d * g / jnp.maximum(4.0 * no_v * no_l, 1e-3)
+
+        # per-pixel cluster gate
+        word = words_ref[0]
+        for j in range(1, w32):
+            word = jnp.where((i >> 5) == j, words_ref[j], word)
+        on = ((word >> (i & 31)) & 1) > 0
+        use = on & maskb & (no_l > 0.0)
+        w = jnp.where(use, rad * no_l, 0.0)
+
+        def chan(f0c, alc, cc):
+            fr = (fw + f0c * (1.0 - fw))
+            return (spec * fr + (1.0 - fr) * alc) * cc * w
+
+        return (accr + chan(f0r, alr, cr),
+                accg + chan(f0g, alg, cg),
+                accb + chan(f0b, alb, cb))
+
+    zero = jnp.zeros((_BH, _BW), jnp.float32)
+    accr, accg, accb = jax.lax.fori_loop(
+        0, count_ref[b], body, (zero, zero, zero))
+    out_ref[0] = accr
+    out_ref[1] = accg
+    out_ref[2] = accb
+
+
+def _clustered_lighting_pallas(gb, n, v, words, lights, width, height):
+    from .raster import _should_interpret
+    nby, nbx = height // _BH, width // _BW
+    counts, lists = _block_light_lists(words, nby, nbx,
+                                       lights.type.shape[0])
+    light_rows = _pack_light_rows(lights)
+    w32 = words.shape[-1]
+    px = jnp.concatenate([
+        jnp.moveaxis(gb.base_color[..., :3], -1, 0),
+        jnp.moveaxis(n, -1, 0),
+        jnp.moveaxis(v, -1, 0),
+        jnp.moveaxis(gb.world_pos, -1, 0),
+        gb.mrao[None, ..., 0],
+        gb.mrao[None, ..., 1],
+        gb.mask[None].astype(jnp.float32),
+    ], axis=0)                                             # (15, H, W)
+    words_cf = jnp.moveaxis(words, -1, 0)                  # (W32, H, W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nby, nbx),
+        in_specs=[
+            pl.BlockSpec((15, _BH, _BW), lambda by, bx, *_: (0, by, bx)),
+            pl.BlockSpec((w32, _BH, _BW), lambda by, bx, *_: (0, by, bx)),
+        ],
+        out_specs=pl.BlockSpec((3, _BH, _BW),
+                               lambda by, bx, *_: (0, by, bx)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_clustered_block_kernel, w32=w32, nbx=nbx),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+        interpret=_should_interpret(),
+    )(counts, lists, light_rows, px, words_cf)
+    return jnp.moveaxis(out, 0, -1)

@@ -83,28 +83,39 @@ def _peel_noise(seed, peel, tri, noise_u):
 
 
 def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
-                 noise_u=None):
+                 noise_u=None, profile="incoherent"):
     """bvh.trace with alpha-masked continuation: a hit on a MASK/BLEND prim
     that fails the opacity test is skipped by re-tracing from just past it
     (up to ALPHA_PEELS times). Zero cost for scenes without masked prims."""
-    res = bvh_mod.trace(bvh, o, d, tmin=tmin, tmax=tmax, any_hit=any_hit)
+    res = bvh_mod.trace(bvh, o, d, tmin=tmin, tmax=tmax, any_hit=any_hit,
+                        profile=profile)
     if not scene.meta.has_masked:
         return res
+    r = o.shape[0]
+    peel_cap = max(r >> 2, 8)
     for peel in range(ALPHA_PEELS):
         tri = res["tri"]
         hit = tri >= 0
         noise = _peel_noise(seed, peel, tri, noise_u)
         accept = _alpha_at_hit(scene, tri, res["u"], res["v"], noise)
         transparent = hit & ~accept
-        # continue past the transparent hit; opaque/miss rays park on a
-        # degenerate ray that terminates in one step
+        # continue past the transparent hit — COMPACTED to r/4 before the
+        # re-trace so the peel doesn't pay a full-width traversal schedule
+        # for the (few) see-through rays; beyond-capacity transparents
+        # (needs >25% of rays on a cutout texel simultaneously) keep the
+        # opaque hit — same class of bound as ALPHA_PEELS itself
         t_cont = jnp.where(transparent, res["t"] + RAY_OFFSET, 0.0)
         o2 = o + t_cont[..., None] * d
-        far = jnp.full_like(o2, 1e29)
-        o2 = jnp.where(transparent[..., None], o2, far)
-        res2 = bvh_mod.trace(bvh, o2, d, tmin=0.0, tmax=tmax,
-                             any_hit=any_hit)
-        res = {k: (jnp.where(transparent, res2[k], res[k])
+        orig, ok, packed, _ = bvh_mod._compact(
+            transparent, peel_cap, [o2, d])
+        p_o, p_d = packed
+        p_o = jnp.where(ok[..., None], p_o, 1e29)  # park empty slots
+        res2 = bvh_mod.trace(bvh, p_o, p_d, tmin=0.0, tmax=tmax,
+                             any_hit=any_hit, profile="anyhit")
+        scattered = {
+            k: res[k].at[orig].set(res2[k], mode="drop")
+            if res[k].ndim else res[k] for k in res}
+        res = {k: (jnp.where(transparent, scattered[k], res[k])
                    if res[k].ndim else res[k]) for k in res}
     # rays whose last peel still failed count as misses through the cutout
     tri = res["tri"]
@@ -141,11 +152,13 @@ def _hit_attributes(scene, world_n_v, world_t_v, tri, u, v):
     return uv, n, t, b, mat_id
 
 
-def _eval_material(scene, mat_id, uv):
+def _eval_material(scene, mat_id, uv, jitter=None):
     """Material at hit points, mip 0 (ref: EvaluateMaterialProperties via
-    TEX_SAMPLE SampleLevel 0)."""
+    TEX_SAMPLE SampleLevel 0). jitter: optional (..., 2) CMJ uniforms —
+    stochastic-bilinear single-texel fetch (1 gather instead of the 4-tap
+    bilinear; the progressive accumulation integrates the footprint)."""
     chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
-                                          lod=None)
+                                          lod=None, jitter=jitter)
     tx = tex_mod.decode_stack_channels(chans)
     fac = scene.mat_params[jnp.maximum(mat_id, 0)]
     return dict(
@@ -332,7 +345,9 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         hit = _trace_alpha(scene, bvh, origin, direction, RAY_OFFSET, 1e4,
                            sidx * jnp.uint32(17) + jnp.uint32(bounce),
                            noise_u=(sample_point(sidx)[..., 0] if masked
-                                    else None))
+                                    else None),
+                           profile=("primary" if bounce == 0
+                                    else "incoherent"))
         tri = hit["tri"]
         missed = (tri < 0) & alive
 
@@ -353,7 +368,7 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
 
         uv, n, t, b, mat_id = _hit_attributes(scene, world_n_v, world_t_v,
                                               tri, hit["u"], hit["v"])
-        m = _eval_material(scene, mat_id, uv)
+        m = _eval_material(scene, mat_id, uv, jitter=sample_point(sidx))
 
         if bounce == 0 and viewmode in (2, 3, 4, 5):
             # debug view modes short-circuit at the primary hit

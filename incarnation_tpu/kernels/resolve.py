@@ -67,7 +67,7 @@ def world_from_depth(depth, inv_view_proj, width: int, height: int):
 def _interp_lod(scene, mat_id, interp):
     """Mip level from the kernel's analytic UV screen derivatives (exact,
     unlike HW quad diffs)."""
-    meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
+    meta = tex_mod.stack_meta_lookup(scene.mat_stack, mat_id)
     size_f = meta[..., 1].astype(jnp.float32)
     dudx, dudy, dvdx, dvdy = interp[10], interp[11], interp[12], interp[13]
     rho = jnp.maximum(jnp.sqrt(dudx * dudx + dvdx * dvdx),
@@ -88,7 +88,7 @@ def _interp_lod_aniso(scene, mat_id, interp, max_aniso: float):
 
     Returns (lod, major) where major is the (..., 2) uv-per-pixel major
     footprint axis to jitter along."""
-    meta = scene.mat_stack.meta[jnp.maximum(mat_id, 0)]
+    meta = tex_mod.stack_meta_lookup(scene.mat_stack, mat_id)
     size_f = meta[..., 1].astype(jnp.float32)
     dudx, dudy, dvdx, dvdy = interp[10], interp[11], interp[12], interp[13]
     rx = jnp.sqrt(dudx * dudx + dvdx * dvdx)
@@ -133,7 +133,7 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
         lod = _interp_lod(scene, mat_id, interp)
     a_tex = tex_mod.sample_stack_alpha(scene.mat_stack, mat_id, uv,
                                        lod=lod, jitter=jitter)
-    fac = scene.mat_params[jnp.maximum(mat_id, 0)]
+    fac = mu.onehot_lookup(scene.mat_params, jnp.maximum(mat_id, 0))
     alpha = fac[..., 6] * a_tex
     blend_noise = _frame_noise(
         tri.shape, 0 if mip_dither is None else mip_dither, 1597334677)
@@ -216,7 +216,8 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
                                           lod=lod, trilinear=trilinear,
                                           jitter=jitter)
     tx = tex_mod.decode_stack_channels(chans)
-    fac = scene.mat_params[jnp.maximum(mat_id, 0)]     # (H, W, 16)
+    fac = mu.onehot_lookup(scene.mat_params,
+                           jnp.maximum(mat_id, 0))     # (H, W, 16)
 
     base_color = fac[..., 3:6] * tx["base_rgb"]
     opacity = fac[..., 6] * tx["opacity"]

@@ -108,7 +108,9 @@ def sun_visibility(world_pos, n_dot_l, shadow_depth, sun_vp,
         v = v + (jy - 0.5) * 2.0
     xi = jnp.clip(u.astype(jnp.int32), 0, resolution - 1)
     yi = jnp.clip(v.astype(jnp.int32), 0, resolution - 1)
-    d = shadow_depth[yi, xi]
+    # linear-index gather of the flattened map (a 2-D [yi, xi] gather
+    # lowers to a slower two-coordinate gather on TPU)
+    d = shadow_depth.reshape(-1)[yi * resolution + xi]
     # Slope-scaled bias in NDC-z units (depth range spans 2.1 * radius;
     # 2-texel worst-case slope + constant offset).
     bias = (1.5 + 2.0 * (1.0 - jnp.clip(n_dot_l, 0.0, 1.0))) * (2.0

@@ -194,3 +194,63 @@ def test_band_sharded_taa_history(cpu_devices):
     np.testing.assert_allclose(np.asarray(sharded1["accumulation"]),
                                np.asarray(single1["accumulation"]),
                                rtol=1e-2, atol=2e-2)
+
+
+def test_band_sharded_taa_moving_camera_seam_bound(cpu_devices):
+    """Under camera motion the band-sharded TAA history fetch is band-local
+    (a reprojection crossing a band seam is treated as disocclusion, which
+    the 3x3 clamp bounds) — ADVICE r2 asks this divergence be BOUNDED:
+    rows away from the seams must match single-chip, and seam rows must
+    stay within the clamp's neighborhood range."""
+    import dataclasses
+    scene = make_test_scene()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP, enable_taa=True,
+                 stochastic_mip=False)
+    view0 = View.from_lookat([0.0, 0.3, -10.0], [0.0, 0.0, 0.0],
+                             aspect=W / H)
+    # vertical dolly: reprojection crosses rows (the band-seam direction)
+    view1 = View.from_lookat([0.0, 0.9, -10.0], [0.0, 0.0, 0.0],
+                             aspect=W / H)
+    vp0 = view0.view_proj()
+    fc0 = frame_mod.FrameConstants.make(
+        view0, cfg, sun_dir=[0, 0, -1.0],
+        sun_color_intensity=[1, 1, 1, 100.0], history_valid=False)
+    fc1 = frame_mod.FrameConstants.make(
+        view1, cfg, sun_dir=[0, 0, -1.0],
+        sun_color_intensity=[1, 1, 1, 100.0], prev_view_proj=vp0,
+        history_valid=True, frame_index=1)
+
+    hist0 = jnp.zeros((H, W, 3))
+    s0 = frame_mod.render_frame_jit(scene, fc0, cfg, PARAMS, history=hist0)
+    s1 = frame_mod.render_frame_jit(scene, fc1, cfg, PARAMS,
+                                    history=s0["accumulation"])
+
+    n_bands = 4
+    mesh = sharding.make_mesh(devices=cpu_devices[:n_bands])
+    b0 = sharding.render_frame_sharded_jit(scene, fc0, cfg, PARAMS, mesh,
+                                           history=hist0)
+    b1 = sharding.render_frame_sharded_jit(scene, fc1, cfg, PARAMS, mesh,
+                                           history=b0["accumulation"])
+
+    single = np.asarray(s1["accumulation"])
+    band = np.asarray(b1["accumulation"])
+    band_h = H // n_bands
+    seam_rows = np.zeros(H, bool)
+    for s in range(1, n_bands):
+        seam_rows[s * band_h - 4:s * band_h + 4] = True
+    # away from seams: identical up to band-projection FP noise
+    np.testing.assert_allclose(band[~seam_rows], single[~seam_rows],
+                               rtol=1e-2, atol=2e-2)
+    # seam rows: the band-local fetch treats the crossing as disocclusion,
+    # so the result is clamped into the CURRENT frame's 3x3 neighborhood —
+    # assert seam values stay inside that hull (no unbounded ghosting)
+    hdr = np.asarray(s1["hdr"])
+    pad = np.pad(hdr, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stacks = [pad[dy:dy + H, dx:dx + W]
+              for dy in range(3) for dx in range(3)]
+    lo = np.minimum.reduce(stacks) - 1e-3
+    hi = np.maximum.reduce(stacks) + 1e-3
+    inside = (band >= lo - 0.11 * (hi - lo)) & \
+        (band <= hi + 0.11 * (hi - lo))
+    frac = inside[seam_rows].mean()
+    assert frac > 0.999, f"seam values escape the clamp hull: {frac:.4f}"

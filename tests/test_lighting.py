@@ -121,3 +121,55 @@ def test_taa_rejects_stale_history():
     out = taa.taa_resolve(hdr, hist, depth, fc.inv_view_proj, fc.view_proj,
                           jnp.asarray(1.0), W, H)
     np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+
+def test_clustered_pallas_matches_dense():
+    """The Pallas block-list clustered kernel must match the dense
+    all-lights XLA loop (interpret mode on CPU)."""
+    import numpy as np
+    from incarnation_tpu.kernels import resolve
+    from incarnation_tpu.scene import lights as lights_mod
+
+    h, w = 32, 128
+    r = np.random.default_rng(3)
+    defs, xforms = [], []
+    for i in range(9):
+        t = np.eye(4, dtype=np.float32)
+        t[3, :3] = r.uniform(-6, 6, 3)
+        kind = ["point", "spot", "point"][i % 3]
+        d = {"type": kind, "intensity": float(r.uniform(5, 50)),
+             "color": r.uniform(0.2, 1.0, 3).tolist()}
+        if i % 2:
+            d["range"] = float(r.uniform(2.0, 8.0))
+        if kind == "spot":
+            d["spot"] = {"innerConeAngle": 0.3, "outerConeAngle": 0.8}
+        defs.append(d)
+        xforms.append(t)
+    lights = lights_mod.build_light_table(defs, xforms)
+
+    def unit(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    wp = r.uniform(-5, 5, (h, w, 3)).astype(np.float32)
+    n = unit(r.normal(size=(h, w, 3))).astype(np.float32)
+    v = unit(r.normal(size=(h, w, 3))).astype(np.float32)
+    mask = r.random((h, w)) > 0.1
+    gb = resolve.GBuffer(
+        base_color=jnp.asarray(
+            r.uniform(0, 1, (h, w, 4)).astype(np.float32)),
+        normals=jnp.zeros((h, w, 2)),
+        mrao=jnp.asarray(r.uniform(0.05, 1, (h, w, 4)).astype(np.float32)),
+        emissive=jnp.zeros((h, w, 3)),
+        mask=jnp.asarray(mask),
+        world_pos=jnp.asarray(wp),
+        uv=jnp.zeros((h, w, 2)),
+        extras=jnp.zeros((h, w, 3)))
+    words = jnp.asarray(
+        r.integers(0, 2 ** 31, (h, w, 1)).astype(np.int32))
+
+    dense = clustered.clustered_lighting_dense(
+        gb, jnp.asarray(n), jnp.asarray(v), words, lights)
+    fast = clustered._clustered_lighting_pallas(
+        gb, jnp.asarray(n), jnp.asarray(v), words, lights, w, h)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                               rtol=1e-4, atol=1e-3)

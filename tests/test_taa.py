@@ -111,3 +111,33 @@ def test_static_camera_shift_path_matches_kernel_fetch():
     # the uv path can flip a floor() at the exact border
     np.testing.assert_allclose(np.asarray(fast)[2:-2, 2:-2],
                                np.asarray(ref)[2:-2, 2:-2], atol=2e-3)
+
+
+def test_bf16_history_accumulation_converges():
+    """The Pallas history fetch rides bf16 inside the 0.9-feedback loop;
+    re-quantization every frame must not accumulate visible banding: after
+    32 static frames the accumulation must sit within ~bf16-epsilon of the
+    input (ADVICE r2: N-frame convergence guard, mirroring the 33.9 dB
+    stochastic-fetch analysis)."""
+    from incarnation_tpu.core.view import View
+    w, h = 384, 96
+    view = View.from_lookat([0.0, 2.0, -8.0], [0.0, 0.0, 0.0], aspect=w / h)
+    vp = np.asarray(view.view_proj(), np.float32)
+    inv_vp = jnp.asarray(np.linalg.inv(vp).astype(np.float32))
+    # smooth HDR gradient (the banding-prone content) at sky-ish scale
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    hdr = jnp.asarray(np.stack([
+        2.0 + 1.5 * xs / w, 1.0 + 0.8 * ys / h,
+        0.5 + 0.3 * (xs + ys) / (w + h)], -1))
+    depth = jnp.full((h, w), 0.5)
+
+    accum = jnp.zeros((h, w, 3))
+    accum = taa.taa_resolve(hdr, accum, depth, inv_vp, jnp.asarray(vp),
+                            history_valid=False, width=w, height=h)
+    for _ in range(32):
+        accum = taa.taa_resolve(hdr, accum, depth, inv_vp, jnp.asarray(vp),
+                                history_valid=True, width=w, height=h)
+    err = np.asarray(accum) - np.asarray(hdr)
+    peak = float(np.asarray(hdr).max())
+    psnr = 10.0 * np.log10(peak ** 2 / max(float((err ** 2).mean()), 1e-12))
+    assert psnr > 40.0, f"bf16 history accumulation drifted: {psnr:.1f} dB"
