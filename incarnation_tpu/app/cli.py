@@ -100,9 +100,15 @@ def main(argv=None):
     ap.add_argument("--pick", type=int, nargs=2, default=None,
                     metavar=("X", "Y"),
                     help="print ids under pixel and highlight the primitive")
+    ap.add_argument("--cpu", action="store_true",
+                    help="render on the host CPU backend (debugging / "
+                         "no-accelerator environments)")
     args = ap.parse_args(argv)
     from ..utils import jaxinit
     jaxinit.setup()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = Config(viewmode=args.viewmode, exposure=args.exposure,
                  enable_sky_lighting=not args.no_sky,

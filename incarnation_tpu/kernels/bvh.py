@@ -446,11 +446,14 @@ def build_lbvh(tri_verts: np.ndarray, method: str = "sah"):
 class SceneBVH:
     rows: jnp.ndarray        # (N, 48) f32 threaded rows (module docstring);
     #                          merged=True: (8N, 48) per-octant copies with
-    #                          (hit, miss) links inline at lanes 13/14
+    #                          (hit, miss) links inline at lanes 13/14;
+    #                          wide=True: (8N, 64) 8-wide per-octant rows
     links: jnp.ndarray       # (8N, 2) f32 per-octant (hit, miss) links
-    #                          (unused (1, 2) dummy when merged)
+    #                          (unused (1, 2) dummy when merged/wide)
     merged: bool = dataclasses.field(metadata=dict(static=True),
                                      default=False)
+    wide: bool = dataclasses.field(metadata=dict(static=True),
+                                   default=False)
 
 
 # Per-octant merged-row tables cost 8N x 192 B of HBM; above this node
@@ -459,13 +462,240 @@ class SceneBVH:
 _MERGE_LIMIT = 1 << 21
 
 
+WIDE_LANES = 64
+_W_FLAG = 48          # 1.0 = quad leaf, 0.0 = 8-wide internal
+_W_MISS = 49          # per-octant miss link (global okt*N + row)
+_W_CHILD = 50         # 8 per-octant child row ids (global)
+WIDE_ARITY = 8
+
+
+def _binary_boxes(left, right, quad_lo, quad_hi):
+    """Bottom-up AABBs for the binary internal nodes (same fixpoint as the
+    emit path). Returns (node_lo, node_hi) for internals."""
+    n_int = left.shape[0]
+    node_lo = np.full((n_int, 3), np.inf, np.float32)
+    node_hi = np.full((n_int, 3), -np.inf, np.float32)
+    ready = np.zeros(n_int, bool)
+
+    def child_box(c):
+        is_leaf = c < 0
+        leaf_idx = np.where(is_leaf, ~c, 0)
+        int_idx = np.where(is_leaf, 0, c)
+        lo_ = np.where(is_leaf[:, None], quad_lo[leaf_idx],
+                       node_lo[int_idx])
+        hi_ = np.where(is_leaf[:, None], quad_hi[leaf_idx],
+                       node_hi[int_idx])
+        ok = is_leaf | ready[int_idx]
+        return lo_, hi_, ok
+
+    for _ in range(n_int + 1):
+        if ready.all():
+            break
+        llo, lhi, lok = child_box(left)
+        rlo, rhi, rok = child_box(right)
+        new = lok & rok & ~ready
+        node_lo = np.where(new[:, None], np.minimum(llo, rlo), node_lo)
+        node_hi = np.where(new[:, None], np.maximum(lhi, rhi), node_hi)
+        ready |= new
+    assert ready.all(), "binary BVH box fixpoint did not converge"
+    return node_lo, node_hi
+
+
+def build_wide(tri_verts: np.ndarray, method: str = "sah"):
+    """8-wide threaded BVH: collapse the binary SAH tree 3 levels at a
+    time. Each internal ROW carries its (up to) 8 grandchildren boxes +
+    row ids, pre-sorted near-to-far per ray-direction OCTANT, so one
+    traversal step tests 8 boxes and jumps STRAIGHT to the first hit
+    child; a child subtree's miss link continues at the next octant-
+    ordered sibling. Depth (and so step count) drops ~3x vs the binary
+    skip-link walk — the stackless binary descent pays >= tree depth
+    steps per subtree, which dominated atrium traversal (survival curve:
+    median 70 steps).
+
+    Returns (rows8 (8N, 64) f32 per-octant merged rows, leaf_tri (N, 4)).
+    """
+    t = tri_verts.shape[0]
+    if t <= LEAF_K:
+        quad = np.full((1, LEAF_K), -1, np.int64)
+        quad[0, :t] = np.arange(t)
+        row = np.zeros((1, WIDE_LANES), np.float32)
+        row[:, :ROW_LANES] = _leaf_rows_for(tri_verts, quad)
+        row[:, _W_FLAG] = 1.0
+        row[:, _W_MISS] = -1.0
+        rows8 = np.tile(row, (8, 1))
+        return rows8, quad
+
+    if method == "sah":
+        left, right, quad_tri = _sah_topology(tri_verts, LEAF_K)
+    else:
+        rows_, links_, quad_tri = build_lbvh(tri_verts, method="morton")
+        raise NotImplementedError("wide build requires the sah topology")
+    q = quad_tri.shape[0]
+    qs = np.where(quad_tri >= 0, quad_tri, quad_tri[:, 0:1])
+    quad_lo = tri_verts[qs].min(axis=(1, 2)).astype(np.float32)
+    quad_hi = tri_verts[qs].max(axis=(1, 2)).astype(np.float32)
+    node_lo, node_hi = _binary_boxes(left, right, quad_lo, quad_hi)
+
+    # ---- collapse to wide nodes (BFS; children = depth<=3 frontier) ----
+    def expand(c, depth):
+        if c < 0 or depth == 0:
+            return [c]
+        return expand(left[c], depth - 1) + expand(right[c], depth - 1)
+
+    wide_children = []          # per wide node: list of binary refs
+    wide_of_binary = {0: 0}
+    queue = [0]
+    while queue:
+        nxt = []
+        for b in queue:
+            kids = expand(b, 3)
+            while len(kids) < WIDE_ARITY:
+                kids.append(None)
+            wide_children.append(kids)
+            for k in kids:
+                if k is not None and k >= 0:
+                    wide_of_binary[k] = len(wide_children) + len(nxt) - 1
+                    nxt.append(k)
+        # assign wide ids to queued internals in BFS order
+        queue = nxt
+    n_wide = len(wide_children)
+    # wide ids were implicitly assigned in BFS append order of `nxt`;
+    # rebuild the mapping deterministically
+    wide_ids = {}
+    order = [0]
+    idx = 0
+    count = 1
+    while idx < len(order):
+        b = order[idx]
+        wide_ids[b] = idx
+        for k in wide_children[idx]:
+            if k is not None and k >= 0:
+                order.append(k)
+        idx += 1
+    assert len(order) == n_wide
+
+    # rows: wide internals first, then the q leaf rows
+    n_rows = n_wide + q
+
+    def row_of(c):
+        return wide_ids[c] if c >= 0 else n_wide + (~c)
+
+    # per wide node: child row ids, boxes, centroids (storage order)
+    ch_row = np.full((n_wide, WIDE_ARITY), -1, np.int64)
+    ch_lo = np.full((n_wide, WIDE_ARITY, 3), 1e30, np.float32)
+    ch_hi = np.full((n_wide, WIDE_ARITY, 3), -1e30, np.float32)
+    for w in range(n_wide):
+        for s, c in enumerate(wide_children[w]):
+            if c is None:
+                continue
+            ch_row[w, s] = row_of(c)
+            if c < 0:
+                ch_lo[w, s] = quad_lo[~c]
+                ch_hi[w, s] = quad_hi[~c]
+            else:
+                ch_lo[w, s] = node_lo[c]
+                ch_hi[w, s] = node_hi[c]
+    ch_cent = 0.5 * (ch_lo + ch_hi)
+    ch_valid = ch_row >= 0
+
+    # parent wide-row + BFS level of every row (for the level-ordered
+    # threading sweep)
+    parent_row = np.full(n_rows, -1, np.int64)
+    parent_slot = np.full(n_rows, -1, np.int64)
+    for w in range(n_wide):
+        for s in range(WIDE_ARITY):
+            if ch_valid[w, s]:
+                parent_row[ch_row[w, s]] = w
+                parent_slot[ch_row[w, s]] = s
+    level = np.zeros(n_rows, np.int64)
+    for rrow in range(1, n_rows):
+        p = parent_row[rrow]
+        if p >= 0:
+            level[rrow] = level[p] + 1
+    max_level = int(level.max()) if n_rows > 1 else 0
+
+    leaf_base = np.zeros((q, ROW_LANES), np.float32)
+    leaf_base = _leaf_rows_for(tri_verts, quad_tri)
+    leaf_tri = np.concatenate(
+        [np.full((n_wide, LEAF_K), -1, np.int64), quad_tri])
+
+    rows8 = np.zeros((8, n_rows, WIDE_LANES), np.float32)
+    for okt in range(8):
+        sign = np.array([1.0 if not (okt >> a) & 1 else -1.0
+                         for a in range(3)], np.float32)
+        key = np.where(ch_valid, ch_cent @ sign, np.inf)
+        perm = np.argsort(key, axis=1, kind="stable")    # (n_wide, 8)
+        p_row = np.take_along_axis(ch_row, perm, axis=1)
+        p_lo = np.take_along_axis(ch_lo, perm[..., None], axis=1)
+        p_hi = np.take_along_axis(ch_hi, perm[..., None], axis=1)
+        p_valid = p_row >= 0
+        counts = p_valid.sum(axis=1)
+
+        ro = rows8[okt]
+        boxes = np.concatenate([p_lo, p_hi], axis=-1)    # (n_wide, 8, 6)
+        ro[:n_wide, :48] = boxes.reshape(n_wide, 48)
+        ro[:n_wide, _W_CHILD:_W_CHILD + 8] = np.where(
+            p_valid, okt * n_rows + p_row, -1).astype(np.float32)
+        ro[n_wide:, :ROW_LANES] = leaf_base
+        ro[n_wide:, _W_FLAG] = 1.0
+
+        # threading: parent-before-child level sweep; child k's miss =
+        # next octant-ordered sibling, last child inherits parent's miss
+        miss = np.full(n_rows, -1, np.int64)
+        for lvl in range(1, max_level + 1):
+            sel = np.flatnonzero(level == lvl)
+            if sel.size == 0:
+                continue
+            pw = parent_row[sel]
+            # position of each row among its parent's ordered children
+            # (invert the permutation)
+            slot = parent_slot[sel]
+            inv = np.argsort(perm[pw], axis=1)
+            pos = inv[np.arange(sel.size), slot]
+            nxt_row = np.where(
+                pos + 1 < counts[pw],
+                p_row[pw, np.minimum(pos + 1, WIDE_ARITY - 1)],
+                -2)                                       # -2 = inherit
+            inherit = nxt_row == -2
+            miss[sel] = np.where(inherit, miss[pw], nxt_row)
+        ro[:, _W_MISS] = np.where(
+            miss >= 0, okt * n_rows + miss, -1).astype(np.float32)
+    return rows8.reshape(8 * n_rows, WIDE_LANES), leaf_tri
+
+
+def _leaf_rows_for(tri_verts, quads):
+    """(Qn, 4) orig ids -> (Qn, 48) quad leaf rows (shared with the
+    binary build's layout)."""
+    qn = quads.shape[0]
+    rows = np.zeros((qn, ROW_LANES), np.float32)
+    for s in range(LEAF_K):
+        tid = quads[:, s]
+        ok = tid >= 0
+        tv = tri_verts[np.maximum(tid, 0)]
+        v0 = np.where(ok[:, None], tv[:, 0], 0.0)
+        e1 = np.where(ok[:, None], tv[:, 1] - tv[:, 0], 0.0)
+        e2 = np.where(ok[:, None], tv[:, 2] - tv[:, 0], 0.0)
+        if s == 0:
+            o9, oid = 0, 10
+        else:
+            o9, oid = _TRI1_OFF[s - 1], _ID1_OFF + s - 1
+        rows[:, o9:o9 + 3] = v0
+        rows[:, o9 + 3:o9 + 6] = e1
+        rows[:, o9 + 6:o9 + 9] = e2
+        rows[:, oid] = np.where(ok, tid, -1).astype(np.float32)
+    rows[:, 12] = 1.0
+    return rows
+
+
 def build_scene_bvh(scene, method: str = "sah",
-                    use_cache: bool = True) -> SceneBVH:
+                    use_cache: bool = True, wide: bool = True) -> SceneBVH:
     """World-space threaded BVH over the packed scene's real triangles.
 
-    The SAH build costs tens of seconds host-side at 300k triangles, so
-    the emitted (rows, links) are disk-cached keyed on the world geometry
-    (the equivalent of the reference's driver-side BLAS cache)."""
+    wide=True (default) emits the 8-wide per-octant rows (build_wide);
+    wide=False keeps the binary quad-leaf layout. The SAH build costs tens
+    of seconds host-side at 300k triangles, so the emitted rows are
+    disk-cached keyed on the world geometry (the equivalent of the
+    reference's driver-side BLAS cache)."""
     m = scene.meta
     pos = np.asarray(scene.positions)
     xf = np.asarray(scene.mesh_transforms)
@@ -485,12 +715,33 @@ def build_scene_bvh(scene, method: str = "sah",
         h = hashlib.sha1()
         h.update(tris.tobytes())
         h.update(ds.tobytes())
-        h.update(f"bvh-v2-{method}-{LEAF_K}".encode())
+        h.update(f"bvh-v3-{method}-{LEAF_K}-{int(wide)}".encode())
         cache_file = cache_mod.CACHE_DIR / f"bvh-{h.hexdigest()[:20]}.npz"
         if cache_file.exists():
             z = np.load(cache_file)
-            rows, links = z["rows"], z["links"]
-            return _finish_bvh(rows, links)
+            if wide:
+                return SceneBVH(rows=jnp.asarray(z["rows"]),
+                                links=jnp.zeros((1, 2), jnp.float32),
+                                merged=False, wide=True)
+            return _finish_bvh(z["rows"], z["links"])
+
+    if wide:
+        rows8, leaf_tri = build_wide(tris, method=method)
+        n_rows = rows8.shape[0] // 8
+        # Per-slot double-sided flags on every octant copy
+        r8 = rows8.reshape(8, n_rows, WIDE_LANES)
+        for s in range(LEAF_K):
+            tid = leaf_tri[:, s]
+            ok = tid >= 0
+            lane = 11 if s == 0 else _DS1_OFF + s - 1
+            r8[:, ok, lane] = ds[tid[ok]].astype(np.float32)[None]
+        rows8 = r8.reshape(8 * n_rows, WIDE_LANES)
+        if cache_file is not None:
+            cache_file.parent.mkdir(exist_ok=True)
+            np.savez(cache_file, rows=rows8)
+        return SceneBVH(rows=jnp.asarray(rows8),
+                        links=jnp.zeros((1, 2), jnp.float32),
+                        merged=False, wide=True)
 
     rows, links, leaf_tri = build_lbvh(tris, method=method)
     # Per-slot double-sided flags: backface culling matches the reference's
@@ -601,6 +852,59 @@ def _step(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
     return cur, t_best, best_tri, uo, vo, alive
 
 
+def _step_wide(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
+               any_hit: bool, alpha_of=None):
+    """One 8-wide traversal step: leaf rows intersect the 4-triangle quad
+    exactly like the binary walk; internal rows test the 8 octant-ordered
+    child boxes and jump STRAIGHT to the first hit child (links=None
+    always — wide rows are per-octant merged by construction)."""
+    del links
+    cur, t_best, best_tri, uo, vo, alive = state
+    safe = jnp.maximum(cur, 0)
+    row = rows[safe + okt_off]                           # (R, 64) gather
+    leaf = row[:, _W_FLAG] > 0.5
+
+    for s in range(4):
+        if s == 0:
+            o9, oid, ods = 0, 10, 11
+        else:
+            o9 = _TRI1_OFF[s - 1]
+            oid = _ID1_OFF + s - 1
+            ods = _DS1_OFF + s - 1
+        cull = row[:, ods] < 0.5
+        t_hit, u, v = _tri_intersect(row[:, o9:o9 + 9], o, d, cull)
+        tri = row[:, oid].astype(jnp.int32)
+        accept = (leaf & alive & (tri >= 0) & (t_hit < t_best)
+                  & (t_hit <= tmax_eff))
+        if alpha_of is not None:
+            accept &= alpha_of(tri, u, v)
+        t_best = jnp.where(accept, t_hit, t_best)
+        best_tri = jnp.where(accept, tri, best_tri)
+        uo = jnp.where(accept, u, uo)
+        vo = jnp.where(accept, v, vo)
+        if any_hit:
+            alive = alive & ~accept
+
+    # Internal: 8 child slab tests; nearest (= first in the per-octant
+    # storage order) hit child wins, else the miss link.
+    miss = row[:, _W_MISS].astype(jnp.int32)
+    nxt_int = miss
+    limit = jnp.minimum(t_best, tmax_eff)
+    for k in range(WIDE_ARITY - 1, -1, -1):
+        t0 = (row[:, 6 * k:6 * k + 3] - o) * inv_d
+        t1 = (row[:, 6 * k + 3:6 * k + 6] - o) * inv_d
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), limit)
+        cid = row[:, _W_CHILD + k].astype(jnp.int32)
+        hit_k = (tn <= tf) & (cid >= 0)
+        nxt_int = jnp.where(hit_k, cid, nxt_int)
+
+    nxt = jnp.where(leaf, miss, nxt_int)
+    alive = alive & (nxt >= 0)
+    cur = jnp.where(alive, nxt - okt_off, 0)
+    return cur, t_best, best_tri, uo, vo, alive
+
+
 def _compact(alive, cap, arrays):
     """Pack rays where `alive` into `cap` slots. Returns (orig_idx (cap,),
     out-of-range r for empty slots so scatter-back drops them;
@@ -656,28 +960,41 @@ _SCHEDULES = {
     # capacity overflow is recovered, so a mis-guess costs time, not hits
     (True, "anyhit"): (16, ((1, 16), (2, 32), (3, 48), (5, None))),
 }
+# 8-wide trees walk ~3x fewer steps (depth ~6 vs ~17); provisional until
+# a wide survival curve is measured
+_SCHEDULES_WIDE = {
+    (False, "primary"): (_SEG0, _TIERS),
+    (False, "incoherent"): (_SEG0, _TIERS),
+    (False, "anyhit"): (_SEG0, _TIERS),
+    (True, "primary"): (32, ((1, 16), (3, 24), (5, None))),
+    (True, "incoherent"): (16, ((1, 16), (2, 24), (4, None))),
+    (True, "anyhit"): (8, ((1, 8), (2, 16), (4, None))),
+}
 
 
 def _run_steps(n, rows, links, okt_off, o, d, inv_d, tmax_eff, state,
-               any_hit, alpha_of):
-    """n fixed traversal steps as a fori_loop (ONE _step instantiation —
+               any_hit, alpha_of, step_fn=None):
+    """n fixed traversal steps as a fori_loop (ONE step instantiation —
     straight-line unrolling of the 4-slot quad-leaf step pushed PT
     compiles past 15 minutes; the loop-carry overhead is noise next to the
     per-step HBM row gather)."""
+    step_fn = step_fn or _step
     return jax.lax.fori_loop(
         0, n,
-        lambda _, st: _step(rows, links, okt_off, o, d, inv_d, tmax_eff,
-                            st, any_hit, alpha_of),
+        lambda _, st: step_fn(rows, links, okt_off, o, d, inv_d, tmax_eff,
+                              st, any_hit, alpha_of),
         state)
 
 
 def _run_while(rows, links, okt_off, o, d, inv_d, tmax_eff, state, any_hit,
-               alpha_of):
+               alpha_of, step_fn=None):
+    step_fn = step_fn or _step
+
     def w_body(s):
         it, st = s
         for _ in range(_TAIL_UNROLL):
-            st = _step(rows, links, okt_off, o, d, inv_d, tmax_eff, st,
-                       any_hit, alpha_of)
+            st = step_fn(rows, links, okt_off, o, d, inv_d, tmax_eff, st,
+                         any_hit, alpha_of)
         return it + 1, st
 
     def w_cond(s):
@@ -708,17 +1025,20 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
                             jnp.where(directions >= 0, 1e-12, -1e-12))
     tmax_eff = tmax - tmin
     rows = bvh.rows
-    links = None if bvh.merged else bvh.links
+    links = None if (bvh.merged or bvh.wide) else bvh.links
 
     # Direction octant selects the ordered link set (links are global
     # okt*N + node; cur stays local).
-    n_per = rows.shape[0] // 8 if bvh.merged else rows.shape[0]
+    n_per = rows.shape[0] // 8 if (bvh.merged or bvh.wide) \
+        else rows.shape[0]
     okt_off = n_per * ((directions[:, 0] < 0).astype(jnp.int32)
                        + 2 * (directions[:, 1] < 0).astype(jnp.int32)
                        + 4 * (directions[:, 2] < 0).astype(jnp.int32))
     if any_hit and profile != "primary":
         profile = "anyhit"
-    seg0, tiers = _SCHEDULES[
+    sched = _SCHEDULES_WIDE if bvh.wide else _SCHEDULES
+    step_fn = _step_wide if bvh.wide else _step
+    seg0, tiers = sched[
         (n_per > _BIG_NODES,
          profile if profile in ("primary", "anyhit") else "incoherent")]
     state = (jnp.zeros((r,), jnp.int32),
@@ -727,7 +1047,7 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
              jnp.zeros((r,)), jnp.zeros((r,)),
              jnp.ones((r,), bool))
     state = _run_steps(seg0, rows, links, okt_off, o, directions, inv_d,
-                       tmax_eff, state, any_hit, alpha_of)
+                       tmax_eff, state, any_hit, alpha_of, step_fn)
     cur, t_best, best_tri, uo, vo, alive = state
     trunc = jnp.int32(0)
 
@@ -735,7 +1055,7 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
         state = _run_while(rows, links, okt_off, o, directions, inv_d,
                            tmax_eff,
                            (cur, t_best, best_tri, uo, vo, alive),
-                           any_hit, alpha_of)
+                           any_hit, alpha_of, step_fn)
         cur, t_best, best_tri, uo, vo, alive = state
         trunc += jnp.sum(alive.astype(jnp.int32))
         t_out = jnp.where(best_tri >= 0, t_best + tmin, jnp.inf)
@@ -762,10 +1082,10 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
         st = (p_cur, p_t, p_tri, p_u, p_v, ok)
         if steps is None:
             st = _run_while(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
-                            st, any_hit, alpha_of)
+                            st, any_hit, alpha_of, step_fn)
         else:
             st = _run_steps(steps, rows, links, p_off, p_o, p_d, p_inv,
-                            tmax_eff, st, any_hit, alpha_of)
+                            tmax_eff, st, any_hit, alpha_of, step_fn)
         tier_stack.append((orig, cur_bufs))
         cur_bufs = st
         cur_o, cur_d, cur_inv, cur_off, cur_alive = (p_o, p_d, p_inv, p_off,
@@ -794,7 +1114,8 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
         [cur, t_best, best_tri, uo, vo, o, directions, inv_d, okt_off])
     p_cur, p_t, p_tri, p_u, p_v, p_o, p_d, p_inv, p_off = packed
     st = _run_while(rows, links, p_off, p_o, p_d, p_inv, tmax_eff,
-                    (p_cur, p_t, p_tri, p_u, p_v, ok), any_hit, alpha_of)
+                    (p_cur, p_t, p_tri, p_u, p_v, ok), any_hit, alpha_of,
+                    step_fn)
     parent = (cur, t_best, best_tri, uo, vo, alive)
     merged = tuple(pa.at[orig].set(ch, mode="drop")
                    for pa, ch in zip(parent, st))
@@ -802,7 +1123,7 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
 
     st = _run_while(rows, links, okt_off, o, directions, inv_d, tmax_eff,
                     (cur, t_best, best_tri, uo, vo, alive),
-                    any_hit, alpha_of)
+                    any_hit, alpha_of, step_fn)
     _, t_best, best_tri, uo, vo, alive = st
     trunc += jnp.sum(alive.astype(jnp.int32))
 

@@ -105,7 +105,8 @@ def _interp_lod_aniso(scene, mat_id, interp, max_aniso: float):
 
 
 def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
-                 max_aniso: float = 16.0):
+                 max_aniso: float = 16.0,
+                 coverage_capacity: int | None = None):
     """Per-pixel opacity + pass-threshold for a masked raster layer.
 
     MASK prims alpha-clip at the material's alphaCutoff
@@ -131,8 +132,28 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
                  _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
     else:
         lod = _interp_lod(scene, mat_id, interp)
-    a_tex = tex_mod.sample_stack_alpha(scene.mat_stack, mat_id, uv,
-                                       lod=lod, jitter=jitter)
+    # Peel layers cover only the masked-geometry pixels; compact them so
+    # the alpha-mirror gather costs capacity indices, not H*W (same
+    # rationale as resolve_gbuffer's coverage_capacity).
+    if coverage_capacity is not None:
+        hw = tri.size
+        jx = jitter[..., 0] if jitter is not None else jnp.zeros(tri.shape)
+        jy = jitter[..., 1] if jitter is not None else jnp.zeros(tri.shape)
+        packed = jnp.stack(
+            [uv[..., 0], uv[..., 1], lod,
+             mat_id.astype(jnp.float32), jx, jy], -1).reshape(hw, 6)
+        (pix,) = jnp.nonzero((tri >= 0).reshape(hw), size=coverage_capacity,
+                             fill_value=hw)
+        sel = packed[jnp.minimum(pix, hw - 1)]
+        a_k = tex_mod.sample_stack_alpha(
+            scene.mat_stack, sel[:, 3].astype(jnp.int32), sel[:, 0:2],
+            lod=sel[:, 2],
+            jitter=(sel[:, 4:6] if jitter is not None else None))
+        a_tex = jnp.zeros((hw,), a_k.dtype).at[pix].set(
+            a_k, mode="drop").reshape(tri.shape)
+    else:
+        a_tex = tex_mod.sample_stack_alpha(scene.mat_stack, mat_id, uv,
+                                           lod=lod, jitter=jitter)
     fac = mu.onehot_lookup(scene.mat_params, jnp.maximum(mat_id, 0))
     alpha = fac[..., 6] * a_tex
     blend_noise = _frame_noise(
@@ -160,7 +181,8 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
                     trilinear: bool = True,
                     mip_dither=None, uv_dither: bool = False,
                     return_normal3: bool = False,
-                    max_aniso: float = 16.0):
+                    max_aniso: float = 16.0,
+                    coverage_capacity: int | None = None):
     """tri: (H, W) int32 global triangle indices (-1 = background);
     interp: (16, H, W) f32 per-pixel attributes emitted by the raster
     kernel's attribute-select pass (raster.INTERP_CHANNELS layout:
@@ -211,10 +233,33 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
     else:
         lod = _interp_lod(scene, mat_id, interp)
 
-    # One interleaved fetch for every texture slot
-    chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
-                                          lod=lod, trilinear=trilinear,
-                                          jitter=jitter)
+    # One interleaved fetch for every texture slot. For sparse layers
+    # (decals: most pixels are background) the HBM stack gather is
+    # index-bound (~25 ms at 2M indices into the full-scene stack), so
+    # coverage_capacity compacts the covered pixels first — the fetch then
+    # costs capacity indices, not H*W. Overflowing pixels degrade to
+    # untextured (callers report the overflow count as a stat).
+    if coverage_capacity is not None:
+        hw = tri.size
+        jx = jitter[..., 0] if jitter is not None else jnp.zeros(tri.shape)
+        jy = jitter[..., 1] if jitter is not None else jnp.zeros(tri.shape)
+        packed = jnp.stack(
+            [uv[..., 0], uv[..., 1], lod,
+             mat_id.astype(jnp.float32), jx, jy], -1).reshape(hw, 6)
+        (pix,) = jnp.nonzero(mask.reshape(hw), size=coverage_capacity,
+                             fill_value=hw)
+        sel = packed[jnp.minimum(pix, hw - 1)]
+        chans_k = tex_mod.sample_material_stack(
+            scene.mat_stack, sel[:, 3].astype(jnp.int32), sel[:, 0:2],
+            lod=sel[:, 2], trilinear=trilinear,
+            jitter=(sel[:, 4:6] if jitter is not None else None))
+        chans = jnp.zeros((hw, chans_k.shape[-1]), chans_k.dtype) \
+            .at[pix].set(chans_k, mode="drop") \
+            .reshape(tri.shape + (chans_k.shape[-1],))
+    else:
+        chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
+                                              lod=lod, trilinear=trilinear,
+                                              jitter=jitter)
     tx = tex_mod.decode_stack_channels(chans)
     fac = mu.onehot_lookup(scene.mat_params,
                            jnp.maximum(mat_id, 0))     # (H, W, 16)

@@ -187,7 +187,9 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
                 uv_dither=(config.stochastic_bilinear and stoch),
-                max_aniso=float(config.max_anisotropy))
+                max_aniso=float(config.max_anisotropy),
+                coverage_capacity=max(4096,
+                                      (params.width * params.height) // 2))
             hit = m_tri >= 0
             passed = hit & (alpha >= thresh)
             newly = passed & (acc_tri < 0)
@@ -241,6 +243,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
             scene.prim_is_decal > 0, params,
             world_n_v=world_n_v, world_t_v=world_t_v)
+        # Decals cover a sparse pixel set; compact the covered pixels so
+        # the material-stack gather costs capacity indices, not H*W
+        # (index-bound HBM gather — the full-screen variant was ~25 ms).
+        d_cap = max(4096, (params.width * params.height) // 4)
         d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, d_interp,
                                        fc.inv_view_proj, params.width,
                                        params.height,
@@ -248,7 +254,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                                                    if stoch else None),
                                        uv_dither=(config.stochastic_bilinear
                                                   and stoch),
-                                       max_aniso=float(config.max_anisotropy))
+                                       max_aniso=float(config.max_anisotropy),
+                                       coverage_capacity=d_cap)
+        stats["decal_overflow"] = jnp.maximum(
+            (d_tri >= 0).sum().astype(jnp.int32) - d_cap, 0)
         covers = d_gb.mask & (d_depth >= depth - 1e-5)
         a = jnp.where(covers, d_gb.base_color[..., 3], 0.0)[..., None]
         opaque = (a > 0.5)

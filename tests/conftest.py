@@ -26,6 +26,12 @@ sys.path.insert(0, str(REPO_ROOT))
 
 import jax  # noqa: E402
 
+# Force the platform list to cpu-only BEFORE any backend initializes: the
+# suite never uses the real chip (virtual 8-device CPU mesh), and without
+# this jax.devices("cpu") initializes every registered platform — a flaky
+# axon tunnel then fails the whole suite's conftest import.
+jax.config.update("jax_platforms", "cpu")
+
 _CPU_DEVICES = jax.devices("cpu")
 jax.config.update("jax_default_device", _CPU_DEVICES[0])
 

@@ -100,6 +100,76 @@ def test_backface_culling():
     assert hits.sum() == 1
 
 
+def make_wide_bvh(tris, double_sided=True):
+    rows8, leaf_tri = bvh_mod.build_wide(tris)
+    n_rows = rows8.shape[0] // 8
+    r8 = rows8.reshape(8, n_rows, bvh_mod.WIDE_LANES)
+    ds = 1.0 if double_sided else 0.0
+    for s in range(bvh_mod.LEAF_K):
+        ok = leaf_tri[:, s] >= 0
+        lane = 11 if s == 0 else bvh_mod._DS1_OFF + s - 1
+        r8[:, ok, lane] = ds
+    return bvh_mod.SceneBVH(
+        rows=jnp.asarray(r8.reshape(8 * n_rows, bvh_mod.WIDE_LANES)),
+        links=jnp.zeros((1, 2), jnp.float32), wide=True)
+
+
+def test_wide_closest_hit_matches_brute_force(rng):
+    # Enough triangles that the collapse emits several wide levels.
+    tris = random_tris(900, rng)
+    b = make_wide_bvh(tris)
+    nr = 256
+    o = rng.uniform(-15, 15, (nr, 3)).astype(np.float32)
+    d = rng.normal(size=(nr, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    out = bvh_mod.trace(b, jnp.asarray(o), jnp.asarray(d))
+    bt, bi = brute_force_closest(tris, o, d)
+
+    hit = bi >= 0
+    np.testing.assert_array_equal(np.asarray(out["tri"] >= 0), hit)
+    np.testing.assert_allclose(np.asarray(out["t"])[hit], bt[hit],
+                               rtol=1e-4, atol=1e-4)
+    same = np.asarray(out["tri"])[hit] == bi[hit]
+    assert same.mean() > 0.99
+
+
+def test_wide_matches_binary_trace(rng):
+    # Same geometry through both layouts: identical hit sets and depths.
+    tris = random_tris(500, rng)
+    bw = make_wide_bvh(tris)
+    bb = make_bvh(tris)
+    nr = 128
+    o = rng.uniform(-15, 15, (nr, 3)).astype(np.float32)
+    d = rng.normal(size=(nr, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ow = bvh_mod.trace(bw, jnp.asarray(o), jnp.asarray(d))
+    ob = bvh_mod.trace(bb, jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(ow["tri"] >= 0),
+                                  np.asarray(ob["tri"] >= 0))
+    hit = np.asarray(ob["tri"]) >= 0
+    np.testing.assert_allclose(np.asarray(ow["t"])[hit],
+                               np.asarray(ob["t"])[hit],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wide_any_hit_and_culling():
+    quad = np.array([[[-5, -5, 0], [5, -5, 0], [5, 5, 0]],
+                     [[-5, -5, 0], [5, 5, 0], [-5, 5, 0]]], np.float32)
+    b = make_wide_bvh(quad)
+    o = jnp.asarray([[0, 0, -3], [0, 0, -3], [8, 8, -3]], jnp.float32)
+    d = jnp.asarray([[0, 0, 1], [0, 0, -1], [0, 0, 1]], jnp.float32)
+    occ = np.asarray(bvh_mod.occluded(b, o, d, tmin=0.1, tmax=1000.0))
+    assert occ.tolist() == [True, False, False]
+
+    tri = np.array([[[-1, -1, 5], [1, -1, 5], [0, 1, 5]]], np.float32)
+    bc = make_wide_bvh(tri, double_sided=False)
+    o2 = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 10.0]])
+    d2 = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    out = bvh_mod.trace(bc, o2, d2)
+    assert (np.asarray(out["tri"]) >= 0).sum() == 1
+
+
 def test_scene_bvh_build(rng):
     pts = np.array([[-4, -2, 5], [4, -2, 5], [0, 4, 5]], np.float32)
     scene = make_scene(pts, [[0, 1, 2]])
