@@ -120,7 +120,17 @@ def main(argv=None):
         from ..config import EnvSkyMode
         cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
     t0 = time.time()
-    host = load_scene(args.model, texture_max_dim=args.texture_max_dim)
+
+    def _progress(stage, frac):
+        # load-progress reporting (ref: inc/scene.h:131-142); \r keeps it
+        # one line like the reference's progress bar
+        print(f"\r[load] {stage} {frac * 100:5.1f}%", end="",
+              file=sys.stderr, flush=True)
+        if frac >= 1.0:
+            print(file=sys.stderr)
+
+    host = load_scene(args.model, texture_max_dim=args.texture_max_dim,
+                      progress=_progress)
     print(f"[scene] {host.name}: {host.scene.meta.num_triangles} tris, "
           f"{host.scene.meta.num_primitives} prims, "
           f"load {time.time() - t0:.1f}s")

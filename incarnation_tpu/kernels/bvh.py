@@ -960,15 +960,20 @@ _SCHEDULES = {
     # capacity overflow is recovered, so a mis-guess costs time, not hits
     (True, "anyhit"): (16, ((1, 16), (2, 32), (3, 48), (5, None))),
 }
-# 8-wide trees walk ~3x fewer steps (depth ~6 vs ~17); provisional until
-# a wide survival curve is measured
+# 8-wide trees reach matched survival in ~half the binary steps.
+# Measured (tools/bvh_curve.py --atrium, wide, scene camera): primaries
+# 100% alive @16 / 98% @24 / 69% @32 / 22% @48 / 5.8% @64 / 0.03% @96;
+# incoherent 60% @1 / 41% @24 / 18% @32 / 4.5% @48 / 1.2% @64. Tiers keep
+# >= 1.1x capacity headroom over the curve; overflow is recovered by the
+# full-width tail.
 _SCHEDULES_WIDE = {
-    (False, "primary"): (_SEG0, _TIERS),
-    (False, "incoherent"): (_SEG0, _TIERS),
-    (False, "anyhit"): (_SEG0, _TIERS),
-    (True, "primary"): (32, ((1, 16), (3, 24), (5, None))),
-    (True, "incoherent"): (16, ((1, 16), (2, 24), (4, None))),
-    (True, "anyhit"): (8, ((1, 8), (2, 16), (4, None))),
+    (False, "primary"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
+    (False, "incoherent"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
+    (False, "anyhit"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
+    (True, "primary"): (48, ((2, 16), (4, 16), (6, None))),
+    (True, "incoherent"): (24, ((1, 8), (2, 16), (4, 16), (6, None))),
+    # any-hit rays die on FIRST accepted hit — earlier compaction
+    (True, "anyhit"): (16, ((1, 8), (2, 16), (4, None))),
 }
 
 

@@ -44,7 +44,7 @@ def _to_device(tree):
 
 
 def load_scene_cached(path, texture_max_dim: int = 2048, tod_sun=None,
-                      use_cache: bool = True):
+                      use_cache: bool = True, progress=None):
     """load_scene with a transparent pickle cache."""
     from .loader import load_scene
     path = pathlib.Path(path)
@@ -54,7 +54,8 @@ def load_scene_cached(path, texture_max_dim: int = 2048, tod_sun=None,
             host = pickle.load(f)
         host.scene = _to_device(host.scene)
         return host
-    host = load_scene(path, texture_max_dim=texture_max_dim, tod_sun=tod_sun)
+    host = load_scene(path, texture_max_dim=texture_max_dim, tod_sun=tod_sun,
+                      progress=progress)
     if use_cache:
         CACHE_DIR.mkdir(exist_ok=True)
         host_np = pickle.dumps(_replace_scene(host, _to_host(host.scene)))

@@ -144,15 +144,21 @@ def triangle_corner_table(positions, normals, tangents, uvs,
 
 
 def load_scene(path, texture_max_dim: int = 2048,
-               tod_sun: Optional[tuple] = None) -> SceneHost:
+               tod_sun: Optional[tuple] = None,
+               progress=None) -> SceneHost:
     """Load a glTF file into a packed Scene.
 
     tod_sun: optional (decimal_hours, julian_date, latitude) for the
     time-of-day sun (ref: FConfig ToD_* fields); otherwise the scene's
     directional light or the default direction is used.
+    progress: optional callable(stage: str, fraction: float) — load-
+    progress reporting during the slow stages (geometry packing, texture
+    decode/mips), mirroring the reference's async-load progress counters
+    (ref: inc/scene.h:131-142 CurrentProgress/Size accumulators).
     """
     path = pathlib.Path(path)
     g = gltf_mod.Gltf.load(path)
+    progress = progress or (lambda stage, frac: None)
 
     # ---- node walk (ref: src/scene.cpp:228-276) ----------------------------
     mesh_instances = []   # (mesh_index, world_transform, name)
@@ -200,7 +206,8 @@ def load_scene(path, texture_max_dim: int = 2048,
     bounds_min = np.full(3, np.inf)
     bounds_max = np.full(3, -np.inf)
 
-    for mesh_idx, world, name in mesh_instances:
+    for inst_i, (mesh_idx, world, name) in enumerate(mesh_instances):
+        progress("geometry", inst_i / max(len(mesh_instances), 1))
         mesh = g.meshes[mesh_idx]
         mesh_id = len(mesh_transforms)
         mesh_transforms.append(world)
@@ -285,8 +292,11 @@ def load_scene(path, texture_max_dim: int = 2048,
         return out
 
     # ---- textures (interleaved per-material stacks) ------------------------
+    progress("geometry", 1.0)
     mat_stack = textures_mod.build_material_stacks(
-        g, max_dim=texture_max_dim)
+        g, max_dim=texture_max_dim,
+        progress=lambda frac: progress("textures", frac))
+    progress("textures", 1.0)
 
     # ---- lights / sun -------------------------------------------------------
     lights = lights_mod.build_light_table(light_defs, light_transforms)

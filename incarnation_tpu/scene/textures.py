@@ -313,13 +313,20 @@ def _slot_image(gltf, tex_index, size, srgb, default):
 
 
 def build_material_stacks(gltf, max_dim: int = 1024,
-                          min_dim: int = 4) -> MaterialTextureStack:
-    """Build the interleaved per-material texture stack from glTF materials."""
+                          min_dim: int = 4,
+                          progress=None) -> MaterialTextureStack:
+    """Build the interleaved per-material texture stack from glTF materials.
+
+    progress: optional callable(fraction) — per-material load progress
+    (texture decode + mip build dominate scene load time; ref:
+    inc/scene.h:131-142 progress accumulators)."""
     mats = list(gltf.materials) or [{}]
     rows = []
     meta = np.zeros((len(mats), 4), np.int32)
     offset = 0
     for mi, m in enumerate(mats):
+        if progress is not None:
+            progress(mi / len(mats))
         pbr = m.get("pbrMetallicRoughness", {})
         ext = m.get("extensions", {})
         tr = ext.get("KHR_materials_transmission", {}) or {}

@@ -20,16 +20,27 @@ def main():
     import jax
     if "--cpu" in sys.argv:
         # survival is a property of tree+rays, not backend — CPU avoids
-        # tying up the chip and the slow tunnel compiles
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        # tying up the chip and the slow tunnel compiles (jax_platforms,
+        # not jax_default_device: the latter initializes every backend
+        # including a possibly-down axon tunnel)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from incarnation_tpu.scene.cache import load_scene_cached
     from incarnation_tpu.kernels import bvh as bvh_mod
 
-    host = load_scene_cached(
-        "/root/reference/content/models/damaged-helmet/DamagedHelmet.gltf",
-        texture_max_dim=2048)
-    bvh = bvh_mod.build_scene_bvh(host.scene)
+    if "--atrium" in sys.argv:
+        from incarnation_tpu.scene import stress
+        host = load_scene_cached(
+            stress.build_atrium(pathlib.Path(__file__).resolve().parents[1]
+                                / ".content_cache" / "atrium"),
+            texture_max_dim=2048)
+    else:
+        host = load_scene_cached(
+            "/root/reference/content/models/damaged-helmet/"
+            "DamagedHelmet.gltf", texture_max_dim=2048)
+    bvh = bvh_mod.build_scene_bvh(host.scene,
+                                  wide="--binary" not in sys.argv)
+    step_fn = bvh_mod._step_wide if bvh.wide else bvh_mod._step
     c = np.asarray(host.bounds_center, np.float32)
     ext = float(np.linalg.norm(np.asarray(host.bounds_extent)))
     print(f"rows {bvh.rows.shape} bounds c={c.round(2)} ext={ext:.2f}")
@@ -37,12 +48,20 @@ def main():
     w, h = 640, 360
     r = w * h
     rng = np.random.default_rng(0)
-    eye = c + np.array([0, 0.25 * ext, -1.9 * ext], np.float32)
-    fwd = c - eye
-    fwd /= np.linalg.norm(fwd)
-    rgt = np.cross([0, 1, 0], fwd).astype(np.float32)
-    rgt /= np.linalg.norm(rgt)
-    up = np.cross(fwd, rgt)
+    if host.cameras:
+        # the scene's own camera — the view the bench/PT actually traces
+        cam = host.cameras[0]
+        eye = np.asarray(cam["position"], np.float32)
+        fwd = np.asarray(cam["look"], np.float32)
+        rgt = np.asarray(cam["right"], np.float32)
+        up = np.asarray(cam["up"], np.float32)
+    else:
+        eye = c + np.array([0, 0.25 * ext, -1.9 * ext], np.float32)
+        fwd = c - eye
+        fwd /= np.linalg.norm(fwd)
+        rgt = np.cross([0, 1, 0], fwd).astype(np.float32)
+        rgt /= np.linalg.norm(rgt)
+        up = np.cross(fwd, rgt)
     xs = (np.arange(w) + 0.5) / w * 2 - 1
     ys = -((np.arange(h) + 0.5) / h * 2 - 1)
     gx, gy = np.meshgrid(xs * np.tan(0.4) * (w / h), ys * np.tan(0.4),
@@ -73,7 +92,7 @@ def main():
             for ck in CHECKPOINTS:
                 st = bvh_mod._run_steps(ck - done, bvh.rows, None, okt,
                                         o_, d_, inv, jnp.inf, st, False,
-                                        None)
+                                        None, step_fn)
                 done = ck
                 outs.append(jnp.sum(st[5].astype(jnp.int32)))
             hit = jnp.sum((st[2] >= 0).astype(jnp.int32))
