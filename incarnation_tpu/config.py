@@ -102,6 +102,12 @@ class Config:
     # overflow is counted in render stats). Binning replaces the reference's
     # GPU atomic-append of indirect draws (ref: culling/batch-culling.hlsl).
     pair_capacity: int = 1 << 20
+    # Pair capacity for the SUN SHADOW depth pass. The ortho sun view bins
+    # far fewer pairs than the camera (measured: ~150k at 2048^2 on the
+    # 289k-tri atrium vs ~170k camera pairs at 1080p) and Pallas raster
+    # cost scales with capacity, so it gets its own, tighter bound.
+    # Overflow shows up in the shadow_bin_overflow stat.
+    shadow_pair_capacity: int = 1 << 18
     # Max screen tiles a single binned triangle may span before it is routed
     # to the per-frame "big triangle" list that every tile processes.
     bin_max_span: int = 16

@@ -58,7 +58,7 @@ def shadow_params(resolution: int, config) -> raster_mod.RasterParams:
     return raster_mod.RasterParams(
         width=resolution, height=resolution,
         tile_h=config.raster_tile_h, tile_w=config.raster_tile_w,
-        pair_capacity=config.pair_capacity,
+        pair_capacity=config.shadow_pair_capacity,
         bin_max_span=config.bin_max_span,
         big_tri_capacity=config.big_tri_capacity,
         depth_only=True)
