@@ -46,16 +46,48 @@ def test_frame_deterministic():
     np.testing.assert_array_equal(a, b)
 
 
-def test_golden_image():
+def _gate(out, name):
     """PSNR gate against the checked-in golden (regenerate with
     REGEN_GOLDENS=1 when an intentional rendering change lands)."""
     import os
-    out = np.asarray(render()["color"])
-    golden_path = GOLDEN_DIR / "golden_two_tris.png"
+    golden_path = GOLDEN_DIR / name
     if os.environ.get("REGEN_GOLDENS") == "1" or not golden_path.exists():
         save_png(golden_path, out)
         pytest.skip("golden regenerated")
     from PIL import Image
     golden = np.asarray(Image.open(golden_path).convert("RGB"))
     value = psnr(out / 255.0, golden / 255.0)
-    assert value > 45.0, f"PSNR vs golden dropped to {value:.1f} dB"
+    assert value > 45.0, f"PSNR vs {name} dropped to {value:.1f} dB"
+
+
+def test_golden_image():
+    _gate(np.asarray(render()["color"]), "golden_two_tris.png")
+
+
+def _render_rich(forward: bool):
+    """Every raster feature in one image: textured floor, MASK depth
+    peels, decal blend, clustered point+spot lights, sun shadow map."""
+    from incarnation_tpu.scene.testing import make_rich_scene
+    scene = make_rich_scene()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP,
+                 sun_shadow_mode="map", enable_taa=False,
+                 forward_lighting=forward, masked_depth_peels=2)
+    fc = frame_mod.FrameConstants.make(
+        View.from_lookat([0.0, 3.0, -6.0], [0.0, 0.5, 6.0], aspect=W / H),
+        cfg, sun_dir=[0.3, 0.8, -0.4],
+        sun_color_intensity=[1.0, 0.95, 0.9, 100.0],
+        shadow_bounds=(np.zeros(3, np.float32), 18.0))
+    params = RasterParams(width=W, height=H, tile_h=16, tile_w=128,
+                          pair_capacity=1024, bin_max_span=8,
+                          big_tri_capacity=32, chunk=8)
+    out = frame_mod.render_frame_jit(scene, fc, cfg, params)
+    assert int(out["stats"]["decal_overflow"]) == 0
+    return np.asarray(out["color"])
+
+
+def test_golden_rich_deferred():
+    _gate(_render_rich(forward=False), "golden_rich_deferred.png")
+
+
+def test_golden_rich_forward():
+    _gate(_render_rich(forward=True), "golden_rich_forward.png")
