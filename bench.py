@@ -110,9 +110,36 @@ def _bench_view(host, w, h):
                             aspect=w / h)
 
 
+def _wait_for_chip(max_wait_s: float = 1500.0):
+    """The axon TPU tunnel occasionally drops and hangs backend init with
+    no timeout. Probe it in a BOUNDED subprocess and retry, so a flapping
+    tunnel delays the bench instead of hanging it forever."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(f"# TPU tunnel unreachable after {attempt} probes; "
+                  "benching anyway on the default backend", file=sys.stderr)
+            return False
+        print(f"# TPU probe {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     from incarnation_tpu.utils import jaxinit
     jaxinit.setup()
+    _wait_for_chip()
     from incarnation_tpu.config import Config
     from incarnation_tpu.kernels.raster import RasterParams
     from incarnation_tpu.renderer import frame as frame_mod
