@@ -180,9 +180,18 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         acc_depth = jnp.zeros_like(depth)
         acc_interp = jnp.zeros_like(interp)
         zlim = jnp.full(depth.shape, 2.0, jnp.float32)
+        # Every peel layer rasters the SAME triangle set (only z_limit
+        # changes), so bin/sort once and re-run only the fine raster per
+        # peel — binning is ~1/3 of a raster pass at bench pair counts.
+        peel_bins = raster.bin_triangles(
+            prep.setup_t, prep.ids, prep.valid & tri_masked, prep.bbox,
+            params, prep.attr_flat)
+        stats["bin_overflow"] = stats["bin_overflow"] + peel_bins.overflow
+        stats["big_overflow"] = stats["big_overflow"] \
+            + peel_bins.big_overflow
         for _ in range(max(1, config.masked_depth_peels)):
-            m_tri, m_depth, m_interp, m_stats = raster.raster_layer(
-                prep, params, layer_valid=tri_masked, z_limit=zlim)
+            m_tri, m_depth, m_interp = raster.rasterize_tiles(
+                peel_bins, params, z_limit=zlim)
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
@@ -198,8 +207,6 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             acc_interp = jnp.where(newly[None], m_interp, acc_interp)
             cont = hit & ~passed & (acc_tri < 0)
             zlim = jnp.where(cont, m_depth, 0.0)
-            for k_ in ("bin_overflow", "big_overflow"):
-                stats[k_] = stats[k_] + m_stats[k_]
         # Pixels whose LAST peel still alpha-failed fall through to the
         # opaque/background winner silently — count them (mirror of
         # bin_overflow; ref clip never truncates, visibility-pass.hlsl:101).
@@ -333,9 +340,16 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         c_acc = jnp.zeros_like(hdr)
         transmit = jnp.ones(hdr.shape[:2] + (1,), jnp.float32)
         zlim = jnp.full(depth.shape, 2.0, jnp.float32)
+        # Same hoist as the masked-peel loop: one binning for all layers.
+        blend_bins = raster.bin_triangles(
+            prep.setup_t, prep.ids, prep.valid & tri_blend, prep.bbox,
+            params, prep.attr_flat)
+        stats["bin_overflow"] = stats["bin_overflow"] + blend_bins.overflow
+        stats["big_overflow"] = stats["big_overflow"] \
+            + blend_bins.big_overflow
         for _ in range(max(1, config.masked_depth_peels)):
-            b_tri, b_depth, b_interp, b_stats = raster.raster_layer(
-                prep, params, layer_valid=tri_blend, z_limit=zlim)
+            b_tri, b_depth, b_interp = raster.rasterize_tiles(
+                blend_bins, params, z_limit=zlim)
             gb_b, n3_b = resolve.resolve_gbuffer(
                 b_tri, b_depth, scene, b_interp, fc.inv_view_proj,
                 params.width, params.height, return_normal3=True)
@@ -351,8 +365,6 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             c_acc = c_acc + transmit * a * hdr_b
             transmit = transmit * (1.0 - a)
             zlim = jnp.where(gb_b.mask, b_depth, 0.0)
-            for k_ in ("bin_overflow", "big_overflow"):
-                stats[k_] = stats[k_] + b_stats[k_]
         hdr = c_acc + transmit * hdr
 
     # TAA resolve (ref: render-jobs/taa-resolve.inl): reproject + clamp +

@@ -290,8 +290,19 @@ _NEUTRAL_TEXEL = np.array(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MaterialTextureStack:
-    flat: jnp.ndarray       # (K, 4) uint32 texel rows
-    meta: jnp.ndarray       # (NM, 4) int32: base, size, num_levels, address
+    # Split texel storage: the HBM gather that feeds every shaded pixel is
+    # index-bound with a strong table-SIZE term (measured: 2M indices cost
+    # ~9 ms on a 22 MB table but ~22 ms on a 178 MB one), so the 8 core
+    # bytes every pixel needs (base rgba, normal.xy, metallic, roughness)
+    # live apart from the 8 extras bytes (emissive rgb, ao, transmission,
+    # clearcoat) that exist only for materials with those textures — most
+    # scenes gather a table half the size, and extras-free scenes skip the
+    # second gather entirely (factors still apply via mat_params).
+    flat: jnp.ndarray       # (K, 2) int32 core texel rows (w0, w1)
+    extra: jnp.ndarray      # (Ke, 2) int32 extras rows (w2, w3); (1, 2)
+    #                         dummy when no material has extras textures
+    meta: jnp.ndarray       # (NM, 5) int32: base, size, num_levels,
+    #                         address, extras base (-1 = none)
     # alpha-only mirror, 16 texels per row (base-color alpha u8): alpha
     # tests (masked peels, PT any-hit) gather this ~16x smaller table —
     # HBM-gather cost is locality-bound, so a 1/16th-size table fetches
@@ -322,8 +333,10 @@ def build_material_stacks(gltf, max_dim: int = 1024,
     inc/scene.h:131-142 progress accumulators)."""
     mats = list(gltf.materials) or [{}]
     rows = []
-    meta = np.zeros((len(mats), 4), np.int32)
+    erows = []
+    meta = np.zeros((len(mats), 5), np.int32)
     offset = 0
+    eoffset = 0
     for mi, m in enumerate(mats):
         if progress is not None:
             progress(mi / len(mats))
@@ -378,8 +391,13 @@ def build_material_stacks(gltf, max_dim: int = 1024,
             address = gltf_sampler_modes(
                 gltf, gltf.textures[slots["base"]])[0]
 
+        # extras rows exist only when any of their source textures does
+        has_extras = any(slots[k] >= 0
+                         for k in ("emissive", "ao", "transmission",
+                                   "clearcoat"))
         num_levels = int(np.log2(size)) + 1
-        meta[mi] = [offset, size, num_levels, address]
+        meta[mi] = [offset, size, num_levels, address,
+                    eoffset if has_extras else -1]
 
         chans = np.concatenate([
             base_f,                                    # 0-3 (linear rgb here)
@@ -415,11 +433,15 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                   | (u8[..., 3] << 24))
             w1 = (u8[..., 4] | (u8[..., 5] << 8) | (u8[..., 6] << 16)
                   | (u8[..., 7] << 24))
-            w2 = (u8[..., 8] | (u8[..., 9] << 8) | (u8[..., 10] << 16)
-                  | (u8[..., 11] << 24))
-            w3 = (u8[..., 12] | (u8[..., 13] << 8) | (u8[..., 14] << 16))
-            rows.append(np.stack([w0, w1, w2, w3], -1).reshape(-1, 4))
+            rows.append(np.stack([w0, w1], -1).reshape(-1, 2))
             offset += rows[-1].shape[0]
+            if has_extras:
+                w2 = (u8[..., 8] | (u8[..., 9] << 8) | (u8[..., 10] << 16)
+                      | (u8[..., 11] << 24))
+                w3 = (u8[..., 12] | (u8[..., 13] << 8)
+                      | (u8[..., 14] << 16))
+                erows.append(np.stack([w2, w3], -1).reshape(-1, 2))
+                eoffset += erows[-1].shape[0]
             if cur.shape[0] > 1:
                 cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
                               + cur[0::2, 1::2] + cur[1::2, 1::2])
@@ -428,19 +450,30 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                                     + cur_r[0::2, 1::2] + cur_r[1::2, 1::2])
 
     flat_u32 = np.concatenate(rows, 0)
+    extra_u32 = (np.concatenate(erows, 0) if erows
+                 else np.zeros((1, 2), np.uint32))
     return MaterialTextureStack(
         flat=jnp.asarray(flat_u32.view(np.int32)),
+        extra=jnp.asarray(extra_u32.view(np.int32)),
         meta=jnp.asarray(meta),
         alpha=jnp.asarray(_pack_alpha_table(flat_u32)))
 
 
 def make_material_stack(flat_u32: np.ndarray,
                         meta: np.ndarray) -> MaterialTextureStack:
-    """Construct a stack from (K, 4) uint32 texel rows + (NM, 4) meta,
-    deriving the packed alpha mirror."""
+    """Construct a stack from (K, 4) uint32 texel rows + (NM, 4) meta
+    (the legacy interleaved layout: w0..w3 per texel), splitting into the
+    core/extras tables and deriving the packed alpha mirror. Every
+    material keeps extras rows at the same relative offsets as its core
+    rows (extras base = core base)."""
+    flat_u32 = np.asarray(flat_u32, np.uint32)
+    meta = np.asarray(meta)
+    if meta.shape[1] == 4:
+        meta = np.concatenate([meta, meta[:, 0:1]], axis=1)  # ebase = base
     return MaterialTextureStack(
-        flat=jnp.asarray(flat_u32.view(np.int32)),
-        meta=jnp.asarray(meta),
+        flat=jnp.asarray(flat_u32[:, 0:2].copy().view(np.int32)),
+        extra=jnp.asarray(flat_u32[:, 2:4].copy().view(np.int32)),
+        meta=jnp.asarray(meta.astype(np.int32)),
         alpha=jnp.asarray(_pack_alpha_table(flat_u32)))
 
 
@@ -490,8 +523,32 @@ def _unpack_u8(word, shift):
     return ((word >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
 
 
-def _stack_bilinear(flat, base, s, uv, address):
-    """One-level bilinear fetch of the full interleaved texel row.
+def _fetch_rows(table, idx):
+    """Gather (..., 2)-word rows at idx and unpack to (..., 8) u8 floats."""
+    w = table[idx].astype(jnp.uint32)
+    chans = []
+    for wi in range(2):
+        for shift in (0, 8, 16, 24):
+            chans.append(_unpack_u8(w[..., wi], shift))
+    return jnp.stack(chans, axis=-1)
+
+
+def _fetch_texel(stack, base, ebase, rel):
+    """Core + extras channels for texel rows at base+rel / ebase+rel.
+    Materials without extras rows (ebase < 0) read storage-space 1.0 for
+    all extras channels — the slot defaults are white, so only the
+    mat_params factors apply, matching the pre-split behavior. The extras
+    gather is skipped entirely (static) when NO material has extras."""
+    core = _fetch_rows(stack.flat, base + rel)           # (..., 8)
+    if stack.extra.shape[0] <= 1:
+        return jnp.concatenate([core, jnp.ones_like(core)], axis=-1)
+    ex = _fetch_rows(stack.extra, jnp.maximum(ebase, 0) + rel)
+    ex = jnp.where((ebase >= 0)[..., None], ex, 1.0)
+    return jnp.concatenate([core, ex], axis=-1)          # (..., 16)
+
+
+def _stack_bilinear(stack, base, ebase, s, uv, address):
+    """One-level bilinear fetch of the full texel row set.
     Returns (..., 16) float channel values (storage space)."""
     sf = s.astype(jnp.float32)
     fx = uv[..., 0] * sf - 0.5
@@ -504,12 +561,7 @@ def _stack_bilinear(flat, base, s, uv, address):
     ys = [_address(y0, s, address), _address(y0 + 1, s, address)]
 
     def fetch(x, y):
-        w = flat[base + y * s + x].astype(jnp.uint32)   # (..., 4) u32
-        chans = []
-        for wi in range(4):
-            for shift in (0, 8, 16, 24):
-                chans.append(_unpack_u8(w[..., wi], shift))
-        return jnp.stack(chans, axis=-1)                 # (..., 16)
+        return _fetch_texel(stack, base, ebase, y * s + x)
 
     c00 = fetch(xs[0], ys[0])
     c10 = fetch(xs[1], ys[0])
@@ -520,8 +572,8 @@ def _stack_bilinear(flat, base, s, uv, address):
     return top * (1 - ty) + bot * ty
 
 
-def _stack_point(flat, base, s, uv, address, jitter):
-    """Stochastic-bilinear point fetch: ONE gather of the interleaved row.
+def _stack_point(stack, base, ebase, s, uv, address, jitter):
+    """Stochastic-bilinear point fetch: ONE gather per texel table.
 
     jitter: (..., 2) uniforms in [0, 1). Sampling texel
     floor(u*s - 0.5 + j) picks the bilinear footprint's x0+1 with exactly the
@@ -533,12 +585,7 @@ def _stack_point(flat, base, s, uv, address, jitter):
     fy = uv[..., 1] * sf - 0.5 + jitter[..., 1]
     x = _address(jnp.floor(fx).astype(jnp.int32), s, address)
     y = _address(jnp.floor(fy).astype(jnp.int32), s, address)
-    w = flat[base + y * s + x].astype(jnp.uint32)        # (..., 4) u32
-    chans = []
-    for wi in range(4):
-        for shift in (0, 8, 16, 24):
-            chans.append(_unpack_u8(w[..., wi], shift))
-    return jnp.stack(chans, axis=-1)                     # (..., 16)
+    return _fetch_texel(stack, base, ebase, y * s + x)
 
 
 def stack_meta_lookup(stack: MaterialTextureStack, mat_id):
@@ -563,29 +610,38 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
     Returns (..., 16) float channels in storage space (base/emissive rgb are
     still sRGB-encoded; use decode_stack_channels to finish).
     """
-    meta = stack_meta_lookup(stack, mat_id)              # (..., 4)
+    meta = stack_meta_lookup(stack, mat_id)              # (..., 5)
     base = meta[..., 0]
     size = meta[..., 1]
     levels = meta[..., 2]
     address = meta[..., 3]
+    ebase = meta[..., 4]
+
+    def elevel(off):
+        # extras rows share the core's per-level relative offsets
+        return jnp.where(ebase >= 0, ebase + off, -1)
 
     if lod is None:
         if jitter is not None:
-            return _stack_point(stack.flat, base, size, uv, address, jitter)
-        return _stack_bilinear(stack.flat, base, size, uv, address)
+            return _stack_point(stack, base, ebase, size, uv, address,
+                                jitter)
+        return _stack_bilinear(stack, base, ebase, size, uv, address)
     lod = jnp.clip(lod, 0.0, (levels - 1).astype(jnp.float32))
     l0 = jnp.floor(lod).astype(jnp.int32)
-    b0 = base + _level_offset(size, l0)
+    off0 = _level_offset(size, l0)
+    b0 = base + off0
     s0 = jnp.maximum(size >> l0, 1)
     if jitter is not None:
-        return _stack_point(stack.flat, b0, s0, uv, address, jitter)
-    out0 = _stack_bilinear(stack.flat, b0, s0, uv, address)
+        return _stack_point(stack, b0, elevel(off0), s0, uv, address,
+                            jitter)
+    out0 = _stack_bilinear(stack, b0, elevel(off0), s0, uv, address)
     if not trilinear:
         return out0
     l1 = jnp.minimum(l0 + 1, levels - 1)
-    b1 = base + _level_offset(size, l1)
+    off1 = _level_offset(size, l1)
+    b1 = base + off1
     s1 = jnp.maximum(size >> l1, 1)
-    out1 = _stack_bilinear(stack.flat, b1, s1, uv, address)
+    out1 = _stack_bilinear(stack, b1, elevel(off1), s1, uv, address)
     frac = (lod - l0.astype(jnp.float32))[..., None]
     return out0 * (1 - frac) + out1 * frac
 
