@@ -309,6 +309,12 @@ def main(argv=None):
                                   + (2 if ov > 65536 else 1))
                 print(f"[peels] {ov} px overflowed {old}-layer peeling -> "
                       f"masked_depth_peels={cfg.masked_depth_peels}")
+                if args.frames == 1:
+                    # single-shot render: redo frame 0 at the raised count
+                    # so the written image has no truncated peels
+                    out = frame_mod.render_frame_jit(
+                        host.scene, fc, cfg, params, probe, env_brdf,
+                        history, scene_bvh)
         if cfg.enable_taa and args.frames > 1:
             history = out["accumulation"]
             prev_vp = np.asarray(fc.view_proj)

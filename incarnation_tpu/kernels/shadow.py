@@ -79,7 +79,21 @@ def render_sun_shadow_map(scene, scene_rotation, sun_vp,
                                        prim_visible, params,
                                        emit_attributes=False)
     tri, depth, stats = raster_mod.raster_depth(prep, params)
-    return depth, stats
+    return pack_depth_u16(depth), stats
+
+
+def pack_depth_u16(depth):
+    """Quantize NDC depth to u16 and pack two texels per i32 word.
+
+    The per-pixel visibility gather is HBM-index-bound with a strong
+    table-SIZE term, so halving the map's bytes (f32 -> packed u16) makes
+    the 2M-index fetch measurably cheaper. The quantization step (1/65535)
+    sits ~50x below the smallest shadow bias (1.5 * 2/resolution at
+    resolution <= 4096), so the depth compare is unaffected."""
+    q = jnp.clip(jnp.round(depth.astype(jnp.float32) * 65535.0),
+                 0, 65535).astype(jnp.uint32)
+    q = q.reshape(-1, 2)
+    return (q[:, 0] | (q[:, 1] << 16)).astype(jnp.int32)
 
 
 def sun_visibility(world_pos, n_dot_l, shadow_depth, sun_vp,
@@ -87,9 +101,10 @@ def sun_visibility(world_pos, n_dot_l, shadow_depth, sun_vp,
     """Per-pixel sun visibility from the shadow map.
 
     world_pos: (H, W, 3) in the same (rotated) space the map was rendered
-    in; n_dot_l: (H, W) for slope-scaled bias; dither: optional frame index
-    enabling the stochastic 1-texel PCF jitter (TAA resolves the penumbra).
-    Returns (H, W) float32 in {0, 1}.
+    in; n_dot_l: (H, W) for slope-scaled bias; shadow_depth: the packed-u16
+    map from render_sun_shadow_map (pack_depth_u16); dither: optional frame
+    index enabling the stochastic 1-texel PCF jitter (TAA resolves the
+    penumbra). Returns (H, W) float32 in {0, 1}.
     """
     h, w = world_pos.shape[:2]
     wp_h = jnp.concatenate([world_pos,
@@ -108,9 +123,13 @@ def sun_visibility(world_pos, n_dot_l, shadow_depth, sun_vp,
         v = v + (jy - 0.5) * 2.0
     xi = jnp.clip(u.astype(jnp.int32), 0, resolution - 1)
     yi = jnp.clip(v.astype(jnp.int32), 0, resolution - 1)
-    # linear-index gather of the flattened map (a 2-D [yi, xi] gather
-    # lowers to a slower two-coordinate gather on TPU)
-    d = shadow_depth.reshape(-1)[yi * resolution + xi]
+    # linear-index gather of the packed map (a 2-D [yi, xi] gather lowers
+    # to a slower two-coordinate gather on TPU); each word carries two
+    # u16 depths, halving the gathered table
+    lin = yi * resolution + xi
+    word = shadow_depth[lin >> 1].astype(jnp.uint32)
+    half = (lin & 1).astype(jnp.uint32) * 16
+    d = ((word >> half) & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
     # Slope-scaled bias in NDC-z units (depth range spans 2.1 * radius;
     # 2-texel worst-case slope + constant offset).
     bias = (1.5 + 2.0 * (1.0 - jnp.clip(n_dot_l, 0.0, 1.0))) * (2.0
