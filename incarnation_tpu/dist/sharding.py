@@ -66,9 +66,9 @@ def render_frame_sharded(scene, fc, *, config, params: raster_mod.RasterParams,
     assembled full-size (stats psum-reduced across devices).
 
     history: optional (H, W, 3) TAA accumulation, band-sharded like the
-    image — reprojection is band-local (no cross-band halo exchange; a
-    reprojected sample that crosses a band boundary falls back to the
-    current frame exactly like an off-screen sample).
+    image — the TAA fetch exchanges a 16-row history halo with neighbor
+    bands over ICI (kernels/taa.py) so reprojection across band seams
+    matches single-chip.
     scene_bvh: optional, replicated — enables ray-traced sun shadows/HBAO.
     """
     n = mesh.shape[axis]

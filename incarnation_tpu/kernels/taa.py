@@ -29,14 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .resolve import world_from_depth
 
 
-def _bilinear_image(img, uv, width: int, height: int, jitter=None):
+def _bilinear_image(img, uv, width: int, height: int, jitter=None,
+                    y_off: int = 0):
     """Bilinear sample of (H, W, C) at uv in [0,1]^2 (clamp address).
 
     jitter: optional (..., 2) uniforms — stochastic-bilinear single-texel
     fetch: ONE row gather instead of four, unbiased in expectation; the TAA
     accumulation realizes the filtered result. (Quad-packing the history was
     tried and is SLOWER here: the packed table is ~100 MB at 1080p and the
-    gather becomes locality-bound.)"""
+    gather becomes locality-bound.)
+
+    y_off: img carries y_off extra rows above AND below the [0, height)
+    viewport (the band-sharded history halo); row addressing extends into
+    them instead of clamping at the viewport edge."""
     fx = uv[..., 0] * width - 0.5
     fy = uv[..., 1] * height - 0.5
     # Pad rows 3 -> 4 floats (16 B): the TPU gather fast path wants
@@ -50,37 +55,39 @@ def _bilinear_image(img, uv, width: int, height: int, jitter=None):
         x = jnp.clip(jnp.floor(fx + jitter[..., 0]).astype(jnp.int32),
                      0, width - 1)
         y = jnp.clip(jnp.floor(fy + jitter[..., 1]).astype(jnp.int32),
-                     0, height - 1)
-        return flat[y * width + x][..., :c]
+                     -y_off, height - 1 + y_off)
+        return flat[(y + y_off) * width + x][..., :c]
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
     x0c = jnp.clip(x0, 0, width - 1)
     x1c = jnp.clip(x0 + 1, 0, width - 1)
-    y0c = jnp.clip(y0, 0, height - 1)
-    y1c = jnp.clip(y0 + 1, 0, height - 1)
+    y0c = jnp.clip(y0, -y_off, height - 1 + y_off) + y_off
+    y1c = jnp.clip(y0 + 1, -y_off, height - 1 + y_off) + y_off
     f = lambda y, x: flat[y * width + x]
     top = f(y0c, x0c) * (1 - tx) + f(y0c, x1c) * tx
     bot = f(y1c, x0c) * (1 - tx) + f(y1c, x1c) * tx
     return (top * (1 - ty) + bot * ty)[..., :c]
 
 
-def _bilinear_const_shift(img, sx, sy):
-    """Bilinear fetch of (H, W, C) at pixel + (sx, sy), a constant
-    (traced-scalar) subpixel shift with edge clamp — the static-camera TAA
-    reprojection (see taa_resolve). |sx|, |sy| <= 3 (caller-gated)."""
-    h, w = img.shape[0], img.shape[1]
+def _bilinear_const_shift(img, sx, sy, y_off: int = 0):
+    """Bilinear fetch at pixel + (sx, sy), a constant (traced-scalar)
+    subpixel shift with edge clamp — the static-camera TAA reprojection
+    (see taa_resolve). |sx|, |sy| <= 3 (caller-gated). img carries y_off
+    extra halo rows above and below the viewport (band-sharded history)."""
+    h, w = img.shape[0] - 2 * y_off, img.shape[1]
     ix = jnp.floor(sx).astype(jnp.int32)
     iy = jnp.floor(sy).astype(jnp.int32)
     tx = sx - ix.astype(jnp.float32)
     ty = sy - iy.astype(jnp.float32)
     pad = 4
     padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    out_shape = (h, w, img.shape[2])
 
     def g(dy, dx):
         return jax.lax.dynamic_slice(
-            padded, (pad + iy + dy, pad + ix + dx, 0), img.shape)
+            padded, (pad + y_off + iy + dy, pad + ix + dx, 0), out_shape)
 
     top = g(0, 0) * (1 - tx) + g(0, 1) * tx
     bot = g(1, 0) * (1 - tx) + g(1, 1) * tx
@@ -95,10 +102,11 @@ _BLOCK_C = 3 * _TILE_W  # horizontal reach: +-1 tile of columns
 
 
 def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
-                      *, width: int, height: int):
+                      *, width: int, height: int, y_off: int):
     """Per-tile reprojected bilinear history fetch (see module docstring).
 
-    hist_hbm: (3, H, W) channel-first history (HBM). out: (3, th, tw) tile.
+    hist_hbm: (3, H + 2*y_off, W) channel-first history (HBM); y_off extra
+    rows above/below are the band-sharded halo. out: (3, th, tw) tile.
     m_ref: (4, 4) combined ndc->prev-clip matrix (inv_view_proj @
     prev_view_proj — the per-pixel world division cancels projectively).
     """
@@ -108,11 +116,13 @@ def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
     tiles_x = width // tw
     ty = ti // tiles_x
     tx = ti - ty * tiles_x
+    hist_rows = height + 2 * y_off
 
     # All three clip candidates are multiples of 8 / 128 (th, W, H are
-    # gated multiples) — the hint lets Mosaic prove the DMA tile alignment.
+    # gated multiples; y_off is 0 or _MARGIN_Y, both multiples of 8) —
+    # the hint lets Mosaic prove the DMA tile alignment.
     block_y0 = pl.multiple_of(
-        jnp.clip(ty * th - _MARGIN_Y, 0, height - _BLOCK_R), 8)
+        jnp.clip(ty * th - _MARGIN_Y + y_off, 0, hist_rows - _BLOCK_R), 8)
     block_x0 = pl.multiple_of(
         jnp.clip((tx - 1) * tw, 0, width - _BLOCK_C), tw)
     dma = pltpu.make_async_copy(
@@ -145,8 +155,8 @@ def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
     ty_w = fy - y0.astype(jnp.float32)
     x0l = jnp.clip(x0 - block_x0, 0, _BLOCK_C - 1)
     x1l = jnp.clip(x0 + 1 - block_x0, 0, _BLOCK_C - 1)
-    y0l = jnp.clip(y0 - block_y0, 0, _BLOCK_R - 1)
-    y1l = jnp.clip(y0 + 1 - block_y0, 0, _BLOCK_R - 1)
+    y0l = jnp.clip(y0 + y_off - block_y0, 0, _BLOCK_R - 1)
+    y1l = jnp.clip(y0 + 1 + y_off - block_y0, 0, _BLOCK_R - 1)
 
     # One-hot weighted selection matrices: rows pick history rows, columns
     # pick history columns; their product with the block IS the bilinear.
@@ -174,13 +184,17 @@ def _taa_fetch_kernel(m_ref, hist_hbm, depth_ref, out_ref, scratch, sem,
 
 
 def _history_fetch_pallas(history, depth, m, width: int, height: int,
-                          interpret: bool):
-    """history (H, W, 3) -> reprojected bilinear fetch (H, W, 3)."""
+                          interpret: bool, y_off: int = 0):
+    """history (H + 2*y_off, W, 3) -> reprojected bilinear fetch (H, W, 3).
+
+    y_off: extra halo rows above/below the viewport (band-sharded history);
+    must be 0 or _MARGIN_Y (a multiple of 8 for the DMA alignment hint)."""
     hist_cf = jnp.transpose(history, (2, 0, 1)).astype(jnp.bfloat16)
     tiles = (height // _TILE_H) * (width // _TILE_W)
     tiles_x = width // _TILE_W
     out = pl.pallas_call(
-        functools.partial(_taa_fetch_kernel, width=width, height=height),
+        functools.partial(_taa_fetch_kernel, width=width, height=height,
+                          y_off=y_off),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((4, 4), lambda i: (0, 0)),
@@ -242,14 +256,36 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
     accumulation itself).
     band_axis/band_n: when rendering band-sharded over a mesh axis, the 3x3
     neighborhood clamp exchanges one halo row with each neighbor band over
-    ICI (ppermute) so boundary rows clamp exactly like single-chip. The
-    history *fetch* stays band-local: a reprojection that crosses a band
-    clamps to the band edge, which the clamp then treats as disocclusion.
+    ICI (ppermute), and the history *fetch* exchanges a _MARGIN_Y-row
+    history halo (matching the fetch kernel's reprojection reach) so a
+    reprojection crossing a band seam reads the true neighbor-band history
+    exactly like single-chip. Only displacements beyond _MARGIN_Y rows
+    clamp (the same falloff the single-chip kernel has at its block edge).
     """
     from .raster import _should_interpret
     use_kernel = (dither is None and width % _TILE_W == 0
                   and height % _TILE_H == 0 and width >= _BLOCK_C
                   and height >= _BLOCK_R)
+
+    y_off = 0
+    if band_axis is not None and band_n > 1:
+        # History halo: band i receives its upper neighbor's bottom margin
+        # and lower neighbor's top margin over ICI; outermost bands
+        # edge-replicate, matching the single-chip clamp at the image edge.
+        y_off = _MARGIN_Y
+        idx = jax.lax.axis_index(band_axis)
+        from_above = jax.lax.ppermute(
+            history[-y_off:], band_axis,
+            [(i, i + 1) for i in range(band_n - 1)])
+        from_below = jax.lax.ppermute(
+            history[:y_off], band_axis,
+            [(i, i - 1) for i in range(1, band_n)])
+        edge_top = jnp.broadcast_to(history[:1], (y_off,) + history.shape[1:])
+        edge_bot = jnp.broadcast_to(history[-1:],
+                                    (y_off,) + history.shape[1:])
+        halo_above = jnp.where(idx == 0, edge_top, from_above)
+        halo_below = jnp.where(idx == band_n - 1, edge_bot, from_below)
+        history = jnp.concatenate([halo_above, history, halo_below], axis=0)
     if use_kernel:
         # Projectively, ndc -> world -> prev-clip collapses to one matrix:
         # the intermediate division by world w cancels in prev_ndc.
@@ -280,11 +316,12 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
         small = (jnp.abs(sx) <= 3.0) & (jnp.abs(sy) <= 3.0)
 
         def fetch_shift(_):
-            return _bilinear_const_shift(history, sx, sy)
+            return _bilinear_const_shift(history, sx, sy, y_off=y_off)
 
         def fetch_kernel(_):
             return _history_fetch_pallas(history, depth, m, width, height,
-                                         interpret=_should_interpret())
+                                         interpret=_should_interpret(),
+                                         y_off=y_off)
 
         if _should_interpret():
             # interpret mode (CPU tests): cond would trace both branches on
@@ -310,7 +347,7 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
                 [_frame_noise(depth.shape, dither, 2911329625),
                  _frame_noise(depth.shape, dither, 3042594569)], axis=-1)
         prev_color = _bilinear_image(history, prev_uv, width, height,
-                                     jitter=jitter)
+                                     jitter=jitter, y_off=y_off)
     halo_top = halo_bot = None
     if band_axis is not None and band_n > 1:
         idx = jax.lax.axis_index(band_axis)

@@ -196,9 +196,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
                 uv_dither=(config.stochastic_bilinear and stoch),
-                max_aniso=float(config.max_anisotropy),
-                coverage_capacity=max(4096,
-                                      (params.width * params.height) // 2))
+                max_aniso=float(config.max_anisotropy))
             hit = m_tri >= 0
             passed = hit & (alpha >= thresh)
             newly = passed & (acc_tri < 0)
@@ -244,16 +242,16 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     # base color alpha-blended, normals/metal-rough overwritten where the
     # decal is opaque
     if scene.meta.has_decals:
-        world_n_v, world_t_v = resolve.vertex_world_attributes(
-            scene, fc.scene_rotation)
-        d_tri, d_depth, _, _, _, d_interp = raster.render_visibility(
-            scene, scene.vtx_mesh, fc.scene_rotation, fc.view_proj,
-            scene.prim_is_decal > 0, params,
-            world_n_v=world_n_v, world_t_v=world_t_v)
-        # Decals cover a sparse pixel set; compact the covered pixels so
-        # the material-stack gather costs capacity indices, not H*W
-        # (index-bound HBM gather — the full-screen variant was ~25 ms).
-        d_cap = max(4096, (params.width * params.height) // 4)
+        # Decal geometry goes through the same gather-free corner-table
+        # prep as the main pass (render_visibility's per-vertex path cost
+        # ~17 ms/frame in per-corner gathers on v5e). Coverage compaction
+        # was removed here: on v5e the nonzero+gather+scatter machinery
+        # (~86 ms) loses badly to the direct full-screen stack gather
+        # (~9 ms — per-pixel indices are screen-coherent).
+        d_prep = raster.prepare_geometry(
+            scene, fc.scene_rotation, fc.view_proj,
+            scene.prim_is_decal > 0, params)
+        d_tri, d_depth, d_interp, _ = raster.raster_layer(d_prep, params)
         d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, d_interp,
                                        fc.inv_view_proj, params.width,
                                        params.height,
@@ -261,10 +259,8 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                                                    if stoch else None),
                                        uv_dither=(config.stochastic_bilinear
                                                   and stoch),
-                                       max_aniso=float(config.max_anisotropy),
-                                       coverage_capacity=d_cap)
-        stats["decal_overflow"] = jnp.maximum(
-            (d_tri >= 0).sum().astype(jnp.int32) - d_cap, 0)
+                                       max_aniso=float(config.max_anisotropy))
+        stats["decal_overflow"] = jnp.zeros((), jnp.int32)
         covers = d_gb.mask & (d_depth >= depth - 1e-5)
         a = jnp.where(covers, d_gb.base_color[..., 3], 0.0)[..., None]
         opaque = (a > 0.5)

@@ -197,12 +197,10 @@ def test_band_sharded_taa_history(cpu_devices):
 
 
 def test_band_sharded_taa_moving_camera_seam_bound(cpu_devices):
-    """Under camera motion the band-sharded TAA history fetch is band-local
-    (a reprojection crossing a band seam is treated as disocclusion, which
-    the 3x3 clamp bounds) — ADVICE r2 asks this divergence be BOUNDED:
-    rows away from the seams must match single-chip, and seam rows must
-    stay within the clamp's neighborhood range."""
-    import dataclasses
+    """Under camera motion the band-sharded TAA history fetch exchanges a
+    16-row history halo with neighbor bands (ADVICE r2), so a reprojection
+    crossing a band seam reads the true neighbor-band history and the
+    whole frame — seam rows included — matches single-chip."""
     scene = make_test_scene()
     cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP, enable_taa=True,
                  stochastic_mip=False)
@@ -234,23 +232,6 @@ def test_band_sharded_taa_moving_camera_seam_bound(cpu_devices):
 
     single = np.asarray(s1["accumulation"])
     band = np.asarray(b1["accumulation"])
-    band_h = H // n_bands
-    seam_rows = np.zeros(H, bool)
-    for s in range(1, n_bands):
-        seam_rows[s * band_h - 4:s * band_h + 4] = True
-    # away from seams: identical up to band-projection FP noise
-    np.testing.assert_allclose(band[~seam_rows], single[~seam_rows],
-                               rtol=1e-2, atol=2e-2)
-    # seam rows: the band-local fetch treats the crossing as disocclusion,
-    # so the result is clamped into the CURRENT frame's 3x3 neighborhood —
-    # assert seam values stay inside that hull (no unbounded ghosting)
-    hdr = np.asarray(s1["hdr"])
-    pad = np.pad(hdr, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    stacks = [pad[dy:dy + H, dx:dx + W]
-              for dy in range(3) for dx in range(3)]
-    lo = np.minimum.reduce(stacks) - 1e-3
-    hi = np.maximum.reduce(stacks) + 1e-3
-    inside = (band >= lo - 0.11 * (hi - lo)) & \
-        (band <= hi + 0.11 * (hi - lo))
-    frac = inside[seam_rows].mean()
-    assert frac > 0.999, f"seam values escape the clamp hull: {frac:.4f}"
+    # whole frame, seams included: the dolly reprojects ~5 rows, well
+    # inside the 16-row history halo; residual is band-projection FP noise
+    np.testing.assert_allclose(band, single, rtol=1e-2, atol=2e-2)
