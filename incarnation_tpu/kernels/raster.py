@@ -526,6 +526,19 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
     clear = jnp.full((1, n), -1.0, jnp.float32)
     start = starts_ref[ti]
     count = counts_ref[ti]
+    bigcnt = bigcount_ref[0]
+    if zlim is not None:
+        # Depth-peel early-out: a tile where every pixel's z_limit is 0
+        # (reverse-Z "accept nothing") can produce no fragment — zero the
+        # pair/big counts so all stream loops (and their DMAs) drop out and
+        # the carry inits (tri=-1, depth=0, coeffs=0) land as the outputs.
+        # Peel layers beyond the first then cost only tiles that still have
+        # continuing pixels (the foliage tail: continuing pixels shrink
+        # ~2.5x/layer, measured on the atrium scene).
+        tile_live = jnp.max(zlim) > 0.0
+        start = jnp.where(tile_live, start, 0)
+        count = jnp.where(tile_live, count, 0)
+        bigcnt = jnp.where(tile_live, bigcnt, 0)
     # Chunks are defined on whole packed rows; the tile's range may start
     # mid-row, so chunk pair-slots are masked against [row_off, row_off+count)
     row_start = start // _PAIRS_PER_ROW
@@ -616,7 +629,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         rows = big_setup_ref[pl.ds(base, k), :]
         rid = big_ids_ref[pl.ds(base, k), :]
         row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                  < bigcount_ref[0] - base)
+                  < bigcnt - base)
         best_z = jnp.full((k, n), -1.0, jnp.float32)
         best_id = jnp.full((k, n), -1.0, jnp.float32)
         best_z, best_id = eval_slab(
@@ -625,7 +638,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         return merge(best_z, best_id, zb, vb)
 
     zb, vb = jax.lax.fori_loop(
-        0, pl.cdiv(bigcount_ref[0], k), big_body, (zb, vb))
+        0, pl.cdiv(bigcnt, k), big_body, (zb, vb))
 
     tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w).astype(jnp.int32)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
@@ -665,14 +678,14 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         rows = big_attr_ref[pl.ds(base, k), :]    # (K, 32)
         rid = rows[:, _ID_LANE:_ID_LANE + 1]
         row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                  < bigcount_ref[0] - base)
+                  < bigcnt - base)
         match = ((rid == vb) & row_ok).astype(jnp.float32)
         return coeffs + jax.lax.dot_general(
             rows, match, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     coeffs = jax.lax.fori_loop(
-        0, pl.cdiv(bigcount_ref[0], k), big_attr_body, coeffs)
+        0, pl.cdiv(bigcnt, k), big_attr_body, coeffs)
 
     # Evaluate the selected planes once per pixel.
     def lin(o):

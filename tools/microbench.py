@@ -73,12 +73,26 @@ def main():
         f = jax.jit(lambda b, v, i: b.at[i].set(v))
         return f, (base, vals, sidx)
 
+    def case_gather_coherent(rows, cols, spread, dtype=np.float32):
+        """Screen-coherent indices: neighboring pixels hit neighboring rows
+        (base ramp + small random offset of `spread` rows)."""
+        tbl = jnp.asarray(rng.random((rows, cols)).astype(dtype))
+        ramp = (np.arange(n_px, dtype=np.int64) * rows // n_px)
+        idx_np = (ramp + rng.integers(0, spread, n_px)) % rows
+        idx = jnp.asarray(idx_np.astype(np.int32))
+        f = jax.jit(lambda t, i: t[i])
+        return f, (tbl, idx)
+
     cases = {
         "gather 131070x4 (probe)": case_gather(131070, 4),
+        "gather 131070x4 coherent": case_gather_coherent(131070, 4, 64),
         "gather 11102877x2 (texcore)": case_gather(11102877, 2),
+        "gather 11102877x2 coherent": case_gather_coherent(11102877, 2, 64),
         "gather 2088960x6 (peel-compact)": case_gather(2088960, 6),
         "gather 693930x4 (alpha)": case_gather(693930, 4),
+        "gather 693930x4 coherent": case_gather_coherent(693930, 4, 64),
         "gather 290816x48 (pair rows)": case_gather(290816, 48),
+        "gather 16384x4 tiny tbl": case_gather(16384, 4),
         "scatter 522240x16 -> 2Mx16": case_scatter(522240, 16),
         "scatter 1044480x1 -> 2Mx1": case_scatter(1044480, 1),
     }
