@@ -59,52 +59,81 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
         f0 = metallic * base + (1.0 - metallic) * 0.04
         r = mu.normalize(2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v)
         mips = probe.prefiltered.num_levels
-        lod = roughness * (mips - 1)
         jitter = None
-        if dither is not None:
+        if dither is not None and uv_dither:
             from .resolve import _frame_noise
-            lod = lod + _frame_noise(roughness.shape, dither, 2246822519)
-            if uv_dither:
-                jitter = jnp.stack(
-                    [_frame_noise(roughness.shape, dither, 3323198485),
-                     _frame_noise(roughness.shape, dither, 2654435769)],
-                    axis=-1)
-        pre = ibl.sample_cube(probe.prefiltered, r, lod=lod,
-                              single_mip=dither is not None, jitter=jitter)
-        if analytic_env_brdf:
-            # evaluated at 1-roughness: the reference samples its LUT (whose
-            # y axis stores 1-roughness) at v=roughness, i.e. fetches the
-            # INVERTED row (sky-lighting.hlsl:124 vs brdf-integration.hlsl:38)
-            # — the analytic path mimics that quirk for image parity
-            ab = ibl.env_brdf_approx(no_v, 1.0 - roughness)
-        else:
-            ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
-        spec = pre * (f0 * ab[..., 0:1] + ab[..., 1:2])
-        if extras is not None:
+            jitter = jnp.stack(
+                [_frame_noise(roughness.shape, dither, 3323198485),
+                 _frame_noise(roughness.shape, dither, 2654435769)],
+                axis=-1)
+        if extras is not None and dither is not None:
+            # Stochastic lobe selection: the clearcoat IBL lobe would be a
+            # SECOND full-screen probe gather (2M-index gathers cost ~10 ms
+            # each regardless of table locality — tools/microbench.py), so
+            # under TAA each pixel samples ONE lobe per frame: the coat lobe
+            # with probability fc (its mix weight), the base lobe otherwise.
+            # est = fc * pre(lod_cc) * k_cc  (picked w.p. fc)
+            #     + (1-fc) * pre(lod_b) * k_b (picked w.p. 1-fc)
+            # is exactly the single-sample estimator of the two-lobe mix —
+            # unbiased, zero-variance where cc is 0 or 1, and the TAA
+            # accumulation realizes the expectation (same scheme as the
+            # stochastic mip/bilinear taps).
             from .shading import f_schlick
+            from .resolve import _frame_noise
             cc = extras[..., 1:2]
             ccr = jnp.maximum(extras[..., 2], 0.03)
             fc = f_schlick(no_v[..., None], jnp.full_like(cc, 0.04)) * cc
-            lod_cc = ccr * (mips - 1)
-            jitter_cc = None
+            xi = _frame_noise(roughness.shape, dither, 2357136044)
+            pick_cc = xi[..., None] < fc
+            lod_pick = jnp.where(pick_cc[..., 0],
+                                 ccr * (mips - 1), roughness * (mips - 1))
+            lod_pick = lod_pick + _frame_noise(roughness.shape, dither,
+                                               2246822519)
+            pre = ibl.sample_cube(probe.prefiltered, r, lod=lod_pick,
+                                  single_mip=True, jitter=jitter)
+            if analytic_env_brdf:
+                ab_b = ibl.env_brdf_approx(no_v, 1.0 - roughness)
+                ab_c = ibl.env_brdf_approx(no_v, 1.0 - ccr)
+            else:
+                ab_b = ibl.sample_env_brdf(env_brdf, no_v, roughness)
+                ab_c = ibl.sample_env_brdf(env_brdf, no_v, ccr)
+            k_b = f0 * ab_b[..., 0:1] + ab_b[..., 1:2]
+            k_c = 0.04 * ab_c[..., 0:1] + ab_c[..., 1:2]
+            spec = pre * jnp.where(pick_cc, k_c, k_b)
+            radiance = radiance * (1.0 - fc)   # attenuate diffuse under coat
+        else:
+            lod = roughness * (mips - 1)
             if dither is not None:
                 from .resolve import _frame_noise
-                lod_cc = lod_cc + _frame_noise(ccr.shape, dither, 2654435761)
-                if uv_dither:
-                    jitter_cc = jnp.stack(
-                        [_frame_noise(ccr.shape, dither, 1449091825),
-                         _frame_noise(ccr.shape, dither, 2716044179)],
-                        axis=-1)
-            pre_cc = ibl.sample_cube(probe.prefiltered, r, lod=lod_cc,
-                                     single_mip=dither is not None,
-                                     jitter=jitter_cc)
+                lod = lod + _frame_noise(roughness.shape, dither, 2246822519)
+            pre = ibl.sample_cube(probe.prefiltered, r, lod=lod,
+                                  single_mip=dither is not None,
+                                  jitter=jitter)
             if analytic_env_brdf:
-                ab_cc = ibl.env_brdf_approx(no_v, 1.0 - ccr)
+                # evaluated at 1-roughness: the reference samples its LUT
+                # (whose y axis stores 1-roughness) at v=roughness, i.e.
+                # fetches the INVERTED row (sky-lighting.hlsl:124 vs
+                # brdf-integration.hlsl:38) — the analytic path mimics that
+                # quirk for image parity
+                ab = ibl.env_brdf_approx(no_v, 1.0 - roughness)
             else:
-                ab_cc = ibl.sample_env_brdf(env_brdf, no_v, ccr)
-            spec_cc = pre_cc * (0.04 * ab_cc[..., 0:1] + ab_cc[..., 1:2])
-            spec = spec * (1.0 - fc) + spec_cc * fc
-            radiance = radiance * (1.0 - fc)   # attenuate diffuse under coat
+                ab = ibl.sample_env_brdf(env_brdf, no_v, roughness)
+            spec = pre * (f0 * ab[..., 0:1] + ab[..., 1:2])
+            if extras is not None:
+                from .shading import f_schlick
+                cc = extras[..., 1:2]
+                ccr = jnp.maximum(extras[..., 2], 0.03)
+                fc = f_schlick(no_v[..., None], jnp.full_like(cc, 0.04)) * cc
+                lod_cc = ccr * (mips - 1)
+                pre_cc = ibl.sample_cube(probe.prefiltered, r, lod=lod_cc,
+                                         single_mip=False, jitter=None)
+                if analytic_env_brdf:
+                    ab_cc = ibl.env_brdf_approx(no_v, 1.0 - ccr)
+                else:
+                    ab_cc = ibl.sample_env_brdf(env_brdf, no_v, ccr)
+                spec_cc = pre_cc * (0.04 * ab_cc[..., 0:1] + ab_cc[..., 1:2])
+                spec = spec * (1.0 - fc) + spec_cc * fc
+                radiance = radiance * (1.0 - fc)  # attenuate diffuse w/ coat
         radiance += sky_brightness * (
             spec * (1 - ao_blend) + ao * spec * ao_blend)
 

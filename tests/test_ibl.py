@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -159,3 +160,64 @@ def test_env_brdf_fit_frame_psnr_vs_lut():
             env_brdf=env_brdf)["color"]).astype(np.float32)
     p = psnr(outs[True] / 255.0, outs[False] / 255.0)
     assert p > 42.0, f"analytic env-BRDF frame PSNR vs LUT = {p:.1f} dB"
+
+
+def test_stochastic_clearcoat_lobe_converges():
+    """Under TAA dithering, sky_lighting samples ONE probe lobe per pixel
+    (base w.p. 1-fc, clearcoat w.p. fc) instead of two full-screen probe
+    gathers. The estimator must be unbiased: the mean over many frames must
+    match the exact two-fetch path (dither=None) within MC error."""
+    from incarnation_tpu.kernels import skylight
+    from incarnation_tpu.kernels.resolve import GBuffer
+
+    h, w = 16, 128
+    rng = np.random.default_rng(3)
+    # smooth synthetic probe (low-variance so MC converges fast)
+    y = np.linspace(0.2, 1.0, 16)[:, None, None]
+    latlong = np.broadcast_to(
+        y * np.asarray([0.5, 0.7, 1.0]), (16, 32, 3)).astype(np.float32)
+    probe = ibl.build_probe(jnp.asarray(latlong), envmap_size=16)
+
+    n = np.zeros((h, w, 3), np.float32)
+    n[..., 1] = 1.0
+    v = rng.normal(size=(h, w, 3)).astype(np.float32)
+    v[..., 1] = np.abs(v[..., 1]) + 0.5
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    gb = GBuffer(
+        base_color=jnp.asarray(
+            np.concatenate([rng.random((h, w, 3), np.float32) * 0.8,
+                            np.ones((h, w, 1), np.float32)], -1)),
+        normals=jnp.zeros((h, w, 2)),
+        mrao=jnp.asarray(np.stack(
+            [rng.random((h, w), np.float32),
+             0.2 + 0.6 * rng.random((h, w)).astype(np.float32),
+             np.ones((h, w), np.float32), np.zeros((h, w), np.float32)],
+            -1)),
+        emissive=jnp.zeros((h, w, 3)),
+        mask=jnp.ones((h, w), bool),
+        world_pos=jnp.zeros((h, w, 3)),
+        uv=jnp.zeros((h, w, 2)),
+        extras=jnp.asarray(np.stack(
+            [np.zeros((h, w), np.float32),
+             rng.random((h, w)).astype(np.float32),          # clearcoat
+             0.1 + 0.5 * rng.random((h, w)).astype(np.float32)], -1)),
+    )
+    env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(64, num_samples=256))
+    kw = dict(probe=probe, env_brdf=env_brdf, sky_brightness=1.0,
+              diffuse_ibl=False, extras=jnp.asarray(gb.extras))
+    exact = np.asarray(skylight.sky_lighting(
+        gb, jnp.asarray(n), jnp.asarray(v), dither=None, **kw))
+
+    import functools
+    f = jax.jit(functools.partial(skylight.sky_lighting, **kw))
+    acc = np.zeros_like(exact)
+    frames = 192
+    for i in range(frames):
+        acc += np.asarray(f(gb, jnp.asarray(n), jnp.asarray(v), dither=i))
+    mean = acc / frames
+    # unbiasedness: mean abs error well under the signal scale, and no
+    # systematic offset
+    scale = np.abs(exact).mean() + 1e-6
+    assert np.abs(mean - exact).mean() / scale < 0.06, (
+        np.abs(mean - exact).mean() / scale)
+    assert abs((mean - exact).mean()) / scale < 0.02
