@@ -216,7 +216,8 @@ def main():
     out["color"].block_until_ready()
     stats = {k: int(v) for k, v in out["stats"].items()}
     # the honest frame must not silently drop work
-    for k in ("bin_overflow", "big_overflow", "peel_overflow"):
+    for k in ("bin_overflow", "big_overflow", "peel_overflow",
+              "peel_chunk_overflow", "decal_overflow"):
         if stats.get(k, 0) > 0:
             print(f"# WARNING: {k}={stats[k]}", file=sys.stderr)
 

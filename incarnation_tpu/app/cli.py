@@ -80,7 +80,7 @@ def main(argv=None):
                          "map, the TPU-native always-on path), 'rt' (exact "
                          "BVH shadow rays like the reference's DXR ray), "
                          "'off'")
-    ap.add_argument("--shadow-res", type=int, default=2048)
+    ap.add_argument("--shadow-res", type=int, default=1024)
     ap.add_argument("--forward", action="store_true",
                     help="forward lighting path (exact normals; BLEND "
                          "geometry alpha-composited — ref ui.cpp:346)")

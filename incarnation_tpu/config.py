@@ -133,6 +133,17 @@ class Config:
     # behind it — ref: visibility-pass.hlsl clip). 2 covers typical foliage
     # overlap; raise for dense vegetation.
     masked_depth_peels: int = 2
+    # Sparse-layer fetch compaction (kernels/resolve.py _chunk_compact):
+    # the peel alpha tests and the decal material resolve cover a sparse
+    # pixel set, but a full-screen table gather is index-rate bound
+    # (~12.7 ms per 2M px into the 11 MB alpha mirror on v5e). Compacting
+    # at 128-px chunk granularity costs ~nothing (vector-rate row copies)
+    # and cuts the gather to capacity*128 indices. Capacities are in
+    # chunks (1080p has 16320); measured atrium coverage: peels 35/27/19%,
+    # decals 1.8%. Overflowing chunks degrade gracefully (alpha 1.0 /
+    # untextured) and are counted in the frame stats. 0 disables.
+    peel_chunk_capacity: int = 6144
+    decal_chunk_capacity: int = 1024
     # Analytic split-sum env-BRDF (a 16x16 Chebyshev tensor fitted to the
     # reference integration, mimicking the reference's inverted-row fetch
     # quirk) instead of the LUT gather: one of the three pixel-proportional
@@ -152,7 +163,12 @@ class Config:
     #   "rt"   — exact BVH shadow rays (parity/reference mode; slow)
     #   "off"  — sun always visible
     sun_shadow_mode: str = "auto"
-    shadow_map_resolution: int = 2048
+    # 1024: the per-pixel visibility gather is index-rate bound with a
+    # strong table-SIZE tier (tools/microbench.py): the 1024^2 packed-u16
+    # map is 2 MB (fast tier, ~10 ms/2M px) where 2048^2 was 8 MB (~18 ms),
+    # and the sun depth raster quarters (7.2 -> ~2 ms). The stochastic PCF
+    # tap + TAA penumbra hides the coarser texels.
+    shadow_map_resolution: int = 1024
     # Stochastic single-texel TAA history fetch (1 gather instead of 4).
     # Off by default: the history feedback loop turns the fetch noise into
     # visible mottling (33.9 dB vs exact after 32 frames — tools/

@@ -256,6 +256,14 @@ class CubeMips:
     #                             stochastic single-texel fetch path (16 B
     #                             row gathers hit the TPU gather fast path;
     #                             48 B quad rows cost ~2.2x per index)
+    rgbe: jnp.ndarray = None    # (total,) u32 shared-exponent RGBE texels —
+    #                             the HOT stochastic fetch path: full-screen
+    #                             gathers are index-rate bound by TABLE SIZE
+    #                             tier (measured tools/microbench.py: ~4.7
+    #                             cyc/idx <= 2 MB, ~11 cyc/idx above); the
+    #                             f32[*, 4] 128-cube mip stack is 2.1 MB
+    #                             (just over the tier), the u32 table is
+    #                             0.5 MB (24.2 -> ~10 ms per 2M-pixel fetch)
 
     @staticmethod
     def from_levels(levels):
@@ -290,13 +298,40 @@ class CubeMips:
         return dataclasses.replace(
             self, packed=jnp.concatenate(packs, 0),
             flat4=jnp.concatenate(
-                [self.flat, jnp.zeros_like(self.flat[:, :1])], axis=-1))
+                [self.flat, jnp.zeros_like(self.flat[:, :1])], axis=-1),
+            rgbe=rgbe_encode(self.flat))
+
+
+def rgbe_encode(rgb):
+    """(..., 3) f32 -> u32 shared-exponent RGBE (Ward): 8-bit mantissas +
+    8-bit biased exponent. Relative error <= 0.4% on the max channel —
+    inside the stochastic-filtering noise floor the TAA resolves."""
+    m = jnp.max(rgb, axis=-1)
+    e = jnp.where(m > 1e-32,
+                  jnp.floor(jnp.log2(jnp.maximum(m, 1e-32))) + 1.0, -128.0)
+    scale = jnp.exp2(-e)[..., None] * 256.0
+    mant = jnp.clip(jnp.round(rgb * scale), 0, 255).astype(jnp.uint32)
+    e8 = jnp.clip(e + 128.0, 0, 255).astype(jnp.uint32)
+    return (mant[..., 0] | (mant[..., 1] << 8) | (mant[..., 2] << 16)
+            | (e8 << 24))
+
+
+def rgbe_decode(word):
+    """u32 RGBE -> (..., 3) f32."""
+    w = word.astype(jnp.uint32)
+    scale = jnp.exp2(((w >> 24) & 0xFF).astype(jnp.float32) - 136.0)
+    return jnp.stack([(w & 0xFF).astype(jnp.float32),
+                      ((w >> 8) & 0xFF).astype(jnp.float32),
+                      ((w >> 16) & 0xFF).astype(jnp.float32)],
+                     axis=-1) * scale[..., None]
 
 
 jax.tree_util.register_pytree_node(
     CubeMips,
-    lambda c: ((c.flat, c.packed, c.flat4), (c.size, c.num_levels, c.bases)),
-    lambda aux, ch: CubeMips(ch[0], *aux, packed=ch[1], flat4=ch[2]))
+    lambda c: ((c.flat, c.packed, c.flat4, c.rgbe),
+               (c.size, c.num_levels, c.bases)),
+    lambda aux, ch: CubeMips(ch[0], *aux, packed=ch[1], flat4=ch[2],
+                             rgbe=ch[3]))
 
 
 def _sample_cube_level(cube: CubeMips, base, s, d, jitter=None):
@@ -312,12 +347,16 @@ def _sample_cube_level(cube: CubeMips, base, s, d, jitter=None):
     sf = s.astype(jnp.float32) if hasattr(s, "astype") else float(s)
     fx = uv[..., 0] * sf - 0.5
     fy = uv[..., 1] * sf - 0.5
-    if jitter is not None and cube.flat4 is not None:
+    if jitter is not None and (cube.rgbe is not None
+                               or cube.flat4 is not None):
         x = jnp.clip(jnp.floor(fx + jitter[..., 0]).astype(jnp.int32),
                      0, s - 1)
         y = jnp.clip(jnp.floor(fy + jitter[..., 1]).astype(jnp.int32),
                      0, s - 1)
-        return cube.flat4[base + (face * s + y) * s + x][..., :3]
+        idx = base + (face * s + y) * s + x
+        if cube.rgbe is not None:
+            return rgbe_decode(cube.rgbe[idx])
+        return cube.flat4[idx][..., :3]
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = (fx - x0)[..., None]

@@ -132,25 +132,25 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
                  _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
     else:
         lod = _interp_lod(scene, mat_id, interp)
-    # Peel layers cover only the masked-geometry pixels; compact them so
-    # the alpha-mirror gather costs capacity indices, not H*W (same
-    # rationale as resolve_gbuffer's coverage_capacity).
+    # Peel layers cover only the masked-geometry pixels; compact them at
+    # CHUNK granularity (128-px rows, see _chunk_compact) so the
+    # alpha-mirror gather costs capacity*128 indices, not H*W.
+    # coverage_capacity counts chunks. Overflowing chunks read alpha 1.0
+    # (fragment accepted solid — visually safer than vanishing geometry);
+    # callers surface resolve.chunk_overflow as a stat.
     if coverage_capacity is not None:
-        hw = tri.size
         jx = jitter[..., 0] if jitter is not None else jnp.zeros(tri.shape)
         jy = jitter[..., 1] if jitter is not None else jnp.zeros(tri.shape)
-        packed = jnp.stack(
+        planes = jnp.stack(
             [uv[..., 0], uv[..., 1], lod,
-             mat_id.astype(jnp.float32), jx, jy], -1).reshape(hw, 6)
-        (pix,) = jnp.nonzero((tri >= 0).reshape(hw), size=coverage_capacity,
-                             fill_value=hw)
-        sel = packed[jnp.minimum(pix, hw - 1)]
+             mat_id.astype(jnp.float32), jx, jy], -1)
+        cid, sel, _ = _chunk_compact(tri >= 0, planes, coverage_capacity)
         a_k = tex_mod.sample_stack_alpha(
-            scene.mat_stack, sel[:, 3].astype(jnp.int32), sel[:, 0:2],
-            lod=sel[:, 2],
-            jitter=(sel[:, 4:6] if jitter is not None else None))
-        a_tex = jnp.zeros((hw,), a_k.dtype).at[pix].set(
-            a_k, mode="drop").reshape(tri.shape)
+            scene.mat_stack, sel[..., 3].astype(jnp.int32), sel[..., 0:2],
+            lod=sel[..., 2],
+            jitter=(sel[..., 4:6] if jitter is not None else None))
+        a_tex = _chunk_scatter(cid, a_k[..., None], tri.shape,
+                               fill=1.0)[..., 0]
     else:
         a_tex = tex_mod.sample_stack_alpha(scene.mat_stack, mat_id, uv,
                                            lod=lod, jitter=jitter)
@@ -161,6 +161,51 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
     thresh = jnp.where(fac[..., 12] >= 2.0,
                        jnp.maximum(blend_noise, 1e-3), fac[..., 11])
     return alpha, thresh
+
+
+def _chunk_compact(active, planes, capacity: int):
+    """Row-chunk compaction for sparse full-screen table fetches.
+
+    Views the (H, W) image as (H*W/128, 128)-pixel chunks (rows of the TPU
+    lane dimension) and gathers the chunks containing any active pixel.
+    Chunk gathers are vector-rate ROW copies (128 px amortize one index),
+    so the compaction itself costs ~nothing — unlike per-pixel
+    nonzero/gather/scatter (measured 18+28+47 ms at 2M px on v5e, which is
+    why the r2 per-pixel compaction was removed) — while the downstream
+    per-pixel table gather then pays capacity*128 indices instead of H*W.
+
+    active: (H, W) bool; planes: (H, W, C); capacity: max chunks kept.
+    Returns (cid (capacity,), picked (capacity, 128, C), overflow count).
+    Overflowing chunks are dropped — callers choose the scatter fill and
+    surface the overflow as a stat."""
+    h, w = active.shape
+    nch = (h * w) // 128
+    assert nch * 128 == h * w, "chunk compaction needs H*W % 128 == 0"
+    chunk_any = active.reshape(nch, 128).any(axis=1)
+    (cid,) = jnp.nonzero(chunk_any, size=capacity, fill_value=nch)
+    picked = planes.reshape(nch, 128, planes.shape[-1])[
+        jnp.minimum(cid, nch - 1)]
+    overflow = (chunk_any.sum() - (cid < nch).sum()).astype(jnp.int32)
+    return cid, picked, overflow
+
+
+def _chunk_scatter(cid, values, shape, fill=0.0):
+    """Scatter (capacity, 128, C) chunk values back to (H, W, C); chunks
+    not selected (and overflow fill rows, cid == nch: out of bounds,
+    dropped) read `fill`."""
+    nch = (shape[0] * shape[1]) // 128
+    out = jnp.full((nch, 128) + values.shape[2:], fill, values.dtype)
+    out = out.at[cid].set(values, mode="drop")
+    return out.reshape(shape + values.shape[2:])
+
+
+def chunk_overflow(active, capacity: int):
+    """How many active 128-px chunks exceed `capacity` (stat mirror of
+    bin_overflow for the chunk-compacted sparse fetches)."""
+    h, w = active.shape
+    nch = (h * w) // 128
+    n_active = active.reshape(nch, 128).any(axis=1).sum()
+    return jnp.maximum(n_active - capacity, 0).astype(jnp.int32)
 
 
 def _frame_noise(shape, frame_index, mult: int):
@@ -235,27 +280,23 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
 
     # One interleaved fetch for every texture slot. For sparse layers
     # (decals: most pixels are background) the HBM stack gather is
-    # index-bound (~25 ms at 2M indices into the full-scene stack), so
-    # coverage_capacity compacts the covered pixels first — the fetch then
-    # costs capacity indices, not H*W. Overflowing pixels degrade to
-    # untextured (callers report the overflow count as a stat).
+    # index-bound (~9 ms at 2M indices into the full-scene stack), so
+    # coverage_capacity compacts covered CHUNKS first (128-px rows, see
+    # _chunk_compact) — the fetch then costs capacity*128 indices, not
+    # H*W. Overflowing chunks degrade to untextured (callers report
+    # resolve.chunk_overflow as a stat).
     if coverage_capacity is not None:
-        hw = tri.size
         jx = jitter[..., 0] if jitter is not None else jnp.zeros(tri.shape)
         jy = jitter[..., 1] if jitter is not None else jnp.zeros(tri.shape)
-        packed = jnp.stack(
+        planes = jnp.stack(
             [uv[..., 0], uv[..., 1], lod,
-             mat_id.astype(jnp.float32), jx, jy], -1).reshape(hw, 6)
-        (pix,) = jnp.nonzero(mask.reshape(hw), size=coverage_capacity,
-                             fill_value=hw)
-        sel = packed[jnp.minimum(pix, hw - 1)]
+             mat_id.astype(jnp.float32), jx, jy], -1)
+        cid, sel, _ = _chunk_compact(mask, planes, coverage_capacity)
         chans_k = tex_mod.sample_material_stack(
-            scene.mat_stack, sel[:, 3].astype(jnp.int32), sel[:, 0:2],
-            lod=sel[:, 2], trilinear=trilinear,
-            jitter=(sel[:, 4:6] if jitter is not None else None))
-        chans = jnp.zeros((hw, chans_k.shape[-1]), chans_k.dtype) \
-            .at[pix].set(chans_k, mode="drop") \
-            .reshape(tri.shape + (chans_k.shape[-1],))
+            scene.mat_stack, sel[..., 3].astype(jnp.int32), sel[..., 0:2],
+            lod=sel[..., 2], trilinear=trilinear,
+            jitter=(sel[..., 4:6] if jitter is not None else None))
+        chans = _chunk_scatter(cid, chans_k, tri.shape)
     else:
         chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
                                               lod=lod, trilinear=trilinear,

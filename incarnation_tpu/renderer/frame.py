@@ -159,6 +159,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     if not scene.meta.has_masked:
         tri, depth, interp, stats = raster.raster_layer(prep, params)
         stats["peel_overflow"] = jnp.zeros((), jnp.int32)
+        stats["peel_chunk_overflow"] = jnp.zeros((), jnp.int32)
     else:
         # Alpha-masked geometry (ref: visibility-pass.hlsl:101-111 clip):
         # opaque prims raster normally; MASK/BLEND prims raster as
@@ -189,6 +190,14 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         stats["bin_overflow"] = stats["bin_overflow"] + peel_bins.overflow
         stats["big_overflow"] = stats["big_overflow"] \
             + peel_bins.big_overflow
+        # Chunk-compact the per-peel alpha fetch when the frame is big
+        # enough for it to pay (the gather is index-bound; sparse layers
+        # shouldn't pay H*W indices — resolve._chunk_compact).
+        n_chunks = (params.height * params.width) // 128
+        peel_cap = config.peel_chunk_capacity
+        use_chunks = (0 < peel_cap < n_chunks
+                      and n_chunks * 128 == params.height * params.width)
+        peel_chunk_overflow = jnp.zeros((), jnp.int32)
         for _ in range(max(1, config.masked_depth_peels)):
             m_tri, m_depth, m_interp = raster.rasterize_tiles(
                 peel_bins, params, z_limit=zlim)
@@ -196,7 +205,12 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
                 uv_dither=(config.stochastic_bilinear and stoch),
-                max_aniso=float(config.max_anisotropy))
+                max_aniso=float(config.max_anisotropy),
+                coverage_capacity=(peel_cap if use_chunks else None))
+            if use_chunks:
+                peel_chunk_overflow = jnp.maximum(
+                    peel_chunk_overflow,
+                    resolve.chunk_overflow(m_tri >= 0, peel_cap))
             hit = m_tri >= 0
             passed = hit & (alpha >= thresh)
             newly = passed & (acc_tri < 0)
@@ -209,6 +223,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         # opaque/background winner silently — count them (mirror of
         # bin_overflow; ref clip never truncates, visibility-pass.hlsl:101).
         stats["peel_overflow"] = cont.sum().astype(jnp.int32)
+        stats["peel_chunk_overflow"] = peel_chunk_overflow
         # Merge: the surviving masked fragment wins where it is closer
         # than the opaque winner (reverse-Z: larger z = closer).
         win = (acc_tri >= 0) & (acc_depth > depth)
@@ -252,6 +267,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             scene, fc.scene_rotation, fc.view_proj,
             scene.prim_is_decal > 0, params)
         d_tri, d_depth, d_interp, _ = raster.raster_layer(d_prep, params)
+        n_chunks = (params.height * params.width) // 128
+        d_cap = config.decal_chunk_capacity
+        d_chunks = (0 < d_cap < n_chunks
+                    and n_chunks * 128 == params.height * params.width)
         d_gb = resolve.resolve_gbuffer(d_tri, d_depth, scene, d_interp,
                                        fc.inv_view_proj, params.width,
                                        params.height,
@@ -259,8 +278,12 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                                                    if stoch else None),
                                        uv_dither=(config.stochastic_bilinear
                                                   and stoch),
-                                       max_aniso=float(config.max_anisotropy))
-        stats["decal_overflow"] = jnp.zeros((), jnp.int32)
+                                       max_aniso=float(config.max_anisotropy),
+                                       coverage_capacity=(d_cap if d_chunks
+                                                          else None))
+        stats["decal_overflow"] = (
+            resolve.chunk_overflow(d_tri >= 0, d_cap) if d_chunks
+            else jnp.zeros((), jnp.int32))
         covers = d_gb.mask & (d_depth >= depth - 1e-5)
         a = jnp.where(covers, d_gb.base_color[..., 3], 0.0)[..., None]
         opaque = (a > 0.5)

@@ -75,9 +75,9 @@ def load_probe_cached(builder, key: str, use_cache: bool = True):
     content similarly, ref: src/scene.cpp:1103-1113). `builder` is a
     zero-arg callable producing the probe; `key` identifies the inputs
     (hdri path+mtime, or sun/turbidity for the dynamic sky)."""
-    # v4: CubeMips grew the 16-byte flat4 rows (stochastic single-texel
-    # fetch); stale pickles lack them and silently fall back to quad rows
-    h = hashlib.sha1((key + ":v4").encode()).hexdigest()[:20]
+    # v5: CubeMips grew the u32 RGBE texel table (the sub-2MB fast-tier
+    # stochastic fetch); stale pickles lack it and fall back to flat4 rows
+    h = hashlib.sha1((key + ":v5").encode()).hexdigest()[:20]
     cache_file = CACHE_DIR / f"probe-{h}.pkl"
     if use_cache and cache_file.exists():
         with open(cache_file, "rb") as f:

@@ -221,3 +221,38 @@ def test_stochastic_clearcoat_lobe_converges():
     assert np.abs(mean - exact).mean() / scale < 0.06, (
         np.abs(mean - exact).mean() / scale)
     assert abs((mean - exact).mean()) / scale < 0.02
+
+
+def test_rgbe_roundtrip_relative_error():
+    # The u32 RGBE probe table feeds the hot stochastic cube fetch; its
+    # max-channel relative error must stay <= 0.4% over the HDR range the
+    # Preetham probe produces (~1e-3 .. ~2e4).
+    rng = np.random.default_rng(3)
+    mags = 10.0 ** rng.uniform(-3, 4.5, (4096, 1))
+    rgb = (rng.random((4096, 3)).astype(np.float32) * mags).astype(
+        np.float32)
+    dec = np.asarray(ibl.rgbe_decode(ibl.rgbe_encode(jnp.asarray(rgb))))
+    m = rgb.max(axis=-1)
+    rel = np.abs(dec.max(axis=-1) - m) / np.maximum(m, 1e-30)
+    assert rel.max() < 0.004, rel.max()
+    # zero encodes exactly
+    z = np.asarray(ibl.rgbe_decode(ibl.rgbe_encode(jnp.zeros((1, 3)))))
+    assert (z == 0).all()
+    # stochastic cube fetch path decodes from the rgbe table bit-equal to
+    # the f32 flat4 rows within encoding error
+    cube = ibl.CubeMips.from_levels(
+        [jnp.asarray(rng.random((6, 4, 4, 3)).astype(np.float32) * 100.0),
+         jnp.asarray(rng.random((6, 2, 2, 3)).astype(np.float32)),
+         jnp.asarray(rng.random((6, 1, 1, 3)).astype(np.float32))]
+    ).with_packed()
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    jit = jnp.asarray(rng.random((64, 2)).astype(np.float32))
+    got = np.asarray(ibl.sample_cube(cube, d, lod=jnp.zeros(64),
+                                     single_mip=True, jitter=jit))
+    import dataclasses
+    cube_f32 = dataclasses.replace(cube, rgbe=None)
+    want = np.asarray(ibl.sample_cube(cube_f32, d, lod=jnp.zeros(64),
+                                      single_mip=True, jitter=jit))
+    # shared-exponent: error bound is relative to the row's MAX channel
+    bound = np.maximum(want.max(-1, keepdims=True) * 0.004, 1e-6)
+    assert (np.abs(got - want) <= bound).all(), np.abs(got - want).max()

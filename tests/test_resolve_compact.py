@@ -78,3 +78,29 @@ def test_resolve_compact_overflow_graceful(setup):
                                   w, h, coverage_capacity=4)
     for f in out._fields:
         assert np.isfinite(np.asarray(getattr(out, f))).all(), f
+
+
+def test_chunk_compaction_multichunk_exact():
+    # 16x256 = 32 chunks of 128 px; coverage in 3 chunks; capacity 8 holds
+    # them all -> covered pixels bit-equal to the full-screen path.
+    rng = np.random.default_rng(5)
+    scene = _Scene(rng)
+    h, w = 16, 256
+    tri = np.full((h, w), -1, np.int32)
+    tri[3:6, 10:40] = 2        # chunks 6, 8 (row 3..5 across lane rows)
+    tri[12, 200:210] = 9
+    interp = (rng.random((16, h, w)).astype(np.float32)) * 0.5
+    interp[9] = 0.0
+    tri, interp = jnp.asarray(tri), jnp.asarray(interp)
+    a1, t1 = resolve.masked_alpha(scene, tri, interp, mip_dither=7,
+                                  uv_dither=True)
+    a2, t2 = resolve.masked_alpha(scene, tri, interp, mip_dither=7,
+                                  uv_dither=True, coverage_capacity=8)
+    cov = np.asarray(tri) >= 0
+    np.testing.assert_array_equal(np.where(cov, np.asarray(a1), 0.0),
+                                  np.where(cov, np.asarray(a2), 0.0))
+    # inactive chunks read the fill (1.0 = pass), never garbage
+    assert np.isfinite(np.asarray(a2)).all()
+    ov = resolve.chunk_overflow(jnp.asarray(cov), 8)
+    assert int(ov) == 0
+    assert int(resolve.chunk_overflow(jnp.asarray(cov), 1)) > 0

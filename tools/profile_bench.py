@@ -36,7 +36,7 @@ def main():
     width, height = 1920, 1088
     host, name = bench.load_bench_scene()
     scene = host.scene
-    cfg = Config(sun_shadow_mode="map")
+    cfg = Config(sun_shadow_mode="map", masked_depth_peels=3)
     sun = np.asarray(host.scene.sun_dir)
     probe = load_probe_cached(
         lambda: ibl.build_probe(
