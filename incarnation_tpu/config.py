@@ -169,6 +169,15 @@ class Config:
     # and the sun depth raster quarters (7.2 -> ~2 ms). The stochastic PCF
     # tap + TAA penumbra hides the coarser texels.
     shadow_map_resolution: int = 1024
+    # Checkerboard half-rate full-screen gathers (kernels/checker.py): the
+    # sun-shadow sample and the specular probe fetch are 2M-index gathers
+    # that are index-rate bound regardless of table locality (~14.9 ms each
+    # in the profiled honest frame), so half the indices is half the cost
+    # (measured ratio 0.51 — tools/checkerboard_bench.py). The skipped
+    # parity gets the mean of its two horizontal gathered neighbors and TAA
+    # alternates parity per frame. Engaged only while TAA accumulates (like
+    # the stochastic taps), so single-shot renders stay full-rate exact.
+    checkerboard_gathers: bool = True
     # Stochastic single-texel TAA history fetch (1 gather instead of 4).
     # Off by default: the history feedback loop turns the fetch noise into
     # visible mottling (33.9 dB vs exact after 32 frames — tools/

@@ -385,6 +385,7 @@ def _clustered_lighting_pallas(gb, n, v, words, lights, width, height):
     )
     out = pl.pallas_call(
         functools.partial(_clustered_block_kernel, w32=w32, nbx=nbx),
+        name="clustered_lighting",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
         interpret=_should_interpret(),

@@ -98,9 +98,15 @@ def vertex_transform(positions, vtx_mesh, mesh_transforms, scene_rotation,
     (ref: geo-raster/visibility-pass.hlsl:60-66); here the combined matrices
     are built once per mesh instance and applied in one gathered matmul.
     """
+    # HIGHEST is required: the TPU MXU default truncates these matrices
+    # to bf16, displacing every vertex ~0.2-0.4% (pixels at 1080p) and
+    # wrecking the UV plane coefficients downstream (conformance measured
+    # 0.52 rel err on interpolated UVs from exactly this).
     local_to_world = jnp.einsum("mij,jk->mik", mesh_transforms,
-                                scene_rotation)
-    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
+                                scene_rotation,
+                                precision=jax.lax.Precision.HIGHEST)
+    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj,
+                               precision=jax.lax.Precision.HIGHEST)
     # One wide-row gather of both matrices per vertex, then explicit
     # multiply-adds (cheaper than per-vertex batched matmuls on TPU).
     packed = jnp.concatenate([local_to_clip.reshape(-1, 16),
@@ -334,9 +340,34 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
     attr_flat: optional (T, ATTR_ROWS) attribute-plane rows to thread into
     the pair stream (zeros when absent — the kernel's interp output is then
     meaningless and ignored)."""
+    return bin_triangles_layered(setup_t, ids, valid, bbox, params,
+                                 attr_flat)[0]
+
+
+def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
+                          attr_flat=None, layer=None,
+                          n_layers: int = 1) -> list:
+    """Layered binning: ONE candidate expansion + ONE sort + ONE pair-row
+    gather shared by every raster layer of the frame (opaque, masked depth
+    peels, decals, forward-blend). The layers are disjoint triangle sets,
+    so the merged pair stream is no longer than any-layer-alone's capacity,
+    and each layer's tile lists are contiguous slices of the one sorted
+    stream. Running the binning once instead of per layer removed ~21 ms
+    from the profiled 180 ms honest-bench frame (3x pair gathers + 3x
+    sorts + 3x candidate expansions -> 1x).
+
+    layer: optional (T,) int32 in [0, n_layers) — the raster layer each
+    triangle belongs to (pairs from layer l are only visible to layer l's
+    tile lists). None = everything in layer 0.
+
+    Returns a list of n_layers Bins sharing the same setup/attr pair
+    arrays; only starts/counts/big_* differ per layer. The pair-capacity
+    `overflow` count is global and reported on layer 0 (zeros elsewhere).
+    """
     p = params
     t = ids.shape[0]
     span_cap = p.bin_max_span
+    nl = n_layers
 
     tx0 = bbox[:, 0] // p.tile_w
     ty0 = bbox[:, 1] // p.tile_h
@@ -350,19 +381,26 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
     big = valid & (span > span_cap)
 
     # (T, span_cap) candidate tile keys. Bucket layout after the sort:
-    # bucket 0 = big triangles (span > cap — every tile processes them),
-    # buckets 1..NT = screen tiles, bucket NT+1 = invalid sentinel. Putting
-    # bigs at the HEAD means capacity truncation can never drop them and the
-    # big list is a static slice of the sorted stream — no separate
-    # cumsum/scatter compaction pass (profiled ~1.3 ms at 262k triangles).
+    # buckets 0..L-1 = big triangles per layer (span > cap — every tile of
+    # that layer processes them), then L + l*NT + tile for layer l's screen
+    # tiles, bucket L + L*NT = invalid sentinel. Putting bigs at the HEAD
+    # means capacity truncation can never drop them and each layer's big
+    # list is a slice of the sorted stream — no separate cumsum/scatter
+    # compaction pass (profiled ~1.3 ms at 262k triangles).
     k = jax.lax.broadcasted_iota(jnp.int32, (t, span_cap), 1)
     dy = k // span_w[:, None]
     dx = k - dy * span_w[:, None]
     tile = (ty0[:, None] + dy) * p.tiles_x + tx0[:, None] + dx
     pair_ok = small[:, None] & (k < span[:, None])
     big_slot = big[:, None] & (k == 0)
-    bucket = jnp.where(big_slot, 0,
-                       jnp.where(pair_ok, tile + 1, p.num_tiles + 1))
+    if layer is None:
+        lyr2 = jnp.zeros((t, 1), jnp.int32)
+    else:
+        lyr2 = layer.astype(jnp.int32)[:, None]
+    sentinel = nl + nl * p.num_tiles
+    bucket = jnp.where(big_slot, lyr2,
+                       jnp.where(pair_ok,
+                                 nl + lyr2 * p.num_tiles + tile, sentinel))
     tri_iota2 = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), (t, span_cap))
 
@@ -370,7 +408,7 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
     # single-array non-stable sort is substantially cheaper than a
     # key-value sort (no materialized iota companion).
     tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
-    tile_bits = int(np.ceil(np.log2(p.num_tiles + 2)))
+    tile_bits = int(np.ceil(np.log2(sentinel + 1)))
     if tri_bits + tile_bits <= 31:
         packed = ((bucket << tri_bits) | tri_iota2).reshape(-1)
         keys_s = jax.lax.sort(packed, is_stable=False)
@@ -394,10 +432,10 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
     else:
         tri_s = jnp.pad(tri_s, (0, cap_pairs - total))
         tile_keys = jnp.pad(tile_keys, (0, cap_pairs - total),
-                            constant_values=p.num_tiles + 1)
+                            constant_values=sentinel)
 
     tile_range = jax.lax.broadcasted_iota(
-        jnp.int32, (p.num_tiles, 1), 0)[:, 0] + 1
+        jnp.int32, (nl * p.num_tiles, 1), 0)[:, 0] + nl
     starts = jnp.searchsorted(tile_keys, tile_range, side="left") \
         .astype(jnp.int32)
     ends = jnp.searchsorted(tile_keys, tile_range, side="right") \
@@ -442,27 +480,45 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
             cap_pairs // _APAIRS_PER_ROW, _APAIRS_PER_ROW * _APAIR_STRIDE)
         aflat = jnp.pad(aflat, ((0, p.chunk // _APAIRS_PER_ROW + 1), (0, 0)))
 
-    # Big-triangle list = bucket 0 at the head of the sorted stream: a
-    # static slice of the already-gathered rows (no cumsum/scatter pass).
+    # Big-triangle lists = buckets 0..L-1 at the head of the sorted stream:
+    # per-layer slices of the already-gathered rows (no cumsum/scatter
+    # pass). With one layer the slice is static; with several, layer l's
+    # slice starts at the l-th bucket boundary (a cheap dynamic_slice of
+    # <= big_tri_capacity rows).
     cap = p.big_tri_capacity
     assert cap <= cap_pairs
-    big_total = starts[0]                  # pairs in bucket 0 (<= cap_pairs)
-    big_count = jnp.minimum(big_total, cap)
-    br = row48[:cap]
-    big_slot_ok = (jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-                   < big_count)
-    big_setup = jnp.where(big_slot_ok[:, None], br[:, :_SETUP_ROWS],
-                          jnp.asarray(_INVALID_ROW)[None, :])
-    big_ids = jnp.where(big_slot_ok, br[:, _SETUP_ROWS], 0.0)[:, None]
-    if p.depth_only:
-        big_attr = jnp.zeros((cap, _APAIR_STRIDE), jnp.float32)
-    else:
-        big_attr = jnp.where(big_slot_ok[:, None], br[:, _PAIR_STRIDE:], 0.0)
-
-    return Bins(setup=flat, attr=aflat, starts=starts, counts=counts,
-                big_setup=big_setup, big_ids=big_ids, big_attr=big_attr,
-                big_count=big_count.reshape(1).astype(jnp.int32),
-                overflow=overflow, big_overflow=n_big - big_count)
+    bnd = jnp.searchsorted(
+        tile_keys, jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)[:, 0],
+        side="left").astype(jnp.int32)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    zero = jnp.zeros((), jnp.int32)
+    out = []
+    for l in range(nl):
+        big_total = bnd[l + 1] - bnd[l]
+        big_count = jnp.minimum(big_total, cap)
+        if nl == 1:
+            br = row48[:cap]
+        else:
+            br = jax.lax.dynamic_slice(
+                row48, (bnd[l], zero), (cap, row48.shape[1]))
+        big_slot_ok = iota_cap < big_count
+        big_setup = jnp.where(big_slot_ok[:, None], br[:, :_SETUP_ROWS],
+                              jnp.asarray(_INVALID_ROW)[None, :])
+        big_ids = jnp.where(big_slot_ok, br[:, _SETUP_ROWS], 0.0)[:, None]
+        if p.depth_only:
+            big_attr = jnp.zeros((cap, _APAIR_STRIDE), jnp.float32)
+        else:
+            big_attr = jnp.where(big_slot_ok[:, None],
+                                 br[:, _PAIR_STRIDE:], 0.0)
+        out.append(Bins(
+            setup=flat, attr=aflat,
+            starts=starts[l * p.num_tiles:(l + 1) * p.num_tiles],
+            counts=counts[l * p.num_tiles:(l + 1) * p.num_tiles],
+            big_setup=big_setup, big_ids=big_ids, big_attr=big_attr,
+            big_count=big_count.reshape(1).astype(jnp.int32),
+            overflow=overflow if l == 0 else zero,
+            big_overflow=big_total - big_count))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -665,9 +721,17 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
             gidx = c * k + riota * _APAIRS_PER_ROW + j
             slot_ok = (gidx >= arow_off) & (gidx < arow_off + count)
             match = ((rid == vb) & slot_ok).astype(jnp.float32)  # (akr, n)
+            # precision=HIGHEST is NOT optional: the TPU MXU default
+            # truncates the f32 plane coefficients (|a| up to ~1e5, with
+            # ~100-1000x cancellation at evaluation) to bf16, which turns
+            # interpolated UVs into garbage (conformance measured 0.52 rel
+            # err vs f64). The match matrix is exactly bf16-representable
+            # (0/1), so the 3-pass product reduces to an EXACT f32 row
+            # select: hi(a)*m + lo(a)*m + a_hi*lo(m)=0.
             coeffs = coeffs + jax.lax.dot_general(
                 sl, match, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # (32, n)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)             # (32, n)
         return coeffs
 
     coeffs = jax.lax.fori_loop(
@@ -680,9 +744,11 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
                   < bigcnt - base)
         match = ((rid == vb) & row_ok).astype(jnp.float32)
+        # precision=HIGHEST: exact f32 row select (see attr_chunk above).
         return coeffs + jax.lax.dot_general(
             rows, match, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     coeffs = jax.lax.fori_loop(
         0, pl.cdiv(bigcnt, k), big_attr_body, coeffs)
@@ -711,13 +777,15 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         INTERP_CHANNELS, p.tile_h, p.tile_w)
 
 
-def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None):
+def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None,
+                    name: str = "fine_raster"):
     """Run the fine-raster kernel. Returns (tri (H,W) i32 global triangle
     index, -1 = no geometry; depth (H,W) f32; interp (16, H, W) f32
     per-pixel attribute channels) cropped to the resolution.
 
     z_limit: optional (H, W) f32 — per-pixel strict depth upper bound
-    (depth-peel layer support for alpha-masked geometry)."""
+    (depth-peel layer support for alpha-masked geometry).
+    name: kernel name shown in profiler traces (per-layer attribution)."""
     p = params
     tile_spec = pl.BlockSpec((p.tile_h, p.tile_w),
                              lambda i, *_: (i // p.tiles_x, i % p.tiles_x))
@@ -775,6 +843,7 @@ def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None):
                           has_zlim=z_limit is not None),
         grid_spec=grid_spec,
         out_shape=out_shape,
+        name=name,
         interpret=(p.interpret if p.interpret is not None
                    else _should_interpret()),
     )(bins.starts, bins.counts, bins.big_count, *inputs)
@@ -836,9 +905,12 @@ def _vertex_table(scene, scene_rotation, view_proj):
     The reference transforms normals by the 3x3 of localToWorld without
     inverse-transpose (ref: gbuffer-compute.hlsl:238-241); we match that.
     """
+    # HIGHEST: see vertex_transform — bf16 MXU default displaces vertices.
     local_to_world = jnp.einsum("mij,jk->mik", scene.mesh_transforms,
-                                scene_rotation)
-    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
+                                scene_rotation,
+                                precision=jax.lax.Precision.HIGHEST)
+    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj,
+                               precision=jax.lax.Precision.HIGHEST)
     packed = jnp.concatenate([
         local_to_clip.reshape(-1, 16),
         local_to_world[:, :3, :3].reshape(-1, 9)], axis=-1)   # (M, 25)
@@ -889,7 +961,8 @@ def raster_depth(prep: PreparedGeometry, params: RasterParams,
     assert params.depth_only
     valid = prep.valid if layer_valid is None else prep.valid & layer_valid
     bins = bin_triangles(prep.setup_t, prep.ids, valid, prep.bbox, params)
-    tri, depth, _ = rasterize_tiles(bins, params)
+    tri, depth, _ = rasterize_tiles(bins, params,
+                                    name="raster_shadow_depth")
     stats = dict(bin_overflow=bins.overflow, big_overflow=bins.big_overflow)
     return tri, depth, stats
 
@@ -913,9 +986,12 @@ def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
     # The row gather is transposed once to (25, T) so all the setup math
     # below runs on DENSE 1-D (T,) lane vectors — (T, 3)-shaped arrays tile
     # as 3 of 128 lanes on TPU and were ~5.7 ms of the frame's prep.
+    # HIGHEST: see vertex_transform — bf16 MXU default displaces vertices.
     local_to_world = jnp.einsum("mij,jk->mik", scene.mesh_transforms,
-                                scene_rotation)
-    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj)
+                                scene_rotation,
+                                precision=jax.lax.Precision.HIGHEST)
+    local_to_clip = jnp.einsum("mij,jk->mik", local_to_world, view_proj,
+                               precision=jax.lax.Precision.HIGHEST)
     packed = jnp.concatenate([
         local_to_clip.reshape(-1, 16),
         local_to_world[:, :3, :3].reshape(-1, 9)], axis=-1)   # (M, 25)

@@ -97,15 +97,25 @@ def pack_depth_u16(depth):
 
 
 def sun_visibility(world_pos, n_dot_l, shadow_depth, sun_vp,
-                   resolution: int, dither=None):
+                   resolution: int, dither=None, checker_parity=None):
     """Per-pixel sun visibility from the shadow map.
 
     world_pos: (H, W, 3) in the same (rotated) space the map was rendered
     in; n_dot_l: (H, W) for slope-scaled bias; shadow_depth: the packed-u16
     map from render_sun_shadow_map (pack_depth_u16); dither: optional frame
     index enabling the stochastic 1-texel PCF jitter (TAA resolves the
-    penumbra). Returns (H, W) float32 in {0, 1}.
+    penumbra); checker_parity: optional (frame & 1) enabling the
+    checkerboard half-rate fetch (kernels/checker.py — halves the
+    index-bound map gather; pair with TAA). Returns (H, W) float32 in
+    [0, 1].
     """
+    if checker_parity is not None:
+        from . import checker
+        vis_half = sun_visibility(
+            checker.compact(checker_parity, world_pos),
+            checker.compact(checker_parity, n_dot_l),
+            shadow_depth, sun_vp, resolution, dither=dither)
+        return checker.expand(checker_parity, vis_half)
     h, w = world_pos.shape[:2]
     wp_h = jnp.concatenate([world_pos,
                             jnp.ones(world_pos.shape[:-1] + (1,))], -1)

@@ -20,7 +20,8 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                  sky_brightness, hbao=None, bent_normals=None,
                  diffuse_ibl: bool = True, specular_ibl: bool = True,
                  lighting_only: bool = False, dither=None, extras=None,
-                 analytic_env_brdf: bool = False, uv_dither: bool = False):
+                 analytic_env_brdf: bool = False, uv_dither: bool = False,
+                 checker_parity=None):
     """Additive sky radiance for covered pixels (ref: sky-lighting.hlsl).
 
     dither: frame index enabling stochastic single-mip sampling of the
@@ -29,6 +30,10 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
     the cube fetch is ONE 16-byte texel row per pixel (a third the gather
     bytes of the quad-packed rows; same stochastic-filtering scheme as
     textures.sample_material_stack).
+    checker_parity: optional (frame & 1) enabling the checkerboard
+    half-rate probe fetch (kernels/checker.py — the cube gather is
+    index-rate bound; half the indices, neighbors fill, TAA integrates).
+    Only applied to the single-mip stochastic path (needs TAA anyway).
     extras: gb.extras (transmission, clearcoat, ccRoughness) — transmission
     removes transmitted energy from the diffuse albedo as the reference's
     forward pass does (ref: forward-pass.hlsl:160); the clearcoat IBL lobe
@@ -53,6 +58,18 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                       * ibl.sh_irradiance(sampling_n, probe.sh) * 5.0)
         radiance += sky_brightness * (
             sh_diffuse * (1 - ao_blend) + ao * sh_diffuse * ao_blend)
+
+    def _probe_fetch(r_, lod_, single_mip, jitter_):
+        """Prefiltered-cube fetch, checkerboarded when allowed."""
+        if checker_parity is None or not single_mip:
+            return ibl.sample_cube(probe.prefiltered, r_, lod=lod_,
+                                   single_mip=single_mip, jitter=jitter_)
+        from . import checker
+        cp = checker_parity
+        return checker.expand(cp, ibl.sample_cube(
+            probe.prefiltered, checker.compact(cp, r_),
+            lod=checker.compact(cp, lod_), single_mip=True,
+            jitter=None if jitter_ is None else checker.compact(cp, jitter_)))
 
     if specular_ibl:
         no_v = jnp.maximum(jnp.sum(n * v, -1), 0.01)
@@ -89,8 +106,7 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
                                  ccr * (mips - 1), roughness * (mips - 1))
             lod_pick = lod_pick + _frame_noise(roughness.shape, dither,
                                                2246822519)
-            pre = ibl.sample_cube(probe.prefiltered, r, lod=lod_pick,
-                                  single_mip=True, jitter=jitter)
+            pre = _probe_fetch(r, lod_pick, True, jitter)
             if analytic_env_brdf:
                 ab_b = ibl.env_brdf_approx(no_v, 1.0 - roughness)
                 ab_c = ibl.env_brdf_approx(no_v, 1.0 - ccr)
@@ -106,9 +122,7 @@ def sky_lighting(gb, n, v, probe: ibl.EnvironmentProbe, env_brdf,
             if dither is not None:
                 from .resolve import _frame_noise
                 lod = lod + _frame_noise(roughness.shape, dither, 2246822519)
-            pre = ibl.sample_cube(probe.prefiltered, r, lod=lod,
-                                  single_mip=dither is not None,
-                                  jitter=jitter)
+            pre = _probe_fetch(r, lod, dither is not None, jitter)
             if analytic_env_brdf:
                 # evaluated at 1-roughness: the reference samples its LUT
                 # (whose y axis stores 1-roughness) at v=roughness, i.e.

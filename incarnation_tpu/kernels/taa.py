@@ -195,6 +195,7 @@ def _history_fetch_pallas(history, depth, m, width: int, height: int,
     out = pl.pallas_call(
         functools.partial(_taa_fetch_kernel, width=width, height=height,
                           y_off=y_off),
+        name="taa_history_fetch",
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((4, 4), lambda i: (0, 0)),
@@ -272,7 +273,11 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
         # History halo: band i receives its upper neighbor's bottom margin
         # and lower neighbor's top margin over ICI; outermost bands
         # edge-replicate, matching the single-chip clamp at the image edge.
-        y_off = _MARGIN_Y
+        # Clamped to the band height for tiny bands (the hermetic dryrun's
+        # 8-row bands); the Pallas fetch path only engages at band heights
+        # >= _BLOCK_R, where the clamp is inactive, so its y_off stays in
+        # {0, _MARGIN_Y}.
+        y_off = min(_MARGIN_Y, history.shape[0])
         idx = jax.lax.axis_index(band_axis)
         from_above = jax.lax.ppermute(
             history[-y_off:], band_axis,

@@ -131,7 +131,10 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     Returns dict with 'color' (H, W, 3) uint8 sRGB plus intermediate buffers
     and stats (the render-stats analogue, ref: inc/gpu-shared-types.h:251-255).
     """
-    prim_visible = scene.prim_is_decal == 0
+    # Frustum culling covers ALL prims (decals included — their layer is
+    # separated below; the sphere test is conservative so culling them
+    # is image-identical).
+    prim_visible = jnp.ones_like(scene.prim_is_decal, bool)
     culled_prims = jnp.int32(0)
     culled_meshlets = jnp.int32(0)
     meshlet_visible = None
@@ -156,40 +159,66 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     prep = raster.prepare_geometry(scene, fc.scene_rotation, fc.view_proj,
                                    prim_visible, params,
                                    meshlet_visible=meshlet_visible)
-    if not scene.meta.has_masked:
-        tri, depth, interp, stats = raster.raster_layer(prep, params)
-        stats["peel_overflow"] = jnp.zeros((), jnp.int32)
-        stats["peel_chunk_overflow"] = jnp.zeros((), jnp.int32)
+
+    # Raster-layer table: layer 0 = opaque; masked depth peels, decals, and
+    # forward-blend each get their own layer. ONE layered binning (one
+    # sort, one pair-row gather) serves every layer — the per-layer
+    # bin_triangles calls this replaces were ~21 ms of the honest bench
+    # frame (kernels/raster.py::bin_triangles_layered).
+    tri_ok = scene.tri_prim >= 0
+    safe_prim = jnp.maximum(scene.tri_prim, 0)
+    tri_alpha = scene.prim_alpha_mode[safe_prim]
+    tri_decal = (scene.prim_is_decal[safe_prim] > 0) & tri_ok
+    has_blend_layer = config.forward_lighting and scene.meta.has_blend
+    if has_blend_layer:
+        # Forward: BLEND prims skip the screen-door peel; they are
+        # shaded per layer and alpha-composited below (the capability
+        # the reference reserves for forward rendering).
+        tri_masked = (tri_alpha == 1) & tri_ok & ~tri_decal
+        tri_blend = (tri_alpha >= 2) & tri_ok & ~tri_decal
     else:
+        tri_masked = (tri_alpha > 0) & tri_ok & ~tri_decal
+        tri_blend = None
+    n_layers = 1
+    masked_idx = decal_idx = blend_idx = None
+    lyr = jnp.zeros_like(scene.tri_prim)
+    if scene.meta.has_masked:
+        masked_idx = n_layers
+        n_layers += 1
+        lyr = jnp.where(tri_masked, masked_idx, lyr)
+    if scene.meta.has_decals:
+        decal_idx = n_layers
+        n_layers += 1
+        lyr = jnp.where(tri_decal, decal_idx, lyr)
+    if has_blend_layer:
+        blend_idx = n_layers
+        n_layers += 1
+        lyr = jnp.where(tri_blend, blend_idx, lyr)
+    layer_bins = raster.bin_triangles_layered(
+        prep.setup_t, prep.ids, prep.valid, prep.bbox, params,
+        prep.attr_flat, layer=(lyr if n_layers > 1 else None),
+        n_layers=n_layers)
+
+    tri, depth, interp = raster.rasterize_tiles(layer_bins[0], params,
+                                            name="raster_opaque")
+    stats = dict(
+        bin_overflow=layer_bins[0].overflow,
+        big_overflow=sum(b.big_overflow for b in layer_bins),
+        culled_triangles=jnp.sum(~prep.valid))
+    stats["peel_overflow"] = jnp.zeros((), jnp.int32)
+    stats["peel_chunk_overflow"] = jnp.zeros((), jnp.int32)
+    if scene.meta.has_masked:
         # Alpha-masked geometry (ref: visibility-pass.hlsl:101-111 clip):
         # opaque prims raster normally; MASK/BLEND prims raster as
         # depth-peel layers — each peel takes the closest not-yet-tested
         # fragment, alpha-tests it against the base-color texture, and
-        # failed pixels peel again behind it.
-        tri_alpha = scene.prim_alpha_mode[jnp.maximum(scene.tri_prim, 0)]
-        tri_nonopaque = (tri_alpha > 0) & (scene.tri_prim >= 0)
-        if config.forward_lighting and scene.meta.has_blend:
-            # Forward: BLEND prims skip the screen-door peel; they are
-            # shaded per layer and alpha-composited below (the capability
-            # the reference reserves for forward rendering).
-            tri_masked = (tri_alpha == 1) & (scene.tri_prim >= 0)
-        else:
-            tri_masked = tri_nonopaque
-        tri, depth, interp, stats = raster.raster_layer(
-            prep, params, layer_valid=~tri_nonopaque)
+        # failed pixels peel again behind it. Every peel layer rasters the
+        # SAME triangle set (only z_limit changes) over the shared bins.
+        peel_bins = layer_bins[masked_idx]
         acc_tri = jnp.full_like(tri, -1)
         acc_depth = jnp.zeros_like(depth)
         acc_interp = jnp.zeros_like(interp)
         zlim = jnp.full(depth.shape, 2.0, jnp.float32)
-        # Every peel layer rasters the SAME triangle set (only z_limit
-        # changes), so bin/sort once and re-run only the fine raster per
-        # peel — binning is ~1/3 of a raster pass at bench pair counts.
-        peel_bins = raster.bin_triangles(
-            prep.setup_t, prep.ids, prep.valid & tri_masked, prep.bbox,
-            params, prep.attr_flat)
-        stats["bin_overflow"] = stats["bin_overflow"] + peel_bins.overflow
-        stats["big_overflow"] = stats["big_overflow"] \
-            + peel_bins.big_overflow
         # Chunk-compact the per-peel alpha fetch when the frame is big
         # enough for it to pay (the gather is index-bound; sparse layers
         # shouldn't pay H*W indices — resolve._chunk_compact).
@@ -200,7 +229,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         peel_chunk_overflow = jnp.zeros((), jnp.int32)
         for _ in range(max(1, config.masked_depth_peels)):
             m_tri, m_depth, m_interp = raster.rasterize_tiles(
-                peel_bins, params, z_limit=zlim)
+                peel_bins, params, z_limit=zlim, name="raster_peel")
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
@@ -257,16 +286,13 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     # base color alpha-blended, normals/metal-rough overwritten where the
     # decal is opaque
     if scene.meta.has_decals:
-        # Decal geometry goes through the same gather-free corner-table
-        # prep as the main pass (render_visibility's per-vertex path cost
-        # ~17 ms/frame in per-corner gathers on v5e). Coverage compaction
+        # Decal geometry shares the main pass's prep + layered binning
+        # (its pairs live in the decal layer). Coverage compaction
         # was removed here: on v5e the nonzero+gather+scatter machinery
         # (~86 ms) loses badly to the direct full-screen stack gather
         # (~9 ms — per-pixel indices are screen-coherent).
-        d_prep = raster.prepare_geometry(
-            scene, fc.scene_rotation, fc.view_proj,
-            scene.prim_is_decal > 0, params)
-        d_tri, d_depth, d_interp, _ = raster.raster_layer(d_prep, params)
+        d_tri, d_depth, d_interp = raster.rasterize_tiles(
+            layer_bins[decal_idx], params, name="raster_decal")
         n_chunks = (params.height * params.width) // 128
         d_cap = config.decal_chunk_capacity
         d_chunks = (0 < d_cap < n_chunks
@@ -353,22 +379,15 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     # under-composite radiance — the capability that motivates a forward
     # path (the reference's forward PSO ships BlendEnable=FALSE,
     # forward-pass.inl:134-139; this goes one step further).
-    if config.forward_lighting and scene.meta.has_blend:
-        tri_blend = (scene.prim_alpha_mode[
-            jnp.maximum(scene.tri_prim, 0)] >= 2) & (scene.tri_prim >= 0)
+    if has_blend_layer:
         c_acc = jnp.zeros_like(hdr)
         transmit = jnp.ones(hdr.shape[:2] + (1,), jnp.float32)
         zlim = jnp.full(depth.shape, 2.0, jnp.float32)
-        # Same hoist as the masked-peel loop: one binning for all layers.
-        blend_bins = raster.bin_triangles(
-            prep.setup_t, prep.ids, prep.valid & tri_blend, prep.bbox,
-            params, prep.attr_flat)
-        stats["bin_overflow"] = stats["bin_overflow"] + blend_bins.overflow
-        stats["big_overflow"] = stats["big_overflow"] \
-            + blend_bins.big_overflow
+        # The blend layers raster from the shared layered binning.
+        blend_bins = layer_bins[blend_idx]
         for _ in range(max(1, config.masked_depth_peels)):
             b_tri, b_depth, b_interp = raster.rasterize_tiles(
-                blend_bins, params, z_limit=zlim)
+                blend_bins, params, z_limit=zlim, name="raster_blend")
             gb_b, n3_b = resolve.resolve_gbuffer(
                 b_tri, b_depth, scene, b_interp, fc.inv_view_proj,
                 params.width, params.height, return_normal3=True)
@@ -423,6 +442,12 @@ def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
     metallic = gb.mrao[..., 0]
     roughness = gb.mrao[..., 1]
     m3 = gb.mask[..., None]
+    # Checkerboard half-rate parity for the index-bound full-screen gathers
+    # (probe fetch, shadow sample) — TAA alternates it (kernels/checker.py).
+    checker_parity = None
+    if stoch and config.checkerboard_gathers \
+            and gb.mask.shape[1] % 2 == 0:
+        checker_parity = fc.frame_index.astype(jnp.int32) & 1
 
     # Ray-traced HBAO + bent normals (ref: render-jobs/hbao.inl; AO cleared
     # to 1.0 when disabled, ref: renderer.cpp:1816-1840)
@@ -447,7 +472,8 @@ def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
             dither=(fc.frame_index if stoch else None),
             extras=(gb.extras if scene.meta.has_extras else None),
             analytic_env_brdf=config.analytic_env_brdf,
-            uv_dither=config.stochastic_bilinear)
+            uv_dither=config.stochastic_bilinear,
+            checker_parity=checker_parity)
 
     # Direct (sun) lighting with inline ray-traced shadows when a BVH is
     # supplied (ref: lighting/direct-lighting.hlsl +
@@ -465,7 +491,8 @@ def _shade_surface(scene, gb, n, depth, fc, *, config: Config, params,
             sun_vis = shadow_mod.sun_visibility(
                 gb.world_pos, ndl, sun_shadow_map, fc.sun_view_proj,
                 config.shadow_map_resolution,
-                dither=(fc.frame_index if stoch else None))[..., None]
+                dither=(fc.frame_index if stoch else None),
+                checker_parity=checker_parity)[..., None]
         elif rt_shadows:
             r3 = fc.inv_scene_rotation[:3, :3]
             origins = gb.world_pos.reshape(-1, 3) @ r3 \
