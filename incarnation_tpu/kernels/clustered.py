@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -147,17 +148,34 @@ def build_light_clusters(lights: lights_mod.LightTable, config, proj,
     return mask.astype(jnp.int32), culled
 
 
+def _slice_bounds(near: float, far: float, gz: int):
+    """f32 view-z lower bounds of slices 1..gz-1 (exponential slicing,
+    ref: cluster-culling.hlsli:54-67). Slice k holds view_z in
+    [bounds[k-1], bounds[k]); comparisons against this one table keep the
+    XLA paths and the Pallas kernel BIT-IDENTICAL (a floor(log(z)*s+b)
+    form differs by 1 ulp between XLA's and Mosaic's log at slice
+    boundaries — measured 0.017% of random pixels)."""
+    import math
+    return tuple(
+        np.float32(near * math.exp(math.log(far / near) * k / gz))
+        for k in range(1, gz))
+
+
+def _slice_of(view_z, bounds):
+    """Slice index by comparison against the shared boundary table."""
+    cz = jnp.zeros(view_z.shape, jnp.int32)
+    for b in bounds:
+        cz = cz + (view_z >= b).astype(jnp.int32)
+    return cz
+
+
 def pixel_cluster_id(depth, config, near: float, width: int, height: int):
     """Per-pixel flattened cluster id (ref: cluster-culling.hlsli:30-42).
     depth: reverse-Z ndc depth; view z = near / depth."""
     gx, gy, gz = cluster_grid_shape(config)
     far = config.cluster_depth_extent
     view_z = near / jnp.maximum(depth, 1e-6)
-    log_ratio = jnp.log(far / near)
-    scale = gz / log_ratio
-    bias = -gz * jnp.log(near) / log_ratio
-    cz = jnp.clip(jnp.floor(jnp.log(view_z) * scale + bias).astype(jnp.int32),
-                  0, gz - 1)
+    cz = _slice_of(view_z, _slice_bounds(near, far, gz))
     xs = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 0)
     cx = jnp.clip(xs * gx // width, 0, gx - 1)
@@ -171,12 +189,24 @@ def clustered_lighting(gb, n, v, depth, lights: lights_mod.LightTable,
     """Additive punctual-light radiance using the cluster bitmask grid
     (ref: lighting/clustered-lighting.hlsl). Dispatches to the Pallas
     block-list kernel when the frame tiles evenly; small/odd frames take
-    the dense XLA loop."""
+    the dense XLA loop.
+
+    The Pallas path never materializes per-pixel mask words: the 2M-pixel
+    `cluster_mask[cid]` gather + the channel-major layout copies it forced
+    cost ~7 ms/frame at 1080p; instead the kernel reads a tiny
+    (gx*gy, L) per-xy-cell Z-BITMASK table through scalar prefetch and
+    computes each pixel's z slice in-register from depth (bit-identical
+    gating — the bit tested is the same cluster bit)."""
+    gx, gy, gz = cluster_grid_shape(config)
+    # A block must span <= 2 cluster cells per axis for the kernel's 2x2
+    # cell selector (true at 1080p: 120 px cells vs 128/32 px blocks);
+    # frames where it doesn't hold take the dense path.
+    if gz <= 31 and _pallas_cells_ok(width, height, gx, gy):
+        return _clustered_lighting_pallas(gb, n, v, depth, cluster_mask,
+                                          lights, config, near,
+                                          width, height)
     cid = pixel_cluster_id(depth, config, near, width, height)
     words = cluster_mask[cid]                  # (H, W, W32) — 1-2 gathers
-    if height % _BH == 0 and width % _BW == 0:
-        return _clustered_lighting_pallas(gb, n, v, words, lights,
-                                          width, height)
     return clustered_lighting_dense(gb, n, v, words, lights)
 
 
@@ -223,12 +253,58 @@ def _block_light_lists(words, nby, nbx, num_lights: int):
     l_pad = w32 * 32
     bit = ((union[:, :, None] >> jnp.arange(32)[None, None, :]) & 1)
     bits = bit.reshape(-1, l_pad)                          # (NB, Lpad)
+    return _lists_from_bits(bits, num_lights, l_pad)
+
+
+def _lists_from_bits(bits, num_lights: int, l_pad: int):
     bits = bits * (jnp.arange(l_pad)[None, :] < num_lights)
     counts = bits.sum(-1).astype(jnp.int32)
     # set bits first, ascending light index
     key = (1 - bits) * l_pad + jnp.arange(l_pad)[None, :]
     lists = jnp.argsort(key, axis=-1).astype(jnp.int32)
     return counts, lists
+
+
+def _cluster_zmasks(cluster_mask, gx: int, gy: int, gz: int):
+    """(C, W32) cluster bitmask -> (gx*gy, W32*32) i32 Z-BITMASK table:
+    bit cz of zmask[cy*gx+cx, l] == light l's bit in cluster (cx, cy, cz).
+    Tiny (144 x 96 at the default grid) — the Pallas shading kernel reads
+    it with scalar loads instead of gathering per-pixel mask words."""
+    w32 = cluster_mask.shape[-1]
+    l_pad = w32 * 32
+    m = cluster_mask.reshape(gz, gx * gy, w32)
+    bits = ((m[..., None].astype(jnp.int32) >> jnp.arange(32)) & 1)
+    bits = bits.reshape(gz, gx * gy, l_pad)                # (gz, XY, Lpad)
+    return jnp.sum(bits << jnp.arange(gz)[:, None, None], axis=0) \
+        .astype(jnp.int32)
+
+
+def _block_cells_np(nby: int, nbx: int, gx: int, gy: int,
+                    width: int, height: int):
+    """Static per-block cluster-cell corners: (NB, 4) xy-cell ids in the
+    order (top-left, top-right, bottom-left, bottom-right). Only valid
+    when _pallas_cells_ok (every block spans <= 2 cells per axis)."""
+    bys, bxs = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
+    cx0 = (bxs * _BW) * gx // width
+    cx1 = (bxs * _BW + _BW - 1) * gx // width
+    cy0 = (bys * _BH) * gy // height
+    cy1 = (bys * _BH + _BH - 1) * gy // height
+    cells = np.stack([cy0 * gx + cx0, cy0 * gx + cx1,
+                      cy1 * gx + cx0, cy1 * gx + cx1], axis=-1)
+    return cells.reshape(-1, 4).astype(np.int32)
+
+
+def _pallas_cells_ok(width: int, height: int, gx: int, gy: int) -> bool:
+    """True when every ALIGNED _BH x _BW block spans <= 2 cluster cells
+    per axis (exact static check — holds at 1080p's 120 px cells; the
+    kernel's 2x2 cell selector requires it)."""
+    if height % _BH or width % _BW:
+        return False
+    x0 = np.arange(width // _BW) * _BW
+    y0 = np.arange(height // _BH) * _BH
+    xs = (x0 + _BW - 1) * gx // width - x0 * gx // width
+    ys = (y0 + _BH - 1) * gy // height - y0 * gy // height
+    return bool(xs.max() <= 1 and ys.max() <= 1)
 
 
 def _pack_light_rows(lights: lights_mod.LightTable):
@@ -250,10 +326,18 @@ def _pack_light_rows(lights: lights_mod.LightTable):
     return rows
 
 
-def _clustered_block_kernel(count_ref, list_ref, light_ref, px_ref,
-                            words_ref, out_ref, *, w32: int, nbx: int):
+def _clustered_block_kernel(count_ref, list_ref, light_ref, zmask_ref,
+                            px_ref, out_ref, *, nbx: int, gx: int, gy: int,
+                            gz: int, width: int, height: int,
+                            near: float, bounds: tuple):
     """One (3, _BH, _BW) radiance block: walk this block's light list,
-    gating each light per pixel with its cluster mask bit."""
+    gating each light per pixel with its cluster bit.
+
+    The gate reads the per-(xy-cell, light) z-bitmask table (scalar
+    prefetch) — 4 scalar loads per light for the block's <= 2x2 cells —
+    and tests bit cz, where cz is the pixel's exponential depth slice
+    computed in-register (ref: cluster-culling.hlsli:30-42). Exactly the
+    same cluster bit as the per-pixel word gather this replaces."""
     by = pl.program_id(0)
     bx = pl.program_id(1)
     b = by * nbx + bx
@@ -265,6 +349,26 @@ def _clustered_block_kernel(count_ref, list_ref, light_ref, px_ref,
     metallic = px_ref[12]
     roughness = px_ref[13]
     maskb = px_ref[14] > 0.0
+    depth = px_ref[15]
+
+    # Pixel z slice (bit-identical to pixel_cluster_id: comparison against
+    # the shared boundary table) + the block's 2x2 xy-cell selector masks.
+    # Cell boundaries: first x with cell cx0+1 is ceil((cx0+1)*width/gx)
+    # (cx = x*gx//width).
+    view_z = jnp.float32(near) / jnp.maximum(depth, 1e-6)
+    cz = _slice_of(view_z, bounds)
+    cx0 = (bx * _BW) * gx // width
+    cy0 = (by * _BH) * gy // height
+    xb = ((cx0 + 1) * width + gx - 1) // gx
+    yb = ((cy0 + 1) * height + gy - 1) // gy
+    xg = jax.lax.broadcasted_iota(jnp.int32, (_BH, _BW), 1) + bx * _BW
+    yg = jax.lax.broadcasted_iota(jnp.int32, (_BH, _BW), 0) + by * _BH
+    right = xg >= xb
+    lower = yg >= yb
+    c00 = cy0 * gx + cx0
+    c01 = jnp.minimum(c00 + 1, cy0 * gx + gx - 1)
+    c10 = jnp.minimum(cy0 + 1, gy - 1) * gx + cx0
+    c11 = jnp.minimum(c10 + 1, jnp.minimum(cy0 + 1, gy - 1) * gx + gx - 1)
 
     no_v = jnp.clip(nx * vx + ny * vy + nz * vz, 0.0, 1.0)
     f0r = metallic * basr + (1.0 - metallic) * 0.04
@@ -332,11 +436,15 @@ def _clustered_block_kernel(count_ref, list_ref, light_ref, px_ref,
         g = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-5)
         spec = d * g / jnp.maximum(4.0 * no_v * no_l, 1e-3)
 
-        # per-pixel cluster gate
-        word = words_ref[0]
-        for j in range(1, w32):
-            word = jnp.where((i >> 5) == j, words_ref[j], word)
-        on = ((word >> (i & 31)) & 1) > 0
+        # per-pixel cluster gate: bit cz of the light's z-bitmask at the
+        # pixel's xy cell (4 scalar loads cover the block's 2x2 cells)
+        zm00 = zmask_ref[c00, i]
+        zm01 = zmask_ref[c01, i]
+        zm10 = zmask_ref[c10, i]
+        zm11 = zmask_ref[c11, i]
+        zm = jnp.where(lower, jnp.where(right, zm11, zm10),
+                       jnp.where(right, zm01, zm00))
+        on = ((zm >> cz) & 1) > 0
         use = on & maskb & (no_l > 0.0)
         w = jnp.where(use, rad * no_l, 0.0)
 
@@ -356,13 +464,46 @@ def _clustered_block_kernel(count_ref, list_ref, light_ref, px_ref,
     out_ref[2] = accb
 
 
-def _clustered_lighting_pallas(gb, n, v, words, lights, width, height):
+def _clustered_lighting_pallas(gb, n, v, depth, cluster_mask, lights,
+                               config, near: float, width, height):
     from .raster import _should_interpret
+    import math
+    gx, gy, gz = cluster_grid_shape(config)
+    far = config.cluster_depth_extent
     nby, nbx = height // _BH, width // _BW
-    counts, lists = _block_light_lists(words, nby, nbx,
-                                       lights.type.shape[0])
+    nb = nby * nbx
+    num_lights = lights.type.shape[0]
+
+    zmask = _cluster_zmasks(cluster_mask, gx, gy, gz)      # (XY, Lpad) i32
+    l_pad = zmask.shape[-1]
+
+    # Per-block light lists: union over the block's <= 2x2 xy cells AND
+    # its pixels' actual z range (masked pixels only) — the same lights
+    # the per-pixel-word union walked, without materializing words.
+    cells = jnp.asarray(_block_cells_np(nby, nbx, gx, gy, width, height))
+    db = depth.reshape(nby, _BH, nbx, _BW)
+    mb = gb.mask.reshape(nby, _BH, nbx, _BW)
+    d_far = jnp.where(mb, db, 2.0).min(axis=(1, 3)).reshape(nb)
+    d_near = jnp.where(mb, db, 0.0).max(axis=(1, 3)).reshape(nb)
+    any_mask = mb.any(axis=(1, 3)).reshape(nb)
+
+    bounds = _slice_bounds(near, far, gz)
+
+    def _cz(d):
+        return _slice_of(near / jnp.maximum(d, 1e-6), bounds)
+
+    cz_min = _cz(d_near)                                   # closest pixel
+    cz_max = _cz(d_far)
+    full = jnp.int32((1 << gz) - 1) if gz < 31 else jnp.int32(-1)
+    zrange = ((full >> (gz - 1 - cz_max)) &
+              (full << cz_min).astype(jnp.int32))
+    zrange = jnp.where(any_mask, zrange, 0)                # (NB,)
+    zcells = zmask[cells]                                  # (NB, 4, Lpad)
+    bits = ((zcells & zrange[:, None, None]) != 0).any(axis=1) \
+        .astype(jnp.int32)                                 # (NB, Lpad)
+    counts, lists = _lists_from_bits(bits, num_lights, l_pad)
+
     light_rows = _pack_light_rows(lights)
-    w32 = words.shape[-1]
     px = jnp.concatenate([
         jnp.moveaxis(gb.base_color[..., :3], -1, 0),
         jnp.moveaxis(n, -1, 0),
@@ -371,23 +512,24 @@ def _clustered_lighting_pallas(gb, n, v, words, lights, width, height):
         gb.mrao[None, ..., 0],
         gb.mrao[None, ..., 1],
         gb.mask[None].astype(jnp.float32),
-    ], axis=0)                                             # (15, H, W)
-    words_cf = jnp.moveaxis(words, -1, 0)                  # (W32, H, W)
+        depth[None],
+    ], axis=0)                                             # (16, H, W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nby, nbx),
         in_specs=[
-            pl.BlockSpec((15, _BH, _BW), lambda by, bx, *_: (0, by, bx)),
-            pl.BlockSpec((w32, _BH, _BW), lambda by, bx, *_: (0, by, bx)),
+            pl.BlockSpec((16, _BH, _BW), lambda by, bx, *_: (0, by, bx)),
         ],
         out_specs=pl.BlockSpec((3, _BH, _BW),
                                lambda by, bx, *_: (0, by, bx)),
     )
     out = pl.pallas_call(
-        functools.partial(_clustered_block_kernel, w32=w32, nbx=nbx),
+        functools.partial(_clustered_block_kernel, nbx=nbx, gx=gx, gy=gy,
+                          gz=gz, width=width, height=height,
+                          near=near, bounds=bounds),
         name="clustered_lighting",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
         interpret=_should_interpret(),
-    )(counts, lists, light_rows, px, words_cf)
+    )(counts, lists, light_rows, zmask, px)
     return jnp.moveaxis(out, 0, -1)

@@ -125,12 +125,17 @@ def test_taa_rejects_stale_history():
 
 def test_clustered_pallas_matches_dense():
     """The Pallas block-list clustered kernel must match the dense
-    all-lights XLA loop (interpret mode on CPU)."""
+    all-lights XLA loop (interpret mode on CPU). The Pallas path gates
+    lights from the (xy-cell, light) z-bitmask table + in-kernel z slice
+    (no per-pixel word gather), so this drives the full wrapper with a
+    real cluster grid and a varying depth map."""
     import numpy as np
     from incarnation_tpu.kernels import resolve
     from incarnation_tpu.scene import lights as lights_mod
 
-    h, w = 32, 128
+    # sized so every 32x128 block spans <= 2 cluster cells per axis
+    # (the kernel's cell-selector requirement; _pallas_cells_ok)
+    h, w = 288, 1024
     r = np.random.default_rng(3)
     defs, xforms = [], []
     for i in range(9):
@@ -164,12 +169,26 @@ def test_clustered_pallas_matches_dense():
         world_pos=jnp.asarray(wp),
         uv=jnp.zeros((h, w, 2)),
         extras=jnp.zeros((h, w, 3)))
-    words = jnp.asarray(
-        r.integers(0, 2 ** 31, (h, w, 1)).astype(np.int32))
+    cfg = CFG
+    near = cfg.camera_near_plane
+    fc = frame_mod.FrameConstants.make(View.default(aspect=w / h), cfg)
+    cluster_mask, _ = clustered.build_light_clusters(
+        lights, cfg, fc.proj, fc.inv_view_proj, near)
+    # depth spanning several exponential z slices (reverse-Z in (0, 1])
+    depth = jnp.asarray(
+        r.uniform(0.02, 1.0, (h, w)).astype(np.float32))
 
+    cid = clustered.pixel_cluster_id(depth, cfg, near, w, h)
+    words = cluster_mask[cid]
     dense = clustered.clustered_lighting_dense(
         gb, jnp.asarray(n), jnp.asarray(v), words, lights)
     fast = clustered._clustered_lighting_pallas(
-        gb, jnp.asarray(n), jnp.asarray(v), words, lights, w, h)
+        gb, jnp.asarray(n), jnp.asarray(v), depth, cluster_mask, lights,
+        cfg, near, w, h)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
                                rtol=1e-4, atol=1e-3)
+    # the production wrapper must route this frame shape to the kernel
+    via_wrapper = clustered.clustered_lighting(
+        gb, jnp.asarray(n), jnp.asarray(v), depth, lights, cluster_mask,
+        cfg, near, w, h)
+    np.testing.assert_array_equal(np.asarray(via_wrapper), np.asarray(fast))

@@ -147,3 +147,86 @@ def test_inside_near_plane_clipped():
     scene = make_scene(tri_facing_camera(z=-14.5, scale=0.3), [[0, 1, 2]])
     vis, _, _ = run(scene)
     assert (vis != mu.VIS_CLEAR_INT32).sum() == 0
+
+
+def _kbuf_scene(dup: bool = False):
+    """Stacked triangles at distinct depths (plus an exact duplicate-depth
+    triangle when dup=True — equal-z fragments collapse into one peel
+    level)."""
+    zs = [(2.0, 3.0), (4.0, 4.0)]
+    if dup:
+        zs.append((4.0, 4.0))
+    zs += [(6.0, 5.0), (8.0, 6.0)]
+    tris = np.concatenate([tri_facing_camera(z=z, scale=s) for z, s in zs])
+    idx = [[3 * i, 3 * i + 1, 3 * i + 2] for i in range(len(zs))]
+    return make_scene(tris, idx)
+
+
+def test_kbuffer_matches_sequential_peels():
+    """rasterize_tiles_kbuf's K layers must be bit-equal to K sequential
+    z_limit-chained rasterize_tiles passes (the depth-peel reference) on
+    distinct-depth fragments. (On EXACT depth ties the two agree on
+    depths/coverage but may pick a different winner among the tied
+    triangles: the sequential kernel's tie choice is chunk-order
+    dependent, the k-buffer insert deterministically keeps the max id —
+    see test_kbuffer_collapses_equal_depth.)"""
+    scene = _kbuf_scene()
+    view = View.default(aspect=W / H)
+    vp = jnp.asarray(view.view_proj())
+    prep = raster.prepare_geometry(scene, EYE4, vp,
+                                   jnp.ones(scene.prim_mesh.shape, bool),
+                                   PARAMS)
+    bins = raster.bin_triangles(prep.setup_t, prep.ids, prep.valid,
+                                prep.bbox, PARAMS, prep.attr_flat)
+    tri_k, depth_k, interp_k = raster.rasterize_tiles_kbuf(
+        bins, PARAMS, k_layers=3)
+    zlim = jnp.full((H, W), 2.0, jnp.float32)
+    for k in range(3):
+        s_tri, s_depth, s_interp = raster.rasterize_tiles(
+            bins, PARAMS, z_limit=zlim)
+        np.testing.assert_array_equal(np.asarray(tri_k[k]),
+                                      np.asarray(s_tri), err_msg=f"k={k}")
+        np.testing.assert_array_equal(np.asarray(depth_k[k]),
+                                      np.asarray(s_depth), err_msg=f"k={k}")
+        # interp: the sequential kernel's pass-2 MXU select is exact, so
+        # the winning pair's coefficients must agree bit-for-bit
+        np.testing.assert_array_equal(np.asarray(interp_k[k]),
+                                      np.asarray(s_interp), err_msg=f"k={k}")
+        zlim = jnp.where(s_tri >= 0, s_depth, 0.0)
+    # layer 0 == the plain raster; 4 distinct depths -> 3 layers all hit
+    # at the center, duplicate z collapsed (layer depths strictly decrease)
+    cy, cx = H // 2, W // 2
+    d = np.asarray(depth_k)[:, cy, cx]
+    assert d[0] > d[1] > d[2] > 0
+
+
+def test_kbuffer_collapses_equal_depth():
+    """Exact equal-depth fragments occupy ONE peel level (the sequential
+    peel's strict z < z_limit skips the tied twin the same way); the
+    k-buffer's deterministic tie rule keeps the max triangle id."""
+    scene = _kbuf_scene(dup=True)
+    view = View.default(aspect=W / H)
+    vp = jnp.asarray(view.view_proj())
+    prep = raster.prepare_geometry(scene, EYE4, vp,
+                                   jnp.ones(scene.prim_mesh.shape, bool),
+                                   PARAMS)
+    bins = raster.bin_triangles(prep.setup_t, prep.ids, prep.valid,
+                                prep.bbox, PARAMS, prep.attr_flat)
+    tri_k, depth_k, _ = raster.rasterize_tiles_kbuf(bins, PARAMS,
+                                                    k_layers=3)
+    zlim = jnp.full((H, W), 2.0, jnp.float32)
+    cy, cx = H // 2, W // 2
+    for k in range(3):
+        s_tri, s_depth, _ = raster.rasterize_tiles(bins, PARAMS,
+                                                   z_limit=zlim)
+        # depths and coverage agree even across ties
+        np.testing.assert_array_equal(np.asarray(depth_k[k]),
+                                      np.asarray(s_depth), err_msg=f"k={k}")
+        np.testing.assert_array_equal(np.asarray(tri_k[k]) >= 0,
+                                      np.asarray(s_tri) >= 0,
+                                      err_msg=f"k={k}")
+        zlim = jnp.where(s_tri >= 0, s_depth, 0.0)
+    d = np.asarray(depth_k)[:, cy, cx]
+    assert d[0] > d[1] > d[2] > 0          # tie consumed one level only
+    # the tied pair is triangles 1 and 2 at z=4 -> layer 1; max id wins
+    assert int(np.asarray(tri_k)[1, cy, cx]) == 2
