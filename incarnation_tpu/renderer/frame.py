@@ -212,14 +212,16 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         # opaque prims raster normally; MASK/BLEND prims raster as depth
         # peels — each peel takes the closest not-yet-tested fragment,
         # alpha-tests it against the base-color texture, and failed pixels
-        # peel again behind it. ONE k-buffer raster pass produces all K
-        # depth layers (bit-equal to K sequential z_limit passes, which
-        # each re-streamed and re-evaluated every binned pair).
+        # peel again behind it. Layers come either from K sequential
+        # z_limit passes (default — cheap z-races, DMA-overlapped) or from
+        # ONE k-buffer pass (config.kbuffer_peels; bit-equal on distinct
+        # depths but VPU-bound: 62 vs ~21 ms at 1080p/3 peels).
         total_peels = max(1, config.masked_depth_peels)
-        peels = min(total_peels, 3)
-        tri_k, depth_k, interp_k = raster.rasterize_tiles_kbuf(
-            layer_bins[masked_idx], params, k_layers=peels,
-            name="raster_peel")
+        kpeels = min(total_peels, 3) if config.kbuffer_peels else 0
+        if kpeels:
+            tri_k, depth_k, interp_k = raster.rasterize_tiles_kbuf(
+                layer_bins[masked_idx], params, k_layers=kpeels,
+                name="raster_peel")
         acc_tri = jnp.full_like(tri, -1)
         acc_depth = jnp.zeros_like(depth)
         acc_interp = jnp.zeros_like(interp)
@@ -231,34 +233,17 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         use_chunks = (0 < peel_cap < n_chunks
                       and n_chunks * 128 == params.height * params.width)
         peel_chunk_overflow = jnp.zeros((), jnp.int32)
-        for layer in range(peels):
-            m_tri = tri_k[layer]
-            m_depth = depth_k[layer]
-            m_interp = interp_k[layer]
-            alpha, thresh = resolve.masked_alpha(
-                scene, m_tri, m_interp,
-                mip_dither=(fc.frame_index if stoch else None),
-                uv_dither=(config.stochastic_bilinear and stoch),
-                max_aniso=float(config.max_anisotropy),
-                coverage_capacity=(peel_cap if use_chunks else None))
-            if use_chunks:
-                peel_chunk_overflow = jnp.maximum(
-                    peel_chunk_overflow,
-                    resolve.chunk_overflow(m_tri >= 0, peel_cap))
-            hit = m_tri >= 0
-            passed = hit & (alpha >= thresh)
-            newly = passed & (acc_tri < 0)
-            acc_tri = jnp.where(newly, m_tri, acc_tri)
-            acc_depth = jnp.where(newly, m_depth, acc_depth)
-            acc_interp = jnp.where(newly[None], m_interp, acc_interp)
-            cont = hit & ~passed & (acc_tri < 0)
-        # Peels beyond the k-buffer depth (the CLI's adaptive raise goes to
-        # 4) continue with sequential z_limit passes behind the last layer.
-        for _ in range(total_peels - peels):
-            zlim = jnp.where(cont, m_depth, 0.0)
-            m_tri, m_depth, m_interp = raster.rasterize_tiles(
-                layer_bins[masked_idx], params, z_limit=zlim,
-                name="raster_peel")
+        for layer in range(total_peels):
+            if layer < kpeels:
+                m_tri = tri_k[layer]
+                m_depth = depth_k[layer]
+                m_interp = interp_k[layer]
+            else:
+                zlim = (jnp.full(depth.shape, 2.0, jnp.float32)
+                        if layer == 0 else jnp.where(cont, m_depth, 0.0))
+                m_tri, m_depth, m_interp = raster.rasterize_tiles(
+                    layer_bins[masked_idx], params, z_limit=zlim,
+                    name="raster_peel")
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
@@ -410,16 +395,26 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     if has_blend_layer:
         c_acc = jnp.zeros_like(hdr)
         transmit = jnp.ones(hdr.shape[:2] + (1,), jnp.float32)
-        # The blend layers raster from the shared layered binning; the
-        # k-buffer pass yields all front-to-back layers in one stream.
+        # The blend layers raster from the shared layered binning; either
+        # K sequential z_limit peels (default) or one k-buffer pass
+        # (config.kbuffer_peels) yields the front-to-back layers.
         blend_peels = max(1, min(config.masked_depth_peels, 3))
-        btri_k, bdepth_k, binterp_k = raster.rasterize_tiles_kbuf(
-            layer_bins[blend_idx], params, k_layers=blend_peels,
-            name="raster_blend")
+        if config.kbuffer_peels:
+            btri_k, bdepth_k, binterp_k = raster.rasterize_tiles_kbuf(
+                layer_bins[blend_idx], params, k_layers=blend_peels,
+                name="raster_blend")
+        else:
+            bzlim = jnp.full(depth.shape, 2.0, jnp.float32)
         for layer in range(blend_peels):
-            b_tri = btri_k[layer]
-            b_depth = bdepth_k[layer]
-            b_interp = binterp_k[layer]
+            if config.kbuffer_peels:
+                b_tri = btri_k[layer]
+                b_depth = bdepth_k[layer]
+                b_interp = binterp_k[layer]
+            else:
+                b_tri, b_depth, b_interp = raster.rasterize_tiles(
+                    layer_bins[blend_idx], params, z_limit=bzlim,
+                    name="raster_blend")
+                bzlim = jnp.where(b_tri >= 0, b_depth, 0.0)
             gb_b, n3_b = resolve.resolve_gbuffer(
                 b_tri, b_depth, scene, b_interp, fc.inv_view_proj,
                 params.width, params.height, return_normal3=True)
