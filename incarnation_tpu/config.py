@@ -133,14 +133,6 @@ class Config:
     # behind it — ref: visibility-pass.hlsl clip). 2 covers typical foliage
     # overlap; raise for dense vegetation.
     masked_depth_peels: int = 2
-    # K-buffer peel raster (kernels/raster.py::rasterize_tiles_kbuf): one
-    # pass over the masked pair stream keeps the 3 closest distinct-depth
-    # fragments per pixel. Measured SLOWER on the bench chip than K
-    # sequential z_limit passes (62 ms vs ~21 ms at 1080p/3 peels: the
-    # top-3 insert/merge network is VPU-bound, while sequential passes are
-    # cheap z-races with DMA fully overlapped), so default OFF; kept for
-    # parts where the pair-stream DMA — not the VPU — bounds the raster.
-    kbuffer_peels: bool = False
     # Sparse-layer fetch compaction (kernels/resolve.py _chunk_compact):
     # the peel alpha tests and the decal material resolve cover a sparse
     # pixel set, but a full-screen table gather is index-rate bound

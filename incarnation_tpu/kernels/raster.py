@@ -855,330 +855,6 @@ def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None,
             interp[:, :p.height, :p.width])
 
 
-def _insert3(state, z, rid):
-    """Insert candidates (z, rid) into per-lane top-3 DISTINCT-depth lists
-    (reverse-Z: larger z = closer; ties on z merge by max id — exactly the
-    sequential depth-peel semantics: peel k+1 rasters with a STRICT
-    z < z_k bound, so equal-depth fragments collapse into one level).
-
-    state: (z1, id1, z2, id2, z3, id3) arrays, z descending, empty slot
-    z = -1 / id = -1. Non-covering candidates must carry z = -2 (below the
-    empty sentinel, so they never insert or tie-merge)."""
-    z1, i1, z2, i2, z3, i3 = state
-    a = z > z1
-    b = ~a & (z == z1)
-    c = ~a & ~b & (z > z2)
-    d = ~a & ~b & ~c & (z == z2)
-    e = ~a & ~b & ~c & ~d & (z > z3)
-    f = ~a & ~b & ~c & ~d & ~e & (z == z3)
-    shift2 = a | c
-    nz3 = jnp.where(shift2, z2, jnp.where(e, z, z3))
-    ni3 = jnp.where(shift2, i2,
-                    jnp.where(e, rid,
-                              jnp.where(f, jnp.maximum(i3, rid), i3)))
-    nz2 = jnp.where(a, z1, jnp.where(c, z, z2))
-    ni2 = jnp.where(a, i1,
-                    jnp.where(c, rid,
-                              jnp.where(d, jnp.maximum(i2, rid), i2)))
-    nz1 = jnp.where(a, z, z1)
-    ni1 = jnp.where(a, rid, jnp.where(b, jnp.maximum(i1, rid), i1))
-    return nz1, ni1, nz2, ni2, nz3, ni3
-
-
-def _merge3(sa, sb):
-    """Merge two top-3 distinct-depth lists (insert B's levels into A)."""
-    s = _insert3(sa, sb[0], sb[1])
-    s = _insert3(s, sb[2], sb[3])
-    return _insert3(s, sb[4], sb[5])
-
-
-def _tree_merge3(state, rows: int):
-    """Reduce a per-row (rows, n) top-3 state to (1, n) by pairwise list
-    merges (rows must be a power of two)."""
-    m = rows
-    while m > 1:
-        state = _merge3(tuple(a[:m // 2] for a in state),
-                        tuple(a[m // 2:m] for a in state))
-        m //= 2
-    return state
-
-
-def _raster_kernel_kbuf(starts_ref, counts_ref, bigcount_ref,
-                        setup_hbm, attr_hbm, big_setup_ref, big_ids_ref,
-                        big_attr_ref, tri_ref, z_ref, interp_ref,
-                        setup_scratch, attr_scratch, sems, asems, *,
-                        params: RasterParams, k_layers: int):
-    """K-buffer fine raster: ONE pass over the tile's pair stream keeps the
-    K closest DISTINCT-depth fragments per pixel, then one attribute-select
-    pass matches each layer's winner (K cheap match-matmuls over the same
-    attr DMA stream). Replaces K sequential depth-peel rasterizations of
-    the same bins (each re-streaming + re-evaluating every pair) for the
-    alpha-masked geometry path (ref: visibility-pass.hlsl:101-111 clip) —
-    the atrium bench frame's 3 peel passes cost 20.6 ms vs one opaque
-    pass's 12.2.
-
-    Only k_layers <= 3 is supported (the top-3 insert network)."""
-    assert k_layers <= 3
-    p = params
-    k = p.chunk
-    ti = pl.program_id(0)
-    ty = ti // p.tiles_x
-    tx = ti - ty * p.tiles_x
-
-    n = p.tile_h * p.tile_w
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    py = pix // p.tile_w
-    px = pix - py * p.tile_w
-    colf = (px + tx * p.tile_w).astype(jnp.float32) + 0.5
-    rowf = (py + ty * p.tile_h).astype(jnp.float32) + 0.5
-
-    start = starts_ref[ti]
-    count = counts_ref[ti]
-    bigcnt = bigcount_ref[0]
-    row_start = start // _PAIRS_PER_ROW
-    row_off = start - row_start * _PAIRS_PER_ROW
-    kr = k // _PAIRS_PER_ROW
-    nch = pl.cdiv(count + row_off, k)
-
-    def eval_slab(rows13, rid, slot_ok):
-        """-> (z or -2 where not covered, rid) over (kr, n)."""
-        e0 = rows13[:, 0:1] * colf + rows13[:, 1:2] * rowf + rows13[:, 2:3]
-        e1 = rows13[:, 3:4] * colf + rows13[:, 4:5] * rowf + rows13[:, 5:6]
-        e2 = rows13[:, 6:7] * colf + rows13[:, 7:8] * rowf + rows13[:, 8:9]
-        z = (rows13[:, 9:10] * colf + rows13[:, 10:11] * rowf
-             + rows13[:, 11:12])
-        # z bounds double as near-plane clip (z <= 1) and behind-eye kill
-        # (z >= 0) — identical acceptance to the single-layer kernel's
-        # z-race init (zb = 0) + z <= 1 coverage bound.
-        cov = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-               & (z <= 1.0) & (z >= 0.0) & slot_ok)
-        return jnp.where(cov, z, -2.0), rid
-
-    def dma(slot, c):
-        return pltpu.make_async_copy(
-            setup_hbm.at[pl.ds(row_start + c * kr, kr), :],
-            setup_scratch.at[slot], sems.at[slot])
-
-    akr = k // _APAIRS_PER_ROW
-    arow_start = start // _APAIRS_PER_ROW
-    arow_off = start - arow_start * _APAIRS_PER_ROW
-    anch = pl.cdiv(count + arow_off, k)
-
-    def adma(slot, c):
-        return pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(arow_start + c * akr, akr), :],
-            attr_scratch.at[slot], asems.at[slot])
-
-    @pl.when(nch > 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(anch > 0)
-    def _():
-        adma(0, 0).start()
-
-    empty_z = jnp.full((1, n), -1.0, jnp.float32)
-    empty_id = jnp.full((1, n), -1.0, jnp.float32)
-
-    def chunk_body(c, tile_state):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nch)
-        def _():
-            dma(1 - slot, c + 1).start()
-
-        dma(slot, c).wait()
-        rows = setup_scratch[slot]                # (K/8, 128)
-        riota = jax.lax.broadcasted_iota(jnp.int32, (kr, 1), 0)
-        st = (jnp.full((kr, n), -1.0, jnp.float32),
-              jnp.full((kr, n), -1.0, jnp.float32),
-              jnp.full((kr, n), -1.0, jnp.float32),
-              jnp.full((kr, n), -1.0, jnp.float32),
-              jnp.full((kr, n), -1.0, jnp.float32),
-              jnp.full((kr, n), -1.0, jnp.float32))
-        for j in range(_PAIRS_PER_ROW):
-            sl = rows[:, _PAIR_STRIDE * j:_PAIR_STRIDE * j + 13]
-            rid = jnp.broadcast_to(sl[:, 12:13], (kr, n))
-            gidx = c * k + riota * _PAIRS_PER_ROW + j
-            slot_ok = (gidx >= row_off) & (gidx < row_off + count)
-            mz, _ = eval_slab(sl[:, :13], rid, slot_ok)
-            st = _insert3(st, mz, rid)
-        return _merge3(tile_state, _tree_merge3(st, kr))
-
-    tile_state = jax.lax.fori_loop(
-        0, nch, chunk_body,
-        (empty_z, empty_id, empty_z, empty_id, empty_z, empty_id))
-
-    def big_body(c, tile_state):
-        base = c * k
-        rows = big_setup_ref[pl.ds(base, k), :]
-        rid = jnp.broadcast_to(big_ids_ref[pl.ds(base, k), :], (k, n))
-        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                  < bigcnt - base)
-        e0 = rows[:, 0:1] * colf + rows[:, 1:2] * rowf + rows[:, 2:3]
-        e1 = rows[:, 3:4] * colf + rows[:, 4:5] * rowf + rows[:, 5:6]
-        e2 = rows[:, 6:7] * colf + rows[:, 7:8] * rowf + rows[:, 8:9]
-        z = (rows[:, 9:10] * colf + rows[:, 10:11] * rowf
-             + rows[:, 11:12])
-        cov = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-               & (z <= 1.0) & (z >= 0.0) & row_ok)
-        mz = jnp.where(cov, z, -2.0)
-        neg = jnp.full((k, n), -1.0, jnp.float32)
-        st = _tree_merge3((mz, rid, neg, neg, neg, neg), k)
-        return _merge3(tile_state, st)
-
-    tile_state = jax.lax.fori_loop(
-        0, pl.cdiv(bigcnt, k), big_body, tile_state)
-
-    vb = [tile_state[2 * kk + 1] for kk in range(k_layers)]   # (1, n) ids
-    zb = [tile_state[2 * kk] for kk in range(k_layers)]
-
-    tri_ref[:, :, :] = jnp.concatenate(
-        [v.reshape(1, p.tile_h, p.tile_w) for v in vb], axis=0) \
-        .astype(jnp.int32)
-    z_ref[:, :, :] = jnp.concatenate(
-        [jnp.maximum(z, 0.0).reshape(1, p.tile_h, p.tile_w) for z in zb],
-        axis=0)
-
-    # ---- Pass 2: attribute select per layer (K match-matmuls per chunk
-    # over ONE attr DMA stream; the match masks are 0/1 so HIGHEST reduces
-    # to an exact f32 row select — see _raster_kernel.attr_chunk) ----
-    def attr_chunk(c, coeffs):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < anch)
-        def _():
-            adma(1 - slot, c + 1).start()
-
-        adma(slot, c).wait()
-        rows = attr_scratch[slot]                 # (K/4, 128)
-        riota = jax.lax.broadcasted_iota(jnp.int32, (akr, 1), 0)
-        coeffs = list(coeffs)
-        for j in range(_APAIRS_PER_ROW):
-            sl = rows[:, _APAIR_STRIDE * j:_APAIR_STRIDE * (j + 1)]
-            rid = sl[:, _ID_LANE:_ID_LANE + 1]    # (akr, 1)
-            gidx = c * k + riota * _APAIRS_PER_ROW + j
-            slot_ok = (gidx >= arow_off) & (gidx < arow_off + count)
-            for kk in range(k_layers):
-                match = ((rid == vb[kk]) & slot_ok).astype(jnp.float32)
-                coeffs[kk] = coeffs[kk] + jax.lax.dot_general(
-                    sl, match, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        return tuple(coeffs)
-
-    zero_c = jnp.zeros((_APAIR_STRIDE, n), jnp.float32)
-    coeffs = jax.lax.fori_loop(
-        0, anch, attr_chunk, (zero_c,) * k_layers)
-
-    def big_attr_body(c, coeffs):
-        base = c * k
-        rows = big_attr_ref[pl.ds(base, k), :]    # (K, 32)
-        rid = rows[:, _ID_LANE:_ID_LANE + 1]
-        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                  < bigcnt - base)
-        coeffs = list(coeffs)
-        for kk in range(k_layers):
-            match = ((rid == vb[kk]) & row_ok).astype(jnp.float32)
-            coeffs[kk] = coeffs[kk] + jax.lax.dot_general(
-                rows, match, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        return tuple(coeffs)
-
-    coeffs = jax.lax.fori_loop(
-        0, pl.cdiv(bigcnt, k), big_attr_body, coeffs)
-
-    for kk in range(k_layers):
-        ck = coeffs[kk]
-
-        def lin(o, ck=ck):
-            return (ck[o:o + 1, :] * colf + ck[o + 1:o + 2, :] * rowf
-                    + ck[o + 2:o + 3, :])
-
-        d = lin(6)
-        inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, 0.0)
-        u = lin(0) * inv_d
-        v = lin(3) * inv_d
-        dudx = (ck[0:1, :] - u * ck[6:7, :]) * inv_d
-        dudy = (ck[1:2, :] - u * ck[7:8, :]) * inv_d
-        dvdx = (ck[3:4, :] - v * ck[6:7, :]) * inv_d
-        dvdy = (ck[4:5, :] - v * ck[7:8, :]) * inv_d
-        chans = [u, v,
-                 lin(9) * inv_d, lin(12) * inv_d, lin(15) * inv_d,
-                 lin(18) * inv_d, lin(21) * inv_d, lin(24) * inv_d,
-                 ck[27:28, :], ck[28:29, :],
-                 dudx, dudy, dvdx, dvdy,
-                 jnp.zeros((1, n), jnp.float32),
-                 jnp.zeros((1, n), jnp.float32)]
-        interp_ref[kk * INTERP_CHANNELS:(kk + 1) * INTERP_CHANNELS, :, :] = \
-            jnp.concatenate(chans, axis=0).reshape(
-                INTERP_CHANNELS, p.tile_h, p.tile_w)
-
-
-def rasterize_tiles_kbuf(bins: Bins, params: RasterParams,
-                         k_layers: int = 3, name: str = "raster_kbuf"):
-    """K-buffer raster: returns (tri (K, H, W) i32, depth (K, H, W) f32,
-    interp (K, 16, H, W) f32) — the K closest distinct-depth fragments per
-    pixel in front-to-back order, bit-equal to K sequential depth-peel
-    rasterize_tiles passes with z_limit chaining (tested)."""
-    p = params
-    assert not p.depth_only
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),       # setup pairs (HBM)
-        pl.BlockSpec(memory_space=pl.ANY),       # attr pairs (HBM)
-        pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
-                     lambda i, *_: (0, 0)),
-        pl.BlockSpec((p.big_tri_capacity, 1), lambda i, *_: (0, 0)),
-        pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
-                     lambda i, *_: (0, 0)),
-    ]
-    inputs = [bins.setup, bins.attr, bins.big_setup, bins.big_ids,
-              bins.big_attr]
-    kt = pl.BlockSpec((k_layers, p.tile_h, p.tile_w),
-                      lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x))
-    out_specs = [kt, kt,
-                 pl.BlockSpec((k_layers * INTERP_CHANNELS, p.tile_h,
-                               p.tile_w),
-                              lambda i, *_: (0, i // p.tiles_x,
-                                             i % p.tiles_x))]
-    out_shape = [
-        jax.ShapeDtypeStruct((k_layers, p.padded_height, p.padded_width),
-                             jnp.int32),
-        jax.ShapeDtypeStruct((k_layers, p.padded_height, p.padded_width),
-                             jnp.float32),
-        jax.ShapeDtypeStruct((k_layers * INTERP_CHANNELS, p.padded_height,
-                              p.padded_width), jnp.float32),
-    ]
-    scratch_shapes = [
-        pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
-                    _PAIRS_PER_ROW * _PAIR_STRIDE), jnp.float32),
-        pltpu.VMEM((2, p.chunk // _APAIRS_PER_ROW,
-                    _APAIRS_PER_ROW * _APAIR_STRIDE), jnp.float32),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(p.num_tiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=scratch_shapes,
-    )
-    tri, depth, interp = pl.pallas_call(
-        functools.partial(_raster_kernel_kbuf, params=p, k_layers=k_layers),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        name=name,
-        interpret=(p.interpret if p.interpret is not None
-                   else _should_interpret()),
-    )(bins.starts, bins.counts, bins.big_count, *inputs)
-    ic = INTERP_CHANNELS
-    return (tri[:, :p.height, :p.width], depth[:, :p.height, :p.width],
-            interp.reshape(k_layers, ic, p.padded_height, p.padded_width)
-            [:, :, :p.height, :p.width])
-
-
 def _should_interpret() -> bool:
     """Pallas TPU kernels run in interpreter mode on non-TPU backends
     (tests run on the virtual CPU mesh, SURVEY.md §4). jax_default_device is

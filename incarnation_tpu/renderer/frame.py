@@ -212,16 +212,11 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
         # opaque prims raster normally; MASK/BLEND prims raster as depth
         # peels — each peel takes the closest not-yet-tested fragment,
         # alpha-tests it against the base-color texture, and failed pixels
-        # peel again behind it. Layers come either from K sequential
-        # z_limit passes (default — cheap z-races, DMA-overlapped) or from
-        # ONE k-buffer pass (config.kbuffer_peels; bit-equal on distinct
-        # depths but VPU-bound: 62 vs ~21 ms at 1080p/3 peels).
+        # peel again behind it. Layers come from K sequential z_limit
+        # passes: cheap z-races with the pair-stream DMA fully overlapped
+        # (a one-pass k-buffer variant was built and measured VPU-bound at
+        # 62 vs ~21 ms at 1080p/3 peels, then deleted — r3 VERDICT item 7).
         total_peels = max(1, config.masked_depth_peels)
-        kpeels = min(total_peels, 3) if config.kbuffer_peels else 0
-        if kpeels:
-            tri_k, depth_k, interp_k = raster.rasterize_tiles_kbuf(
-                layer_bins[masked_idx], params, k_layers=kpeels,
-                name="raster_peel")
         acc_tri = jnp.full_like(tri, -1)
         acc_depth = jnp.zeros_like(depth)
         acc_interp = jnp.zeros_like(interp)
@@ -234,16 +229,11 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
                       and n_chunks * 128 == params.height * params.width)
         peel_chunk_overflow = jnp.zeros((), jnp.int32)
         for layer in range(total_peels):
-            if layer < kpeels:
-                m_tri = tri_k[layer]
-                m_depth = depth_k[layer]
-                m_interp = interp_k[layer]
-            else:
-                zlim = (jnp.full(depth.shape, 2.0, jnp.float32)
-                        if layer == 0 else jnp.where(cont, m_depth, 0.0))
-                m_tri, m_depth, m_interp = raster.rasterize_tiles(
-                    layer_bins[masked_idx], params, z_limit=zlim,
-                    name="raster_peel")
+            zlim = (jnp.full(depth.shape, 2.0, jnp.float32)
+                    if layer == 0 else jnp.where(cont, m_depth, 0.0))
+            m_tri, m_depth, m_interp = raster.rasterize_tiles(
+                layer_bins[masked_idx], params, z_limit=zlim,
+                name="raster_peel")
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
@@ -395,26 +385,17 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     if has_blend_layer:
         c_acc = jnp.zeros_like(hdr)
         transmit = jnp.ones(hdr.shape[:2] + (1,), jnp.float32)
-        # The blend layers raster from the shared layered binning; either
-        # K sequential z_limit peels (default) or one k-buffer pass
-        # (config.kbuffer_peels) yields the front-to-back layers.
-        blend_peels = max(1, min(config.masked_depth_peels, 3))
-        if config.kbuffer_peels:
-            btri_k, bdepth_k, binterp_k = raster.rasterize_tiles_kbuf(
-                layer_bins[blend_idx], params, k_layers=blend_peels,
-                name="raster_blend")
-        else:
-            bzlim = jnp.full(depth.shape, 2.0, jnp.float32)
+        # The blend layers raster from the shared layered binning as
+        # sequential z_limit peels, one per configured masked layer (the
+        # former min(.,3) cap was a k-buffer-era limit — ADVICE r3: the CLI
+        # adaptive raise to 4 peels must not drop the 4th blend layer).
+        blend_peels = max(1, config.masked_depth_peels)
+        bzlim = jnp.full(depth.shape, 2.0, jnp.float32)
         for layer in range(blend_peels):
-            if config.kbuffer_peels:
-                b_tri = btri_k[layer]
-                b_depth = bdepth_k[layer]
-                b_interp = binterp_k[layer]
-            else:
-                b_tri, b_depth, b_interp = raster.rasterize_tiles(
-                    layer_bins[blend_idx], params, z_limit=bzlim,
-                    name="raster_blend")
-                bzlim = jnp.where(b_tri >= 0, b_depth, 0.0)
+            b_tri, b_depth, b_interp = raster.rasterize_tiles(
+                layer_bins[blend_idx], params, z_limit=bzlim,
+                name="raster_blend")
+            bzlim = jnp.where(b_tri >= 0, b_depth, 0.0)
             gb_b, n3_b = resolve.resolve_gbuffer(
                 b_tri, b_depth, scene, b_interp, fc.inv_view_proj,
                 params.width, params.height, return_normal3=True)

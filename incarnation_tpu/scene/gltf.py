@@ -8,8 +8,8 @@ nodes (matrix or TRS), materials with pbrMetallicRoughness +
 KHR_materials_transmission + KHR_materials_clearcoat, KHR_lights_punctual,
 cameras, samplers, and images (decoded lazily via PIL).
 
-No sparse accessors, skins, morph targets, or animations — the reference
-ignores those too.
+Sparse accessors are implemented (see _read_accessor below). No skins,
+morph targets, or animations — the reference ignores those too.
 """
 
 from __future__ import annotations

@@ -149,7 +149,7 @@ def test_inside_near_plane_clipped():
     assert (vis != mu.VIS_CLEAR_INT32).sum() == 0
 
 
-def _kbuf_scene(dup: bool = False):
+def _peel_scene(dup: bool = False):
     """Stacked triangles at distinct depths (plus an exact duplicate-depth
     triangle when dup=True — equal-z fragments collapse into one peel
     level)."""
@@ -162,71 +162,31 @@ def _kbuf_scene(dup: bool = False):
     return make_scene(tris, idx)
 
 
-def test_kbuffer_matches_sequential_peels():
-    """rasterize_tiles_kbuf's K layers must be bit-equal to K sequential
-    z_limit-chained rasterize_tiles passes (the depth-peel reference) on
-    distinct-depth fragments. (On EXACT depth ties the two agree on
-    depths/coverage but may pick a different winner among the tied
-    triangles: the sequential kernel's tie choice is chunk-order
-    dependent, the k-buffer insert deterministically keeps the max id —
-    see test_kbuffer_collapses_equal_depth.)"""
-    scene = _kbuf_scene()
-    view = View.default(aspect=W / H)
-    vp = jnp.asarray(view.view_proj())
-    prep = raster.prepare_geometry(scene, EYE4, vp,
-                                   jnp.ones(scene.prim_mesh.shape, bool),
-                                   PARAMS)
-    bins = raster.bin_triangles(prep.setup_t, prep.ids, prep.valid,
-                                prep.bbox, PARAMS, prep.attr_flat)
-    tri_k, depth_k, interp_k = raster.rasterize_tiles_kbuf(
-        bins, PARAMS, k_layers=3)
-    zlim = jnp.full((H, W), 2.0, jnp.float32)
-    for k in range(3):
-        s_tri, s_depth, s_interp = raster.rasterize_tiles(
-            bins, PARAMS, z_limit=zlim)
-        np.testing.assert_array_equal(np.asarray(tri_k[k]),
-                                      np.asarray(s_tri), err_msg=f"k={k}")
-        np.testing.assert_array_equal(np.asarray(depth_k[k]),
-                                      np.asarray(s_depth), err_msg=f"k={k}")
-        # interp: the sequential kernel's pass-2 MXU select is exact, so
-        # the winning pair's coefficients must agree bit-for-bit
-        np.testing.assert_array_equal(np.asarray(interp_k[k]),
-                                      np.asarray(s_interp), err_msg=f"k={k}")
-        zlim = jnp.where(s_tri >= 0, s_depth, 0.0)
-    # layer 0 == the plain raster; 4 distinct depths -> 3 layers all hit
-    # at the center, duplicate z collapsed (layer depths strictly decrease)
-    cy, cx = H // 2, W // 2
-    d = np.asarray(depth_k)[:, cy, cx]
-    assert d[0] > d[1] > d[2] > 0
-
-
-def test_kbuffer_collapses_equal_depth():
-    """Exact equal-depth fragments occupy ONE peel level (the sequential
-    peel's strict z < z_limit skips the tied twin the same way); the
-    k-buffer's deterministic tie rule keeps the max triangle id."""
-    scene = _kbuf_scene(dup=True)
-    view = View.default(aspect=W / H)
-    vp = jnp.asarray(view.view_proj())
-    prep = raster.prepare_geometry(scene, EYE4, vp,
-                                   jnp.ones(scene.prim_mesh.shape, bool),
-                                   PARAMS)
-    bins = raster.bin_triangles(prep.setup_t, prep.ids, prep.valid,
-                                prep.bbox, PARAMS, prep.attr_flat)
-    tri_k, depth_k, _ = raster.rasterize_tiles_kbuf(bins, PARAMS,
-                                                    k_layers=3)
-    zlim = jnp.full((H, W), 2.0, jnp.float32)
-    cy, cx = H // 2, W // 2
-    for k in range(3):
-        s_tri, s_depth, _ = raster.rasterize_tiles(bins, PARAMS,
-                                                   z_limit=zlim)
-        # depths and coverage agree even across ties
-        np.testing.assert_array_equal(np.asarray(depth_k[k]),
-                                      np.asarray(s_depth), err_msg=f"k={k}")
-        np.testing.assert_array_equal(np.asarray(tri_k[k]) >= 0,
-                                      np.asarray(s_tri) >= 0,
-                                      err_msg=f"k={k}")
-        zlim = jnp.where(s_tri >= 0, s_depth, 0.0)
-    d = np.asarray(depth_k)[:, cy, cx]
-    assert d[0] > d[1] > d[2] > 0          # tie consumed one level only
-    # the tied pair is triangles 1 and 2 at z=4 -> layer 1; max id wins
-    assert int(np.asarray(tri_k)[1, cy, cx]) == 2
+def test_sequential_depth_peels():
+    """K z_limit-chained rasterize_tiles passes peel strictly decreasing
+    reverse-Z depths, and EXACT equal-depth fragments collapse into one
+    peel level (strict z < z_limit skips the tied twin) — the depth-peel
+    semantics the masked/blend layers build on (ref:
+    visibility-pass.hlsl:101-111 clip; a one-pass k-buffer variant was
+    measured slower and deleted, r3 VERDICT item 7)."""
+    for dup in (False, True):
+        scene = _peel_scene(dup=dup)
+        view = View.default(aspect=W / H)
+        vp = jnp.asarray(view.view_proj())
+        prep = raster.prepare_geometry(scene, EYE4, vp,
+                                       jnp.ones(scene.prim_mesh.shape, bool),
+                                       PARAMS)
+        bins = raster.bin_triangles(prep.setup_t, prep.ids, prep.valid,
+                                    prep.bbox, PARAMS, prep.attr_flat)
+        zlim = jnp.full((H, W), 2.0, jnp.float32)
+        cy, cx = H // 2, W // 2
+        ds = []
+        for k in range(3):
+            s_tri, s_depth, _ = raster.rasterize_tiles(bins, PARAMS,
+                                                       z_limit=zlim)
+            assert int(np.asarray(s_tri)[cy, cx]) >= 0
+            ds.append(float(np.asarray(s_depth)[cy, cx]))
+            zlim = jnp.where(s_tri >= 0, s_depth, 0.0)
+        # 4 distinct depths -> 3 strictly decreasing layers at the center;
+        # with the duplicate, the tie consumed one level only
+        assert ds[0] > ds[1] > ds[2] > 0

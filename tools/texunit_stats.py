@@ -27,12 +27,12 @@ def main():
     import bench
 
     width, height = 1920, 1088
-    host, scene, name = bench.load_bench_scene()
+    host, name = bench.load_bench_scene()
+    scene = host.scene
     cfg = Config()
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 18,
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 19,
                           bin_max_span=8)
-    view = View.from_lookat([0.0, 4.0, -14.0], [0.0, 0.0, 0.0],
-                            aspect=width / height)
+    view = bench._bench_view(host, width, height)
     vp = jnp.asarray(view.view_proj())
     rot = jnp.eye(4)
 
