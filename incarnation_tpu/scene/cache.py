@@ -21,7 +21,7 @@ CACHE_DIR = pathlib.Path(__file__).resolve().parents[2] / ".content_cache"
 
 # Bump whenever the Scene pytree schema changes — stale pickles fail to
 # round-trip otherwise.
-SCHEMA_VERSION = "v10-split-stack"
+SCHEMA_VERSION = "v11-bc-blocks"
 
 
 def _key(path: pathlib.Path, texture_max_dim: int) -> str:
@@ -53,6 +53,7 @@ def load_scene_cached(path, texture_max_dim: int = 2048, tod_sun=None,
         with open(cache_file, "rb") as f:
             host = pickle.load(f)
         host.scene = _to_device(host.scene)
+        host.source_path = str(path)
         return host
     host = load_scene(path, texture_max_dim=texture_max_dim, tod_sun=tod_sun,
                       progress=progress)
@@ -60,6 +61,7 @@ def load_scene_cached(path, texture_max_dim: int = 2048, tod_sun=None,
         CACHE_DIR.mkdir(exist_ok=True)
         host_np = pickle.dumps(_replace_scene(host, _to_host(host.scene)))
         cache_file.write_bytes(host_np)
+    host.source_path = str(path)
     return host
 
 

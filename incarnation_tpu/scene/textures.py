@@ -268,45 +268,76 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv, lod=None,
 
 # ---------------------------------------------------------------------------
 # Material texture stack: all of a material's texture slots interleaved into
-# one texel row, so the resolve fetches EVERY slot with a single gather.
-# Per-pixel random access (not bandwidth or FLOPs) is the scarce resource on
-# TPU — the reference's 9 independent bindless texture fetches
-# (ref: material/common.hlsli EvaluateMaterialProperties) become 4 (bilinear)
-# or 8 (trilinear) row gathers for all slots together.
+# one BLOCK-COMPRESSED texel table, so the resolve fetches EVERY slot with a
+# single gather. Per-pixel random access (not bandwidth or FLOPs) is the
+# scarce resource on TPU — the reference's 9 independent bindless texture
+# fetches (ref: material/common.hlsli EvaluateMaterialProperties) become 1-8
+# block-row gathers for all slots together.
 #
-# Texel row = 4 x uint32 (16 B), little-endian u8 packing:
-#   w0 = base.r | base.g<<8 | base.b<<16 | base.a<<24      (rgb sRGB-encoded)
-#   w1 = normal.x | normal.y<<8 | metallic<<16 | rough<<24 (glTF channels)
-#   w2 = emissive.r | .g<<8 | .b<<16 | ao<<24              (rgb sRGB-encoded)
-#   w3 = transmission | clearcoat<<8 | ccRoughness<<16
+# Storage is BC-style 4x4 block compression — matching the reference, whose
+# textures are ALWAYS BC-compressed on disk and in memory (ref:
+# src/scene.cpp:1020-1155 DirectXTex Compress to BC1/BC3/BC5). The TPU
+# motivation is different from the GPU one though: the full-screen stack
+# gather is index-rate bound with a strong table-SIZE tier (measured on v5e:
+# 2M indices cost ~4 ms from a VMEM-resident table vs ~9+ ms from a 22+ MB
+# HBM table, independent of ROW bytes), so 4x fewer table bytes buys a
+# faster gather tier — exactly the trick that took the specular probe fetch
+# 24.2 -> ~10 ms when its table went RGBE (r3 commit 9a19e1e).
+#
+# Core block = 4x4 texels in 8 u32 (2 B/texel vs 8 B uncompressed):
+#   w0 = base-color endpoints, two RGB565 (c0 | c1<<16), sRGB-encoded
+#   w1 = 16 x 2-bit base palette indices (one shared index for rgb — BC1)
+#   w2 = a0 | a1<<8 | nx0<<16 | ny0<<24     (alpha + normal endpoint 0)
+#   w3 = nx1 | ny1<<8 | m0<<16 | r0<<24     (normal endpoint 1 + mr end 0)
+#   w4 = m1 | r1<<8                         (mr endpoint 1; 16 spare bits)
+#   w5 = 16 x 2-bit alpha indices
+#   w6 = 16 x 2-bit normal indices (nx/ny share one index: the block's
+#        normals are fit to a line through 2-d endpoint space — flat and
+#        single-direction-curved blocks are exact, the common cases)
+#   w7 = 16 x 2-bit metallic/roughness indices (shared the same way)
+#
+# Extras block (emissive rgb, ao, transmission, clearcoat) = 6 u32
+# (1.5 B/texel), present only for materials with any of those textures:
+#   w0 = emissive endpoints, two RGB565 (sRGB-encoded)
+#   w1 = 16 x 2-bit emissive indices
+#   w2 = ao0 | ao1<<8 | t0<<16 | cc0<<24
+#   w3 = t1 | cc1<<8
+#   w4 = 16 x 2-bit ao indices
+#   w5 = 16 x 2-bit transmission/clearcoat indices (shared)
+#
+# Palette: v(i) = e0 + (e1 - e0) * i/3, i in 0..3 (BC1's 4-point ramp).
 # Missing slots store neutral values (255 / flat normal 128) so factors
-# multiply through without per-slot branches.
+# multiply through without per-slot branches. Mips below 4x4 pad to one
+# 4x4 block (edge replicate).
 # ---------------------------------------------------------------------------
 
 _NEUTRAL_TEXEL = np.array(
     [0xFFFFFFFF, 0xFFFF8080, 0xFFFFFFFF, 0x00FFFFFF], np.uint32)
 
+_CORE_WORDS = 8
+_EXTRA_WORDS = 6
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MaterialTextureStack:
-    # Split texel storage: the HBM gather that feeds every shaded pixel is
-    # index-bound with a strong table-SIZE term (measured: 2M indices cost
-    # ~9 ms on a 22 MB table but ~22 ms on a 178 MB one), so the 8 core
-    # bytes every pixel needs (base rgba, normal.xy, metallic, roughness)
-    # live apart from the 8 extras bytes (emissive rgb, ao, transmission,
-    # clearcoat) that exist only for materials with those textures — most
-    # scenes gather a table half the size, and extras-free scenes skip the
-    # second gather entirely (factors still apply via mat_params).
-    flat: jnp.ndarray       # (K, 2) int32 core texel rows (w0, w1)
-    extra: jnp.ndarray      # (Ke, 2) int32 extras rows (w2, w3); (1, 2)
-    #                         dummy when no material has extras textures
-    meta: jnp.ndarray       # (NM, 5) int32: base, size, num_levels,
-    #                         address, extras base (-1 = none)
-    # alpha-only mirror, 16 texels per row (base-color alpha u8): alpha
-    # tests (masked peels, PT any-hit) gather this ~16x smaller table —
-    # HBM-gather cost is locality-bound, so a 1/16th-size table fetches
-    # several times faster than the full interleaved rows
+    # Split block-compressed storage (see layout comment above): the HBM
+    # gather that feeds every shaded pixel is index-bound with a strong
+    # table-SIZE term, so the core channels every pixel needs (base rgba,
+    # normal.xy, metallic, roughness — 2 B/texel compressed) live apart
+    # from the extras (emissive rgb, ao, transmission, clearcoat —
+    # 1.5 B/texel) that exist only for materials with those textures;
+    # extras-free scenes skip the second gather entirely (factors still
+    # apply via mat_params).
+    flat: jnp.ndarray       # (NB, 8) int32 core 4x4 blocks
+    extra: jnp.ndarray      # (NBe, 6) int32 extras blocks; (1, 6) dummy
+    #                         when no material has extras textures
+    meta: jnp.ndarray       # (NM, 6) int32: core block base, size,
+    #                         num_levels, address, extras block base
+    #                         (-1 = none), alpha texel base
+    # alpha-only mirror, 16 texels per row (base-color alpha u8, EXACT —
+    # not block-quantized): alpha tests (masked peels, PT any-hit) gather
+    # this 1 B/texel table with full 8-bit cutoff precision
     alpha: jnp.ndarray      # (ceil(K/16), 4) int32, 4 texels per word
 
 
@@ -334,9 +365,11 @@ def build_material_stacks(gltf, max_dim: int = 1024,
     mats = list(gltf.materials) or [{}]
     rows = []
     erows = []
-    meta = np.zeros((len(mats), 5), np.int32)
-    offset = 0
-    eoffset = 0
+    alpha_bytes = []
+    meta = np.zeros((len(mats), 6), np.int32)
+    offset = 0      # core blocks
+    eoffset = 0     # extras blocks
+    aoffset = 0     # alpha-mirror texels
     for mi, m in enumerate(mats):
         if progress is not None:
             progress(mi / len(mats))
@@ -397,7 +430,7 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                                    "clearcoat"))
         num_levels = int(np.log2(size)) + 1
         meta[mi] = [offset, size, num_levels, address,
-                    eoffset if has_extras else -1]
+                    eoffset if has_extras else -1, aoffset]
 
         chans = np.concatenate([
             base_f,                                    # 0-3 (linear rgb here)
@@ -421,27 +454,25 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                 cur = cur.copy()
                 cur[..., 4:6] = nrm[..., 0:2] * 0.5 + 0.5
                 cur[..., 7] = alpha
-            u8 = np.clip(cur * 255.0 + 0.5, 0, 255).astype(np.uint32)
-            # re-encode color channels to sRGB for u8 storage precision
-            # (only the 6 color channels — the pow() dominates load time)
-            color = np.concatenate([cur[..., 0:3], cur[..., 8:11]], -1)
-            srgb_u8 = np.clip(_linear_to_srgb_np(color) * 255.0 + 0.5,
-                              0, 255).astype(np.uint32)
-            u8[..., 0:3] = srgb_u8[..., 0:3]
-            u8[..., 8:11] = srgb_u8[..., 3:6]
-            w0 = (u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)
-                  | (u8[..., 3] << 24))
-            w1 = (u8[..., 4] | (u8[..., 5] << 8) | (u8[..., 6] << 16)
-                  | (u8[..., 7] << 24))
-            rows.append(np.stack([w0, w1], -1).reshape(-1, 2))
-            offset += rows[-1].shape[0]
+            # storage space: color channels sRGB-encoded (endpoint
+            # precision), everything else straight u8-scale [0, 1]
+            store_core = np.concatenate(
+                [_linear_to_srgb_np(cur[..., 0:3]), cur[..., 3:8]], -1)
+            blk = _encode_core_blocks(store_core)
+            rows.append(blk)
+            offset += blk.shape[0]
+            # exact (un-quantized) alpha mirror for the cutoff tests
+            alpha_bytes.append(
+                np.clip(cur[..., 3] * 255.0 + 0.5, 0, 255)
+                .astype(np.uint32).reshape(-1))
+            aoffset += alpha_bytes[-1].shape[0]
             if has_extras:
-                w2 = (u8[..., 8] | (u8[..., 9] << 8) | (u8[..., 10] << 16)
-                      | (u8[..., 11] << 24))
-                w3 = (u8[..., 12] | (u8[..., 13] << 8)
-                      | (u8[..., 14] << 16))
-                erows.append(np.stack([w2, w3], -1).reshape(-1, 2))
-                eoffset += erows[-1].shape[0]
+                store_ex = np.concatenate(
+                    [_linear_to_srgb_np(cur[..., 8:11]), cur[..., 11:14]],
+                    -1)
+                eblk = _encode_extra_blocks(store_ex)
+                erows.append(eblk)
+                eoffset += eblk.shape[0]
             if cur.shape[0] > 1:
                 cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
                               + cur[0::2, 1::2] + cur[1::2, 1::2])
@@ -451,35 +482,67 @@ def build_material_stacks(gltf, max_dim: int = 1024,
 
     flat_u32 = np.concatenate(rows, 0)
     extra_u32 = (np.concatenate(erows, 0) if erows
-                 else np.zeros((1, 2), np.uint32))
+                 else np.zeros((1, _EXTRA_WORDS), np.uint32))
     return MaterialTextureStack(
         flat=jnp.asarray(flat_u32.view(np.int32)),
         extra=jnp.asarray(extra_u32.view(np.int32)),
         meta=jnp.asarray(meta),
-        alpha=jnp.asarray(_pack_alpha_table(flat_u32)))
+        alpha=jnp.asarray(_pack_alpha_bytes(np.concatenate(alpha_bytes))))
 
 
 def make_material_stack(flat_u32: np.ndarray,
                         meta: np.ndarray) -> MaterialTextureStack:
     """Construct a stack from (K, 4) uint32 texel rows + (NM, 4) meta
-    (the legacy interleaved layout: w0..w3 per texel), splitting into the
-    core/extras tables and deriving the packed alpha mirror. Every
-    material keeps extras rows at the same relative offsets as its core
-    rows (extras base = core base)."""
+    (the legacy interleaved layout: w0..w3 per texel, meta columns
+    [texel base, size, levels, address]) by block-encoding each
+    material's mip chain. Every material gets extras blocks (the legacy
+    rows always carry w2/w3); the alpha mirror keeps the legacy texel
+    offsets (meta column 5 = the old texel base)."""
     flat_u32 = np.asarray(flat_u32, np.uint32)
-    meta = np.asarray(meta)
-    if meta.shape[1] == 4:
-        meta = np.concatenate([meta, meta[:, 0:1]], axis=1)  # ebase = base
+    meta_in = np.asarray(meta)
+    n = meta_in.shape[0]
+    meta_out = np.zeros((n, 6), np.int32)
+    rows, erows = [], []
+    offset = eoffset = 0
+    for mi in range(n):
+        base, size, levels, address = (int(meta_in[mi, 0]),
+                                       int(meta_in[mi, 1]),
+                                       int(meta_in[mi, 2]),
+                                       int(meta_in[mi, 3]))
+        meta_out[mi] = [offset, size, levels, address, eoffset, base]
+        toff = base
+        for lvl in range(levels):
+            s = max(size >> lvl, 1)
+            w = flat_u32[toff:toff + s * s].reshape(s, s, 4)
+            toff += s * s
+
+            def u8(word, sh):
+                return ((word >> sh) & 0xFF).astype(np.float32) / 255.0
+
+            core = np.stack([u8(w[..., 0], 0), u8(w[..., 0], 8),
+                             u8(w[..., 0], 16), u8(w[..., 0], 24),
+                             u8(w[..., 1], 0), u8(w[..., 1], 8),
+                             u8(w[..., 1], 16), u8(w[..., 1], 24)], -1)
+            ex = np.stack([u8(w[..., 2], 0), u8(w[..., 2], 8),
+                           u8(w[..., 2], 16), u8(w[..., 2], 24),
+                           u8(w[..., 3], 0), u8(w[..., 3], 8)], -1)
+            blk = _encode_core_blocks(core)
+            rows.append(blk)
+            offset += blk.shape[0]
+            eblk = _encode_extra_blocks(ex)
+            erows.append(eblk)
+            eoffset += eblk.shape[0]
     return MaterialTextureStack(
-        flat=jnp.asarray(flat_u32[:, 0:2].copy().view(np.int32)),
-        extra=jnp.asarray(flat_u32[:, 2:4].copy().view(np.int32)),
-        meta=jnp.asarray(meta.astype(np.int32)),
-        alpha=jnp.asarray(_pack_alpha_table(flat_u32)))
+        flat=jnp.asarray(np.concatenate(rows).view(np.int32)),
+        extra=jnp.asarray(np.concatenate(erows).view(np.int32)),
+        meta=jnp.asarray(meta_out),
+        alpha=jnp.asarray(_pack_alpha_bytes((flat_u32[:, 0] >> 24))))
 
 
-def _pack_alpha_table(flat_u32: np.ndarray) -> np.ndarray:
-    """Base-color alpha bytes of every texel row, 16 per (4-word) row."""
-    a = (flat_u32[:, 0] >> 24).astype(np.uint32)
+def _pack_alpha_bytes(a: np.ndarray) -> np.ndarray:
+    """(K,) u8-valued uint32 alpha texels -> packed (ceil(K/16), 4) i32
+    rows, 16 texels per row (4 per word)."""
+    a = np.asarray(a, np.uint32)
     n = a.shape[0]
     pad = (-n) % 16
     if pad:
@@ -488,6 +551,143 @@ def _pack_alpha_table(flat_u32: np.ndarray) -> np.ndarray:
     words = (a[:, :, 0] | (a[:, :, 1] << 8) | (a[:, :, 2] << 16)
              | (a[:, :, 3] << 24))
     return words.view(np.int32)
+
+
+# --- block encoder (load-time, numpy) --------------------------------------
+
+_ENC_CHUNK = 1 << 16      # blocks per encode slice (bounds transient memory)
+
+
+def _to_blocks(img: np.ndarray) -> np.ndarray:
+    """(s, s, C) float -> (nb, 16, C) 4x4 blocks; s < 4 edge-pads to one
+    block with the original texels at their own (y, x) positions (the
+    decoder indexes texel (y & 3, x & 3))."""
+    s = img.shape[0]
+    if s < 4:
+        img = np.pad(img, ((0, 4 - s), (0, 4 - s), (0, 0)), mode="edge")
+        s = 4
+    nb = s // 4
+    c = img.shape[-1]
+    return (img.reshape(nb, 4, nb, 4, c).transpose(0, 2, 1, 3, 4)
+            .reshape(nb * nb, 16, c).astype(np.float32))
+
+
+def _fit_line(v: np.ndarray):
+    """Principal-axis endpoint fit: v (nb, 16, K) -> (e0, e1) each (nb, K).
+    Power iteration on the centered block (the standard fast BC encoder
+    axis); flat blocks degenerate to e0 == e1 == the constant value."""
+    c = v.mean(axis=1, keepdims=True)
+    d = v - c
+    k = v.shape[2]
+    a = np.full((v.shape[0], k), 1.0 / np.sqrt(k), np.float32)
+    for _ in range(4):
+        proj = np.einsum("btk,bk->bt", d, a)
+        a_new = np.einsum("btk,bt->bk", d, proj)
+        n = np.linalg.norm(a_new, axis=1, keepdims=True)
+        a = np.where(n > 1e-12, a_new / np.maximum(n, 1e-12), a)
+    t = np.einsum("btk,bk->bt", d, a)
+    e0 = c[:, 0] + a * t.min(axis=1, keepdims=True)
+    e1 = c[:, 0] + a * t.max(axis=1, keepdims=True)
+    return np.clip(e0, 0.0, 1.0), np.clip(e1, 0.0, 1.0)
+
+
+def _nearest_idx(v: np.ndarray, e0: np.ndarray, e1: np.ndarray) -> np.ndarray:
+    """Per-texel nearest entry of the 4-point palette between the
+    DEQUANTIZED endpoints (so index selection sees the storage error).
+    v (nb, 16, K); e0/e1 (nb, K) -> (nb, 16) uint32 in 0..3."""
+    w = np.asarray([0.0, 1 / 3, 2 / 3, 1.0], np.float32)
+    pal = e0[:, None, :] + (e1 - e0)[:, None, :] * w[None, :, None]
+    d2 = ((v[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)
+    return d2.argmin(-1).astype(np.uint32)
+
+
+def _pack_idx16(idx: np.ndarray) -> np.ndarray:
+    """(nb, 16) 2-bit indices -> (nb,) uint32."""
+    sh = (np.arange(16, dtype=np.uint32) * 2)[None, :]
+    return np.bitwise_or.reduce(idx << sh, axis=1)
+
+
+def _q8(e):
+    return np.clip(e * 255.0 + 0.5, 0, 255).astype(np.uint32)
+
+
+def _q565(e):
+    r = np.clip(e[:, 0] * 31.0 + 0.5, 0, 31).astype(np.uint32)
+    g = np.clip(e[:, 1] * 63.0 + 0.5, 0, 63).astype(np.uint32)
+    b = np.clip(e[:, 2] * 31.0 + 0.5, 0, 31).astype(np.uint32)
+    return r | (g << 5) | (b << 11)
+
+
+def _dq565(q):
+    return np.stack([(q & 31) / np.float32(31.0),
+                     ((q >> 5) & 63) / np.float32(63.0),
+                     ((q >> 11) & 31) / np.float32(31.0)], axis=-1)
+
+
+def _enc_rgb565(v):
+    """(nb, 16, 3) -> (endpoint word (nb,), index word (nb,)) — BC1-style
+    shared rgb index."""
+    e0, e1 = _fit_line(v)
+    q0, q1 = _q565(e0), _q565(e1)
+    idx = _nearest_idx(v, _dq565(q0).astype(np.float32),
+                       _dq565(q1).astype(np.float32))
+    return q0 | (q1 << 16), _pack_idx16(idx)
+
+
+def _enc_chan(v):
+    """(nb, 16, K) -> (e0q (nb, K) u8, e1q (nb, K) u8, index word (nb,)) —
+    one shared 2-bit index per texel across the K channels."""
+    e0, e1 = _fit_line(v)
+    q0, q1 = _q8(e0), _q8(e1)
+    idx = _nearest_idx(v, q0.astype(np.float32) / 255.0,
+                       q1.astype(np.float32) / 255.0)
+    return q0, q1, _pack_idx16(idx)
+
+
+def _encode_core_blocks(store: np.ndarray) -> np.ndarray:
+    """(s, s, 8) storage-space floats (sRGB base rgb, alpha, nx, ny,
+    metallic, roughness) -> (nb, 8) uint32 core blocks."""
+    blocks = _to_blocks(store)
+    out = np.empty((blocks.shape[0], _CORE_WORDS), np.uint32)
+    for i in range(0, blocks.shape[0], _ENC_CHUNK):
+        v = blocks[i:i + _ENC_CHUNK]
+        w0, w1 = _enc_rgb565(v[..., 0:3])
+        a0, a1, w5 = _enc_chan(v[..., 3:4])
+        n0, n1, w6 = _enc_chan(v[..., 4:6])
+        m0, m1, w7 = _enc_chan(v[..., 6:8])
+        o = out[i:i + _ENC_CHUNK]
+        o[:, 0] = w0
+        o[:, 1] = w1
+        o[:, 2] = a0[:, 0] | (a1[:, 0] << 8) | (n0[:, 0] << 16) \
+            | (n0[:, 1] << 24)
+        o[:, 3] = n1[:, 0] | (n1[:, 1] << 8) | (m0[:, 0] << 16) \
+            | (m0[:, 1] << 24)
+        o[:, 4] = m1[:, 0] | (m1[:, 1] << 8)
+        o[:, 5] = w5
+        o[:, 6] = w6
+        o[:, 7] = w7
+    return out
+
+
+def _encode_extra_blocks(store: np.ndarray) -> np.ndarray:
+    """(s, s, 6) storage-space floats (sRGB emissive rgb, ao, transmission,
+    clearcoat) -> (nb, 6) uint32 extras blocks."""
+    blocks = _to_blocks(store)
+    out = np.empty((blocks.shape[0], _EXTRA_WORDS), np.uint32)
+    for i in range(0, blocks.shape[0], _ENC_CHUNK):
+        v = blocks[i:i + _ENC_CHUNK]
+        w0, w1 = _enc_rgb565(v[..., 0:3])
+        a0, a1, w4 = _enc_chan(v[..., 3:4])
+        t0, t1, w5 = _enc_chan(v[..., 4:6])
+        o = out[i:i + _ENC_CHUNK]
+        o[:, 0] = w0
+        o[:, 1] = w1
+        o[:, 2] = a0[:, 0] | (a1[:, 0] << 8) | (t0[:, 0] << 16) \
+            | (t0[:, 1] << 24)
+        o[:, 3] = t1[:, 0] | (t1[:, 1] << 8)
+        o[:, 4] = w4
+        o[:, 5] = w5
+    return out
 
 
 def _vmf_r_form(nm_f: np.ndarray, rough: np.ndarray) -> np.ndarray:
@@ -513,36 +713,95 @@ def _vmf_resolve(r_avg: np.ndarray):
 
 
 def _level_offset(size, level):
-    """Texel offset of mip `level` within a material's block:
-    sum_{j<l} (S>>j)^2 = (4*S^2 - 4*(S>>l)^2) / 3 (exact integer)."""
+    """Texel offset of mip `level` within a material's chain:
+    sum_{j<l} (S>>j)^2 = (4*S^2 - 4*(S>>l)^2) / 3 (exact integer).
+    Used by the (uncompressed) alpha mirror."""
     s_l = size >> level
     return (4 * size * size - 4 * s_l * s_l) // 3
+
+
+def _level_offset_blocks(size, levels, level):
+    """BLOCK offset of mip `level` within a material's chain. Levels with
+    s_l >= 4 contribute (s_l/4)^2 blocks (same geometric sum as
+    _level_offset on S/4); each smaller level pads to one block."""
+    s4 = jnp.maximum(size >> 2, 1)
+    l4max = jnp.maximum(levels - 3, 0)     # levels whose s_l >= 4
+    lc = jnp.minimum(level, l4max)
+    sl4 = jnp.maximum(s4 >> lc, 1)
+    return (4 * s4 * s4 - 4 * sl4 * sl4) // 3 + jnp.maximum(level - l4max, 0)
 
 
 def _unpack_u8(word, shift):
     return ((word >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
 
 
-def _fetch_rows(table, idx):
-    """Gather (..., 2)-word rows at idx and unpack to (..., 8) u8 floats."""
-    w = table[idx].astype(jnp.uint32)
-    chans = []
-    for wi in range(2):
-        for shift in (0, 8, 16, 24):
-            chans.append(_unpack_u8(w[..., wi], shift))
-    return jnp.stack(chans, axis=-1)
+def _dec565_pair(word):
+    """One endpoint word -> (e0, e1) each (..., 3) floats."""
+    def dec(c):
+        return jnp.stack([(c & 31).astype(jnp.float32) * (1.0 / 31.0),
+                          ((c >> 5) & 63).astype(jnp.float32) * (1.0 / 63.0),
+                          ((c >> 11) & 31).astype(jnp.float32) * (1.0 / 31.0)],
+                         axis=-1)
+    return dec(word & 0xFFFF), dec(word >> 16)
 
 
-def _fetch_texel(stack, base, ebase, rel):
-    """Core + extras channels for texel rows at base+rel / ebase+rel.
-    Materials without extras rows (ebase < 0) read storage-space 1.0 for
-    all extras channels — the slot defaults are white, so only the
-    mat_params factors apply, matching the pre-split behavior. The extras
+def _fetch_texel(stack, base, ebase, x, y, s):
+    """Decode core + extras channels for texel (x, y) of the mip whose
+    block table starts at `base` (block offsets) with size `s`.
+
+    ONE block-row gather per table: the 4x4 block's endpoint/index words
+    come back in a single row and the texel decodes with pure VPU math
+    (variable 2-bit shifts + endpoint lerps) — the TPU analogue of the
+    reference's free BC decode hardware (ref: scene.cpp:1020-1155 stores
+    BC; samplers decode for free). Materials without extras blocks
+    (ebase < 0) read storage-space 1.0 for all extras channels — the slot
+    defaults are white, so only the mat_params factors apply. The extras
     gather is skipped entirely (static) when NO material has extras."""
-    core = _fetch_rows(stack.flat, base + rel)           # (..., 8)
+    s4 = jnp.maximum(s >> 2, 1)
+    brel = (y >> 2) * s4 + (x >> 2)
+    sh = ((((y & 3) << 2) | (x & 3)) << 1).astype(jnp.uint32)
+
+    def fsel(word):
+        return ((word >> sh) & 3).astype(jnp.float32) * (1.0 / 3.0)
+
+    w = stack.flat[base + brel].astype(jnp.uint32)       # (..., 8)
+    c0, c1 = _dec565_pair(w[..., 0])
+    fb = fsel(w[..., 1])[..., None]
+    base_rgb = c0 + (c1 - c0) * fb
+    a0 = _unpack_u8(w[..., 2], 0)
+    a1 = _unpack_u8(w[..., 2], 8)
+    n0 = jnp.stack([_unpack_u8(w[..., 2], 16),
+                    _unpack_u8(w[..., 2], 24)], -1)
+    n1 = jnp.stack([_unpack_u8(w[..., 3], 0),
+                    _unpack_u8(w[..., 3], 8)], -1)
+    m0 = jnp.stack([_unpack_u8(w[..., 3], 16),
+                    _unpack_u8(w[..., 3], 24)], -1)
+    m1 = jnp.stack([_unpack_u8(w[..., 4], 0),
+                    _unpack_u8(w[..., 4], 8)], -1)
+    fa = fsel(w[..., 5])
+    fn = fsel(w[..., 6])[..., None]
+    fm = fsel(w[..., 7])[..., None]
+    core = jnp.concatenate([
+        base_rgb, (a0 + (a1 - a0) * fa)[..., None],
+        n0 + (n1 - n0) * fn, m0 + (m1 - m0) * fm], axis=-1)   # (..., 8)
     if stack.extra.shape[0] <= 1:
         return jnp.concatenate([core, jnp.ones_like(core)], axis=-1)
-    ex = _fetch_rows(stack.extra, jnp.maximum(ebase, 0) + rel)
+    ew = stack.extra[jnp.maximum(ebase, 0) + brel].astype(jnp.uint32)
+    e0, e1 = _dec565_pair(ew[..., 0])
+    fe = fsel(ew[..., 1])[..., None]
+    em_rgb = e0 + (e1 - e0) * fe
+    ao0 = _unpack_u8(ew[..., 2], 0)
+    ao1 = _unpack_u8(ew[..., 2], 8)
+    t0 = jnp.stack([_unpack_u8(ew[..., 2], 16),
+                    _unpack_u8(ew[..., 2], 24)], -1)
+    t1 = jnp.stack([_unpack_u8(ew[..., 3], 0),
+                    _unpack_u8(ew[..., 3], 8)], -1)
+    fao = fsel(ew[..., 4])
+    ftc = fsel(ew[..., 5])[..., None]
+    ex = jnp.concatenate([
+        em_rgb, (ao0 + (ao1 - ao0) * fao)[..., None],
+        t0 + (t1 - t0) * ftc,
+        jnp.zeros(core.shape[:-1] + (2,), core.dtype)], axis=-1)
     ex = jnp.where((ebase >= 0)[..., None], ex, 1.0)
     return jnp.concatenate([core, ex], axis=-1)          # (..., 16)
 
@@ -561,7 +820,7 @@ def _stack_bilinear(stack, base, ebase, s, uv, address):
     ys = [_address(y0, s, address), _address(y0 + 1, s, address)]
 
     def fetch(x, y):
-        return _fetch_texel(stack, base, ebase, y * s + x)
+        return _fetch_texel(stack, base, ebase, x, y, s)
 
     c00 = fetch(xs[0], ys[0])
     c10 = fetch(xs[1], ys[0])
@@ -585,7 +844,7 @@ def _stack_point(stack, base, ebase, s, uv, address, jitter):
     fy = uv[..., 1] * sf - 0.5 + jitter[..., 1]
     x = _address(jnp.floor(fx).astype(jnp.int32), s, address)
     y = _address(jnp.floor(fy).astype(jnp.int32), s, address)
-    return _fetch_texel(stack, base, ebase, y * s + x)
+    return _fetch_texel(stack, base, ebase, x, y, s)
 
 
 def stack_meta_lookup(stack: MaterialTextureStack, mat_id):
@@ -610,7 +869,7 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
     Returns (..., 16) float channels in storage space (base/emissive rgb are
     still sRGB-encoded; use decode_stack_channels to finish).
     """
-    meta = stack_meta_lookup(stack, mat_id)              # (..., 5)
+    meta = stack_meta_lookup(stack, mat_id)              # (..., 6)
     base = meta[..., 0]
     size = meta[..., 1]
     levels = meta[..., 2]
@@ -618,7 +877,7 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
     ebase = meta[..., 4]
 
     def elevel(off):
-        # extras rows share the core's per-level relative offsets
+        # extras blocks share the core's per-level relative block offsets
         return jnp.where(ebase >= 0, ebase + off, -1)
 
     if lod is None:
@@ -628,7 +887,7 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
         return _stack_bilinear(stack, base, ebase, size, uv, address)
     lod = jnp.clip(lod, 0.0, (levels - 1).astype(jnp.float32))
     l0 = jnp.floor(lod).astype(jnp.int32)
-    off0 = _level_offset(size, l0)
+    off0 = _level_offset_blocks(size, levels, l0)
     b0 = base + off0
     s0 = jnp.maximum(size >> l0, 1)
     if jitter is not None:
@@ -638,7 +897,7 @@ def sample_material_stack(stack: MaterialTextureStack, mat_id, uv, lod=None,
     if not trilinear:
         return out0
     l1 = jnp.minimum(l0 + 1, levels - 1)
-    off1 = _level_offset(size, l1)
+    off1 = _level_offset_blocks(size, levels, l1)
     b1 = base + off1
     s1 = jnp.maximum(size >> l1, 1)
     out1 = _stack_bilinear(stack, b1, elevel(off1), s1, uv, address)
@@ -657,7 +916,7 @@ def sample_stack_alpha(stack: MaterialTextureStack, mat_id, uv, lod=None,
     4-tap bilinear (still on the small table).
     """
     meta = stack_meta_lookup(stack, mat_id)
-    base = meta[..., 0]
+    base = meta[..., 5]          # alpha mirror keeps TEXEL offsets
     size = meta[..., 1]
     levels = meta[..., 2]
     address = meta[..., 3]

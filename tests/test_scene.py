@@ -43,9 +43,9 @@ def test_helmet_materials(helmet):
     mt = helmet.scene.materials
     assert int(mt.tex_base_color[0]) >= 0
     assert int(mt.tex_normal[0]) >= 0
-    # split core/extras material texture stack built at the capped size
+    # split core/extras block-compressed stack built at the capped size
     meta = np.asarray(helmet.scene.mat_stack.meta)
-    assert meta.shape == (1, 5)
+    assert meta.shape == (1, 6)
     assert meta[0, 4] >= 0    # helmet has emissive+AO -> extras table
     assert meta[0, 1] == 256  # size capped by texture_max_dim
     assert meta[0, 2] == 9    # mip levels
