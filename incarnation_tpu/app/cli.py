@@ -115,7 +115,9 @@ def main(argv=None):
                  enable_hbao=args.hbao, use_bent_normals=args.hbao,
                  forward_lighting=args.forward,
                  sun_shadow_mode=args.shadows,
-                 shadow_map_resolution=args.shadow_res)
+                 shadow_map_resolution=args.shadow_res,
+                 show_object_bounds=args.show_object_bounds,
+                 show_light_bounds=args.show_light_bounds)
     if args.no_sky:
         from ..config import EnvSkyMode
         cfg = cfg.replace(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP)
@@ -338,22 +340,9 @@ def main(argv=None):
               f"meshlet={meshlet}")
         if prim >= 0:
             color = frame_mod.highlight(color, out["tri"], host.scene, prim)
-    if args.show_object_bounds or args.show_light_bounds:
-        from ..renderer import debugdraw
-        segs, cols = [], []
-        if args.show_object_bounds:
-            s, c = debugdraw.scene_bounds_segments(host.scene)
-            segs.append(s)
-            cols.append(c)
-        if args.show_light_bounds:
-            s, c = debugdraw.light_bounds_segments(host.scene)
-            if s is not None:
-                segs.append(s)
-                cols.append(c)
-        if segs:
-            color = debugdraw.draw_lines(
-                color, out["depth"], np.concatenate(segs),
-                np.concatenate(cols), fc.view_proj)
+    # show_object_bounds / show_light_bounds now draw INSIDE the traced
+    # frame via the device-side append buffer (the cull / light-culling
+    # pass results append wireframes — renderer/debugdraw.py ddraw_*).
 
     io_mod.save_png(args.out, np.asarray(color))
     print(f"[out] {args.out}")

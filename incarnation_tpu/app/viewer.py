@@ -51,6 +51,13 @@ class ViewerState:
     frame_cond: threading.Condition = None
     stats: dict = dataclasses.field(default_factory=dict)
     panel: dict = dataclasses.field(default_factory=dict)
+    # scene/HDRI load progress (ref: scene.h:131-142 progress accumulators
+    # feeding the ImGui load bar, ui.cpp:40-52): {"stage", "frac"} or {}
+    progress: dict = dataclasses.field(default_factory=dict)
+    # panel preview tiles (ref: ui.cpp:40-185 envmap + SH irradiance
+    # preview renders): name -> jpeg bytes; previews_seq bumps on rebuild
+    previews: dict = dataclasses.field(default_factory=dict)
+    previews_seq: int = 0
     quit: bool = False
     error: str = ""
 
@@ -61,6 +68,16 @@ class ViewerState:
             self.stats = stats
             self.panel = panel
             self.frame_cond.notify_all()
+
+    def set_progress(self, stage: str, frac: float):
+        with self.lock:
+            self.progress = ({} if stage == "done"
+                             else {"stage": stage, "frac": round(frac, 3)})
+
+    def set_previews(self, previews: dict):
+        with self.lock:
+            self.previews = previews
+            self.previews_seq += 1
 
 
 class Orbit:
@@ -96,6 +113,73 @@ class Orbit:
             self.distance = float(np.clip(
                 self.distance * (1.15 ** ev["f"]),
                 1e-3, 1e6))
+
+
+# Additional content roots scanned by discover_content (tests and
+# embedders append here before starting the render loop).
+EXTRA_CONTENT_DIRS: list = []
+
+
+def discover_content(extra_dirs=()):
+    """Enumerate switchable models (*.gltf/*.glb) and HDRIs (*.hdr) — the
+    analogue of the reference's content-browser combos, which enumerate
+    the models/ and hdri/ folders (ref: ui.cpp:366-430 ModelsDir listing).
+    Returns (models, hdris) as lists of absolute path strings."""
+    import pathlib
+
+    roots = [pathlib.Path("/root/reference/content/models"),
+             pathlib.Path(__file__).resolve().parents[2]
+             / ".content_cache" / "atrium",
+             *map(pathlib.Path, EXTRA_CONTENT_DIRS),
+             *map(pathlib.Path, extra_dirs)]
+    models, hdris = [], []
+    for root in roots:
+        if not root.exists():
+            continue
+        for p in sorted(root.rglob("*")):
+            if p.suffix.lower() in (".gltf", ".glb"):
+                models.append(str(p))
+            elif p.suffix.lower() == ".hdr":
+                hdris.append(str(p))
+    return models, hdris
+
+
+def _probe_previews(cfg: Config, sun_dir, probe, hdri=None):
+    """Panel preview tiles: the environment map and its SH-projected
+    irradiance, as small tonemapped JPEGs (ref: ui.cpp:40-185 renders the
+    envmap and SH preview textures into the Debug panel)."""
+    import jax.numpy as jnp
+
+    from ..core import mathutils as mu
+    from ..kernels import ibl, sky
+    from ..utils import imageio as io_mod
+    from PIL import Image
+
+    w, h = 192, 96
+    if hdri:
+        ll = np.asarray(io_mod.load_hdr(hdri))[..., :3]
+        sy = max(1, ll.shape[0] // h)
+        sx = max(1, ll.shape[1] // w)
+        env = jnp.asarray(ll[::sy, ::sx][:h, :w])
+    else:
+        env = sky.sky_latlong(jnp.asarray(sun_dir, jnp.float32),
+                              cfg.turbidity, w, h)
+    us = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    vs = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    uv = jnp.stack(jnp.meshgrid(us, vs, indexing="xy"), -1)
+    d = mu.latlong_uv_to_direction(uv)
+    irr = ibl.sh_irradiance(d, probe.sh) / np.pi
+
+    def to_jpeg(img):
+        x = np.asarray(img[..., :3], np.float32)
+        x = x / (1.0 + x.mean() * 4.0 + 1e-9)     # auto-exposed Reinhard
+        x = np.clip(x / max(x.max(), 1e-9), 0.0, 1.0) ** (1 / 2.2)
+        buf = io.BytesIO()
+        Image.fromarray((x * 255).astype(np.uint8)).save(
+            buf, "JPEG", quality=85)
+        return buf.getvalue()
+
+    return {"env": to_jpeg(env), "irr": to_jpeg(irr)}
 
 
 def _build_probe(cfg: Config, sun_dir, hdri=None):
@@ -153,6 +237,7 @@ def _render_loop(host, cfg, state, width, height, hdri, jpeg_quality):
     from ..core import mathutils as mu
     from ..renderer import frame as frame_mod
     from ..scene import lights as lights_mod
+    from ..scene.cache import load_scene_cached
     from ..kernels.raster import RasterParams
     from PIL import Image
 
@@ -164,21 +249,28 @@ def _render_loop(host, cfg, state, width, height, hdri, jpeg_quality):
     if cfg.sun_shadow_mode == "map":
         shadow_bounds = (host.bounds_center, ext)
 
-    sun_dir = np.asarray(scene.sun_dir)
-    sun_int = 0.0
-    if host.directional_light_index >= 0:
-        i = host.directional_light_index
-        sun_int = float(scene.lights.intensity[i])
+    def scene_sun(scene, host):
+        sd = np.asarray(scene.sun_dir)
+        si = 0.0
+        if host.directional_light_index >= 0:
+            si = float(scene.lights.intensity[host.directional_light_index])
+        return sd, si
+
+    sun_dir, sun_int = scene_sun(scene, host)
     tod = None
     viewmode = cfg.viewmode
     exposure = cfg.exposure
     taa_on = cfg.enable_taa
     picked = -1
     jitters = mu.halton_jitter_table(16)
+    models, hdris = discover_content()
+    model_path = str(getattr(host, "source_path", "")) or None
+    tex_dim = cfg.texture_max_dim
 
     probe = env_brdf = None
     if cfg.enable_sky_lighting:
         probe, env_brdf = _build_probe(cfg, sun_dir, hdri)
+        state.set_previews(_probe_previews(cfg, sun_dir, probe, hdri))
 
     history = None
     prev_vp = None
@@ -217,6 +309,8 @@ def _render_loop(host, cfg, state, width, height, hdri, jpeg_quality):
                         tod, cfg.tod_julian_date, cfg.tod_latitude)
                     if cfg.enable_sky_lighting:
                         probe, env_brdf = _build_probe(cfg, sun_dir, hdri)
+                        state.set_previews(
+                            _probe_previews(cfg, sun_dir, probe, hdri))
                     moved = True
             elif c == "light":
                 li = int(ev["index"])
@@ -233,6 +327,60 @@ def _render_loop(host, cfg, state, width, height, hdri, jpeg_quality):
                             lt, intensity=jnp.asarray(inten),
                             color=jnp.asarray(color)))
                     light_edit = True
+            elif c == "rescan":
+                models, hdris = discover_content()
+                light_edit = True       # republish the panel with the list
+            elif c == "load_model":
+                # Runtime model switching (ref: ui.cpp:366-430 model combo
+                # triggers an async scene reload with a progress bar): the
+                # load runs here in the render thread — progress callbacks
+                # publish to /state so the browser shows the bar.
+                path = str(ev.get("path", ""))
+                if path in models:
+                    try:
+                        new_host = load_scene_cached(
+                            path, texture_max_dim=tex_dim,
+                            progress=state.set_progress)
+                        host = new_host
+                        scene = host.scene
+                        ext = float(np.linalg.norm(
+                            np.asarray(host.bounds_extent))) + 1e-6
+                        orbit = Orbit(host.bounds_center, 2.1 * ext)
+                        if cfg.sun_shadow_mode == "map":
+                            shadow_bounds = (host.bounds_center, ext)
+                        sun_dir, sun_int = scene_sun(scene, host)
+                        tod = None
+                        picked = -1
+                        model_path = path
+                        if cfg.enable_sky_lighting:
+                            probe, env_brdf = _build_probe(cfg, sun_dir,
+                                                           hdri)
+                            state.set_previews(_probe_previews(
+                                cfg, sun_dir, probe, hdri))
+                        moved = True
+                    except Exception as e:        # noqa: BLE001
+                        state.error = f"model load failed: {e}"
+                    finally:
+                        state.set_progress("done", 1.0)
+            elif c == "load_hdri":
+                # Runtime HDRI switching (ref: ui.cpp:430-478 hdri combo
+                # re-runs FTextureCache::CacheHDRI); empty path = the
+                # procedural Preetham sky.
+                path = str(ev.get("path", ""))
+                if path in hdris or path == "":
+                    try:
+                        state.set_progress("hdri", 0.2)
+                        hdri = path or None
+                        if cfg.enable_sky_lighting:
+                            probe, env_brdf = _build_probe(cfg, sun_dir,
+                                                           hdri)
+                            state.set_previews(_probe_previews(
+                                cfg, sun_dir, probe, hdri))
+                        moved = True
+                    except Exception as e:        # noqa: BLE001
+                        state.error = f"hdri load failed: {e}"
+                    finally:
+                        state.set_progress("done", 1.0)
             elif c == "pick" and last_tri is not None:
                 x = int(np.clip(ev["x"], 0, width - 1))
                 y = int(np.clip(ev["y"], 0, height - 1))
@@ -289,6 +437,8 @@ def _render_loop(host, cfg, state, width, height, hdri, jpeg_quality):
             exposure=exposure, viewmode=int(viewmode), taa=bool(taa_on),
             sun_intensity=sun_int, tod=tod, picked=picked, fps=round(fps, 2),
             width=width, height=height,
+            models=models, hdris=hdris,
+            model=model_path, hdri=hdri or "",
             lights=[dict(index=i,
                          type=int(lt.type[i]),
                          intensity=float(np.asarray(lt.intensity)[i]),
@@ -326,6 +476,15 @@ input[type=range]{width:100%}select,button{width:100%;margin:2px 0}
 <option value=9>Triangle ids</option><option value=10>Normal map</option>
 <option value=11>Ambient occlusion</option></select>
 <label><input type=checkbox id=taa checked> TAA</label>
+<label>model</label><select id=model></select>
+<label>environment</label><select id=hdri></select>
+<div id=progwrap style="display:none;background:#333;height:8px;
+border-radius:4px;margin:6px 0"><div id=progbar style="background:#4a8;
+height:8px;border-radius:4px;width:0%"></div></div>
+<div id=progtext style="color:#7a8;font:11px monospace"></div>
+<label>envmap / SH irradiance</label>
+<div><img id=prevenv width=128 style="margin-right:4px">
+<img id=previrr width=128></div>
 <div id=lights></div><div id=stats></div></div>
 <script>
 const img=document.getElementById('img');let seq=0;
@@ -350,11 +509,31 @@ tod.onchange=()=>send({cmd:'set',key:'tod',value:+tod.value});
 sun.oninput=()=>send({cmd:'set',key:'sun_intensity',value:+sun.value});
 viewmode.onchange=()=>send({cmd:'set',key:'viewmode',value:+viewmode.value});
 taa.onchange=()=>send({cmd:'set',key:'taa',value:taa.checked});
+model.onchange=()=>send({cmd:'load_model',path:model.value});
+hdri.onchange=()=>send({cmd:'load_hdri',path:hdri.value});
+let pseq=-1;
+function fillSel(sel,items,cur,blank){if(sel.dataset.n==items.length)
+{sel.value=cur;return}sel.innerHTML='';if(blank!==undefined){
+const o=document.createElement('option');o.value='';o.textContent=blank;
+sel.append(o)}for(const m of items){const o=document.createElement(
+'option');o.value=m;o.textContent=m.split('/').slice(-1)[0];sel.append(o)}
+sel.dataset.n=items.length;sel.value=cur}
 async function poll(){for(;;){try{
 const s=await(await fetch('/state')).json();
 fps.textContent=s.panel.fps+' fps  frame '+s.seq;
 document.getElementById('stats').textContent=
 JSON.stringify(s.stats,null,1);
+fillSel(model,s.panel.models||[],s.panel.model||'');
+fillSel(hdri,s.panel.hdris||[],s.panel.hdri||'','(dynamic sky)');
+const pw=document.getElementById('progwrap');
+if(s.progress&&s.progress.stage){pw.style.display='block';
+progbar.style.width=(100*s.progress.frac)+'%';
+progtext.textContent='loading '+s.progress.stage+' '+
+Math.round(100*s.progress.frac)+'%'}else{pw.style.display='none';
+progtext.textContent=''}
+if(s.previews_seq!==pseq){pseq=s.previews_seq;
+prevenv.src='/preview/env.jpg?s='+pseq;
+previrr.src='/preview/irr.jpg?s='+pseq;}
 const L=document.getElementById('lights');
 if(L.childElementCount!==s.panel.lights.length){L.innerHTML='';
 for(const l of s.panel.lights){const d=document.createElement('div');
@@ -406,8 +585,16 @@ def make_server(state: ViewerState, port: int) -> ThreadingHTTPServer:
                     body = json.dumps(dict(seq=state.frame_seq,
                                            stats=state.stats,
                                            panel=state.panel,
+                                           progress=state.progress,
+                                           previews_seq=state.previews_seq,
                                            error=state.error)).encode()
                 self._send(200, body)
+            elif path.startswith("/preview/"):
+                name = path[len("/preview/"):].split(".")[0]
+                with state.lock:
+                    jpeg = state.previews.get(name, b"")
+                self._send(200 if jpeg else 404, jpeg, "image/jpeg",
+                           extra=[("Cache-Control", "no-store")])
             else:
                 self._send(404, b"{}")
 

@@ -48,12 +48,13 @@ def sphere_edges(center, radius, segments: int = 24):
 
 
 def draw_lines(color_u8, depth, segments, line_colors, view_proj,
-               samples_per_segment: int = 128):
+               samples_per_segment: int = 128, seg_mask=None):
     """Splat line segments over the frame (GREATER_EQUAL read-only depth,
     matching the reference's debug-draw depth state).
 
     color_u8: (H, W, 3) uint8; depth: (H, W) reverse-Z; segments: (N, 2, 3);
-    line_colors: (N, 3) float.
+    line_colors: (N, 3) float; seg_mask: optional (N,) bool (unset
+    segments draw nothing — the device append buffer's padding).
     """
     h, w = depth.shape
     seg = jnp.asarray(segments, jnp.float32)
@@ -66,6 +67,8 @@ def draw_lines(color_u8, depth, segments, line_colors, view_proj,
                             -1) @ view_proj
     wclip = clipc[:, 3]
     ok = wclip > 1e-3
+    if seg_mask is not None:
+        ok &= jnp.repeat(seg_mask, samples_per_segment)
     ndc = clipc[:, :3] / jnp.where(ok, wclip, 1.0)[:, None]
     px = ((ndc[:, 0] * 0.5 + 0.5) * w).astype(jnp.int32)
     py = ((-ndc[:, 1] * 0.5 + 0.5) * h).astype(jnp.int32)
@@ -242,3 +245,127 @@ def light_bounds_segments(scene):
     if not segs:
         return None, None
     return np.concatenate(segs), np.concatenate(cols)
+
+
+# ---------------------------------------------------------------------------
+# Device-side append buffer: SHADER-APPENDED debug draws. The reference
+# reserves UAV slots + an atomic counter so any GPU pass can append draw
+# commands from shader code (ref: debug-drawing/common.hlsli:33-95
+# DrawDebugPrimitive / counter at MAX_DEBUG_DRAW_COMMANDS). Passes here are
+# pure functions, so the analogue is a fixed-capacity (CAP, 10) f32 buffer
+# + count threaded through the TRACED frame: in-trace pass results (the
+# culling mask, the light-cluster bitmask) append rows with a cumsum
+# scatter, and the expand/draw also runs on device — no host round trip,
+# and the appended data can depend on device-computed values the host
+# never sees.
+# Row layout: [shape, cx, cy, cz, ex, ey, ez, r, g, b]
+# ---------------------------------------------------------------------------
+
+DDRAW_CAP = 128
+DDRAW_SPHERE = 0.0
+DDRAW_BOX = 1.0
+_DDRAW_SEGS_PER_ROW = 48     # 3 rings x 16 (sphere); box uses 12 + padding
+
+
+def ddraw_new(cap: int = DDRAW_CAP):
+    return (jnp.zeros((cap, 10), jnp.float32), jnp.zeros((), jnp.int32))
+
+
+def ddraw_append(buf, count, rows, mask):
+    """Append rows (M, 10) where mask (M,) is set — the functional
+    replacement for the reference's UAV-counter atomic append. Overflow
+    beyond capacity drops (like the reference's unchecked counter wrap,
+    but safely); count saturates at capacity."""
+    mask = mask.astype(jnp.int32)
+    pos = count + jnp.cumsum(mask) - 1
+    idx = jnp.where(mask > 0, pos, buf.shape[0])
+    buf = buf.at[idx].set(rows, mode="drop")
+    return buf, jnp.minimum(count + mask.sum(), buf.shape[0])
+
+
+def _unit_sphere_segments(segments: int = 16) -> np.ndarray:
+    out = []
+    t = np.linspace(0, 2 * np.pi, segments + 1)
+    for axes in [(0, 1), (0, 2), (1, 2)]:
+        pts = np.zeros((segments + 1, 3), np.float32)
+        pts[:, axes[0]] = np.cos(t)
+        pts[:, axes[1]] = np.sin(t)
+        out.append(np.stack([pts[:-1], pts[1:]], axis=1))
+    return np.concatenate(out)                       # (3*segments, 2, 3)
+
+
+def _unit_box_segments() -> np.ndarray:
+    return box_edges([-1, -1, -1], [1, 1, 1])        # (12, 2, 3)
+
+
+def ddraw_render(color_u8, depth, buf, count, view_proj,
+                 samples_per_segment: int = 32):
+    """Expand every buffer row to wireframe segments and splat them
+    depth-tested — the traced analogue of the reference's expand CS +
+    ExecuteIndirect wireframe draw (ref: renderer.cpp:920-1346)."""
+    cap = buf.shape[0]
+    sph = jnp.asarray(_unit_sphere_segments())       # (48, 2, 3)
+    box = jnp.asarray(np.concatenate(
+        [_unit_box_segments(),
+         np.zeros((_DDRAW_SEGS_PER_ROW - 12, 2, 3), np.float32)]))
+    box_valid = jnp.asarray(
+        np.arange(_DDRAW_SEGS_PER_ROW) < 12)
+    is_box = (buf[:, 0:1, None, None] == DDRAW_BOX)
+    center = buf[:, None, None, 1:4]
+    ext = buf[:, None, None, 4:7]
+    segs = jnp.where(is_box, box[None] * ext + center,
+                     sph[None] * ext[..., 0:1] + center)  # (cap, 48, 2, 3)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap, _DDRAW_SEGS_PER_ROW),
+                                    0)
+    valid = (ridx < count) & jnp.where(buf[:, 0:1] == DDRAW_BOX,
+                                       box_valid[None], True)
+    cols = jnp.broadcast_to(buf[:, None, 7:10],
+                            (cap, _DDRAW_SEGS_PER_ROW, 3))
+    return draw_lines(color_u8, depth,
+                      segs.reshape(-1, 2, 3), cols.reshape(-1, 3),
+                      view_proj, samples_per_segment=samples_per_segment,
+                      seg_mask=valid.reshape(-1))
+
+
+def light_bounds_rows(lights, mask_grid):
+    """Sphere rows for every punctual light that SURVIVED cluster culling
+    — appended from the light-culling pass's own output, like the
+    reference's SHOW_LIGHT_BOUNDS path appends from the culling shader
+    (ref: light-culling.hlsl DrawDebugSphere)."""
+    c, w32 = mask_grid.shape
+    bits = ((mask_grid[..., None].astype(jnp.uint32)
+             >> jnp.arange(32, dtype=jnp.uint32)) & 1)       # (C, W32, 32)
+    lit = bits.reshape(c, w32 * 32).any(axis=0)              # (Lpad,)
+    n = lights.type.shape[0]
+    lit = lit[:n]
+    pos = lights.transform[:, 3, :3]
+    rng = jnp.where(lights.range > 0.0, lights.range, 4.0)
+    rows = jnp.concatenate([
+        jnp.full((n, 1), DDRAW_SPHERE), pos,
+        rng[:, None], jnp.zeros((n, 2)),
+        jnp.broadcast_to(jnp.asarray([0.25, 0.9, 0.25]), (n, 3))], axis=-1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    mask = lit & (li < lights.count) & (lights.type != 0)
+    return rows, mask
+
+
+def object_bounds_rows(scene, scene_rotation, prim_visible):
+    """Sphere rows for every primitive that SURVIVED frustum culling —
+    appended from the cull pass's device-side mask (the host cannot know
+    it without a readback), ref: batch-culling.hlsl debug path +
+    ui.cpp:604-630."""
+    world = jnp.einsum("mij,jk->mik", scene.mesh_transforms, scene_rotation)
+    xf = world[scene.prim_mesh]
+    bs = scene.prim_bsphere
+    center = jnp.einsum(
+        "pi,pij->pj",
+        jnp.concatenate([bs[:, :3], jnp.ones_like(bs[:, :1])], -1), xf)[:, :3]
+    scale = jnp.max(jnp.linalg.norm(xf[:, :3, :3], axis=-1), axis=-1)
+    n = bs.shape[0]
+    rows = jnp.concatenate([
+        jnp.full((n, 1), DDRAW_SPHERE), center,
+        (bs[:, 3] * scale)[:, None], jnp.zeros((n, 2)),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.8, 0.1]), (n, 3))], axis=-1)
+    pi = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    mask = prim_visible & (pi < scene.meta.num_primitives)
+    return rows, mask

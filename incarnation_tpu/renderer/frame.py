@@ -426,7 +426,28 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     color = _apply_viewmode(config, scene, gb, n, depth, tri, accumulation,
                             fc, v=v, probe=probe,
                             bent_normals=bent_normals)
-    return dict(color=post.to_uint8(color), hdr=hdr,
+    color_u8 = post.to_uint8(color)
+
+    # Shader-appended debug draws (ref: debug-drawing/common.hlsli:33-95):
+    # the cull and light-culling PASS RESULTS append wireframe rows to a
+    # device-side buffer, expanded and splatted depth-tested in-trace —
+    # the drawn set depends on device-computed masks the host never sees.
+    if config.show_light_bounds or config.show_object_bounds:
+        from . import debugdraw
+        dbuf, dcount = debugdraw.ddraw_new()
+        if config.show_light_bounds and mask_grid is not None:
+            rows, rmask = debugdraw.light_bounds_rows(scene.lights,
+                                                      mask_grid)
+            dbuf, dcount = debugdraw.ddraw_append(dbuf, dcount, rows, rmask)
+        if config.show_object_bounds:
+            rows, rmask = debugdraw.object_bounds_rows(
+                scene, fc.scene_rotation, prim_visible)
+            dbuf, dcount = debugdraw.ddraw_append(dbuf, dcount, rows, rmask)
+        color_u8 = debugdraw.ddraw_render(color_u8, depth, dbuf, dcount,
+                                          fc.view_proj)
+        stats["debug_draws"] = dcount
+
+    return dict(color=color_u8, hdr=hdr,
                 accumulation=accumulation, tri=tri, depth=depth,
                 gbuffer=gb, stats=stats)
 

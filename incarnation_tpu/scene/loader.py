@@ -122,6 +122,7 @@ class SceneHost:
     bounds_extent: np.ndarray
     directional_light_index: int
     name: str = ""
+    source_path: str = ""        # file the scene was loaded from
 
 
 def _bucket(n: int, quantum: int) -> int:

@@ -147,3 +147,44 @@ def test_debugdraw_persistent():
     img2 = np.asarray(dd.flush(out["color"], out["depth"], fc.view_proj))
     np.testing.assert_array_equal(img1, img2)
     assert not np.array_equal(img1, np.asarray(out["color"]))
+
+
+def test_device_appended_draws():
+    """Shader-appended debug draws (ref: debug-drawing/common.hlsli:33-95):
+    the frame's own cull/light-cluster results append wireframe rows to
+    the device-side buffer and the expanded splat lands in the image."""
+    import jax.numpy as jnp
+    from incarnation_tpu.config import Config, EnvSkyMode
+    from incarnation_tpu.core.view import View
+    from incarnation_tpu.kernels import ibl
+    from incarnation_tpu.kernels.raster import RasterParams
+    from incarnation_tpu.renderer import frame as frame_mod
+    from incarnation_tpu.scene.testing import make_rich_scene
+
+    w, h = 256, 128
+    scene = make_rich_scene()
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP,
+                 sun_shadow_mode="off", raster_tile_h=8,
+                 show_light_bounds=True, show_object_bounds=True)
+    fc = frame_mod.FrameConstants.make(
+        View.default(aspect=w / h), cfg, sun_dir=[0, 1.0, -0.2],
+        sun_color_intensity=[1, 1, 1, 100.0])
+    probe = ibl.build_probe(jnp.full((8, 16, 3), 0.5), envmap_size=8,
+                            num_samples=16)
+    brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(16))
+    params = RasterParams(width=w, height=h, tile_h=8, tile_w=128,
+                          pair_capacity=512, bin_max_span=8,
+                          big_tri_capacity=16, chunk=8)
+    base = frame_mod.render_frame_jit(
+        scene, fc, cfg.replace(show_light_bounds=False,
+                               show_object_bounds=False), params, probe,
+        brdf)
+    out = frame_mod.render_frame_jit(scene, fc, cfg, params, probe, brdf)
+    # appended: rich scene's visible prims + its 2 punctual lights
+    assert int(out["stats"]["debug_draws"]) >= 3
+    diff = (np.asarray(out["color"]).astype(int)
+            - np.asarray(base["color"]).astype(int))
+    assert (np.abs(diff).sum(-1) > 0).sum() > 50   # wireframes visible
+    # the light spheres draw green-dominant pixels somewhere
+    ch = np.asarray(out["color"])[np.abs(diff).sum(-1) > 0]
+    assert (ch[:, 1].astype(int) > ch[:, 0].astype(int) + 40).any()

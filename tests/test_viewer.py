@@ -107,3 +107,58 @@ def test_light_edit_applies(running_viewer):
               and st["panel"]["lights"][0]["intensity"] == 77.0)
         time.sleep(0.3)
     assert ok
+
+
+def test_previews_served(running_viewer):
+    """Envmap + SH irradiance preview tiles stream from /preview/*
+    (ref: ui.cpp:40-185 panel preview renders)."""
+    port, state = running_viewer
+    deadline = time.time() + 120
+    ok = False
+    while time.time() < deadline and not ok:
+        st = json.loads(_get(port, "/state")[0])
+        ok = st.get("previews_seq", 0) >= 1
+        time.sleep(0.3)
+    assert ok, "previews never published"
+    for name in ("env", "irr"):
+        jpeg, _ = _get(port, f"/preview/{name}.jpg")
+        assert jpeg[:2] == b"\xff\xd8", name
+
+
+def test_runtime_model_switch(running_viewer, tmp_path):
+    """Switching models from the browser without a restart
+    (ref: ui.cpp:366-430 model combo + async reload with progress)."""
+    from test_gltf_glb import make_glb
+    port, state = running_viewer
+    glb = make_glb(tmp_path)
+    # the rescan republish needs a rendered frame — wait out the first
+    # jit compile before starting the switch deadline clock
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        st = json.loads(_get(port, "/state")[0])
+        if st["seq"] >= 1:
+            break
+        time.sleep(1.0)
+    viewer_mod.EXTRA_CONTENT_DIRS.append(str(tmp_path))
+    try:
+        # the loop validates load_model paths against its discovered list;
+        # rescan re-lists content (now including tmp_path) and republishes
+        _post(port, "/input", {"cmd": "rescan"})
+        deadline = time.time() + 300
+        listed = False
+        while time.time() < deadline and not listed:
+            st = json.loads(_get(port, "/state")[0])
+            listed = str(glb) in st["panel"].get("models", [])
+            time.sleep(0.3)
+        assert listed, "rescan did not pick up the new model"
+        _post(port, "/input", {"cmd": "load_model", "path": str(glb)})
+        deadline = time.time() + 300
+        switched = False
+        while time.time() < deadline and not switched:
+            st = json.loads(_get(port, "/state")[0])
+            assert not st["error"], st["error"]
+            switched = st["panel"].get("model") == str(glb)
+            time.sleep(0.5)
+        assert switched, "model switch never completed"
+    finally:
+        viewer_mod.EXTRA_CONTENT_DIRS.remove(str(tmp_path))

@@ -1,0 +1,56 @@
+"""Run the RUN_SLOW-gated correctness gates and record the result as JSON.
+
+The two strongest end-to-end gates — the raster-vs-pathtraced cross-parity
+PSNR (tests/test_crosspath.py) and the SPP-sharded path-tracer conformance
+(tests/test_dist.py) — are too slow for the default suite on a 1-core
+host, so they are RUN_SLOW_TESTS-gated. This tool runs them in one pytest
+invocation and writes `SLOW_GATES.json` at the repo root (a checked-in
+per-round artifact, r3 VERDICT item 8) so their status is a recorded fact
+rather than commit-message folklore.
+
+Usage: python tools/slow_gates.py  (expect ~10-30 min on a 1-core host)
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+GATES = [
+    "tests/test_crosspath.py::test_raster_matches_pathtraced_direct",
+    "tests/test_dist.py::test_spp_sharded_pathtrace_matches_sequential",
+]
+
+
+def main():
+    env = dict(os.environ)
+    env["RUN_SLOW_TESTS"] = "1"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", *GATES],
+        cwd=ROOT, env=env, capture_output=True, text=True)
+    tail = "\n".join((r.stdout + r.stderr).strip().splitlines()[-12:])
+    result = {
+        "gates": GATES,
+        "rc": r.returncode,
+        "passed": r.returncode == 0,
+        "runtime_s": round(time.time() - t0, 1),
+        "date": time.strftime("%Y-%m-%d"),
+        "git": subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=ROOT, capture_output=True,
+                              text=True).stdout.strip(),
+        "tail": tail,
+    }
+    out = ROOT / "SLOW_GATES.json"
+    out.write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps({k: v for k, v in result.items() if k != "tail"}))
+    sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()
