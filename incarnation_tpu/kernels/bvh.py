@@ -447,9 +447,11 @@ class SceneBVH:
     rows: jnp.ndarray        # (N, 48) f32 threaded rows (module docstring);
     #                          merged=True: (8N, 48) per-octant copies with
     #                          (hit, miss) links inline at lanes 13/14;
-    #                          wide=True: (8N, 64) 8-wide per-octant rows
-    links: jnp.ndarray       # (8N, 2) f32 per-octant (hit, miss) links
-    #                          (unused (1, 2) dummy when merged/wide)
+    #                          wide=True: (N, 64) octant-INVARIANT 8-wide
+    #                          geo rows (boxes + local child ids + leaves)
+    links: jnp.ndarray       # binary: (8N, 2) f32 per-octant (hit, miss)
+    #                          links ((1, 2) dummy when merged);
+    #                          wide: (8N, 2) i32 thread rows [iperm, miss]
     merged: bool = dataclasses.field(metadata=dict(static=True),
                                      default=False)
     wide: bool = dataclasses.field(metadata=dict(static=True),
@@ -512,7 +514,9 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
     steps per subtree, which dominated atrium traversal (survival curve:
     median 70 steps).
 
-    Returns (rows8 (8N, 64) f32 per-octant merged rows, leaf_tri (N, 4)).
+    Returns (geo (N, 64) f32 octant-invariant rows,
+    thread (8N, 2) i32 per-octant [iperm word, miss link] rows,
+    leaf_tri (N, 4)).
     """
     t = tri_verts.shape[0]
     if t <= LEAF_K:
@@ -521,9 +525,9 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
         row = np.zeros((1, WIDE_LANES), np.float32)
         row[:, :ROW_LANES] = _leaf_rows_for(tri_verts, quad)
         row[:, _W_FLAG] = 1.0
-        row[:, _W_MISS] = -1.0
-        rows8 = np.tile(row, (8, 1))
-        return rows8, quad
+        thread = np.zeros((8, 2), np.int32)
+        thread[:, 1] = -1
+        return row, thread, quad
 
     if method == "sah":
         left, right, quad_tri = _sah_topology(tri_verts, LEAF_K)
@@ -619,25 +623,36 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
     leaf_tri = np.concatenate(
         [np.full((n_wide, LEAF_K), -1, np.int64), quad_tri])
 
-    rows8 = np.zeros((8, n_rows, WIDE_LANES), np.float32)
+    # GEO table: octant-INVARIANT (boxes + local child ids + leaf payload),
+    # stored ONCE — the former per-octant 8x replication put the atrium
+    # traversal table at 216 MB, where random row gathers measured
+    # 127 ns/idx vs 21 ns at <= 72 MB (tools/bvh_gather_bench.py). Only
+    # the traversal ORDER is per-octant: a packed slot->position word +
+    # the threaded miss link (THREAD table, 8 B/row/octant).
+    geo = np.zeros((n_rows, WIDE_LANES), np.float32)
+    boxes = np.concatenate([ch_lo, ch_hi], axis=-1)      # (n_wide, 8, 6)
+    geo[:n_wide, :48] = boxes.reshape(n_wide, 48)
+    geo[:n_wide, _W_CHILD:_W_CHILD + 8] = np.where(
+        ch_valid, ch_row, -1).astype(np.float32)
+    geo[n_wide:, :ROW_LANES] = leaf_base
+    geo[n_wide:, _W_FLAG] = 1.0
+
+    thread = np.zeros((8, n_rows, 2), np.int32)
     for okt in range(8):
         sign = np.array([1.0 if not (okt >> a) & 1 else -1.0
                          for a in range(3)], np.float32)
         key = np.where(ch_valid, ch_cent @ sign, np.inf)
         perm = np.argsort(key, axis=1, kind="stable")    # (n_wide, 8)
         p_row = np.take_along_axis(ch_row, perm, axis=1)
-        p_lo = np.take_along_axis(ch_lo, perm[..., None], axis=1)
-        p_hi = np.take_along_axis(ch_hi, perm[..., None], axis=1)
-        p_valid = p_row >= 0
-        counts = p_valid.sum(axis=1)
-
-        ro = rows8[okt]
-        boxes = np.concatenate([p_lo, p_hi], axis=-1)    # (n_wide, 8, 6)
-        ro[:n_wide, :48] = boxes.reshape(n_wide, 48)
-        ro[:n_wide, _W_CHILD:_W_CHILD + 8] = np.where(
-            p_valid, okt * n_rows + p_row, -1).astype(np.float32)
-        ro[n_wide:, :ROW_LANES] = leaf_base
-        ro[n_wide:, _W_FLAG] = 1.0
+        counts = (p_row >= 0).sum(axis=1)
+        # iperm word: 3-bit octant POSITION of each storage slot, so the
+        # step picks the hit child with minimal position (= near-to-far
+        # first hit) without per-octant box copies
+        inv_full = np.argsort(perm, axis=1)              # slot -> position
+        iperm = np.zeros(n_wide, np.int64)
+        for s in range(WIDE_ARITY):
+            iperm |= inv_full[:, s].astype(np.int64) << (3 * s)
+        thread[okt, :n_wide, 0] = iperm.astype(np.int32)
 
         # threading: parent-before-child level sweep; child k's miss =
         # next octant-ordered sibling, last child inherits parent's miss
@@ -658,9 +673,8 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
                 -2)                                       # -2 = inherit
             inherit = nxt_row == -2
             miss[sel] = np.where(inherit, miss[pw], nxt_row)
-        ro[:, _W_MISS] = np.where(
-            miss >= 0, okt * n_rows + miss, -1).astype(np.float32)
-    return rows8.reshape(8 * n_rows, WIDE_LANES), leaf_tri
+        thread[okt, :, 1] = miss.astype(np.int32)
+    return geo, thread.reshape(8 * n_rows, 2), leaf_tri
 
 
 def _leaf_rows_for(tri_verts, quads):
@@ -715,32 +729,29 @@ def build_scene_bvh(scene, method: str = "sah",
         h = hashlib.sha1()
         h.update(tris.tobytes())
         h.update(ds.tobytes())
-        h.update(f"bvh-v3-{method}-{LEAF_K}-{int(wide)}".encode())
+        h.update(f"bvh-v4-{method}-{LEAF_K}-{int(wide)}".encode())
         cache_file = cache_mod.CACHE_DIR / f"bvh-{h.hexdigest()[:20]}.npz"
         if cache_file.exists():
             z = np.load(cache_file)
             if wide:
                 return SceneBVH(rows=jnp.asarray(z["rows"]),
-                                links=jnp.zeros((1, 2), jnp.float32),
+                                links=jnp.asarray(z["thread"]),
                                 merged=False, wide=True)
             return _finish_bvh(z["rows"], z["links"])
 
     if wide:
-        rows8, leaf_tri = build_wide(tris, method=method)
-        n_rows = rows8.shape[0] // 8
-        # Per-slot double-sided flags on every octant copy
-        r8 = rows8.reshape(8, n_rows, WIDE_LANES)
+        geo, thread, leaf_tri = build_wide(tris, method=method)
+        # Per-slot double-sided flags (geo is octant-invariant: once)
         for s in range(LEAF_K):
             tid = leaf_tri[:, s]
             ok = tid >= 0
             lane = 11 if s == 0 else _DS1_OFF + s - 1
-            r8[:, ok, lane] = ds[tid[ok]].astype(np.float32)[None]
-        rows8 = r8.reshape(8 * n_rows, WIDE_LANES)
+            geo[ok, lane] = ds[tid[ok]].astype(np.float32)
         if cache_file is not None:
             cache_file.parent.mkdir(exist_ok=True)
-            np.savez(cache_file, rows=rows8)
-        return SceneBVH(rows=jnp.asarray(rows8),
-                        links=jnp.zeros((1, 2), jnp.float32),
+            np.savez(cache_file, rows=geo, thread=thread)
+        return SceneBVH(rows=jnp.asarray(geo),
+                        links=jnp.asarray(thread),
                         merged=False, wide=True)
 
     rows, links, leaf_tri = build_lbvh(tris, method=method)
@@ -855,13 +866,19 @@ def _step(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
 def _step_wide(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
                any_hit: bool, alpha_of=None):
     """One 8-wide traversal step: leaf rows intersect the 4-triangle quad
-    exactly like the binary walk; internal rows test the 8 octant-ordered
-    child boxes and jump STRAIGHT to the first hit child (links=None
-    always — wide rows are per-octant merged by construction)."""
-    del links
+    exactly like the binary walk; internal rows test the 8 child boxes
+    (octant-invariant GEO row, stored once) and jump STRAIGHT to the hit
+    child with minimal per-octant POSITION — the near-to-far order comes
+    from the THREAD row's packed slot->position word (`links` carries the
+    (8N, 2) i32 thread table: [iperm, miss]). Two small-table gathers
+    (27 + 6.8 MB on the atrium) replace the former one 216 MB-table
+    gather, which measured 6x slower per index (bvh_gather_bench)."""
     cur, t_best, best_tri, uo, vo, alive = state
     safe = jnp.maximum(cur, 0)
-    row = rows[safe + okt_off]                           # (R, 64) gather
+    row = rows[safe]                                     # (R, 64) gather
+    th = links[safe + okt_off]                           # (R, 2) gather
+    iperm = th[..., 0]
+    miss = th[..., 1]
     leaf = row[:, _W_FLAG] > 0.5
 
     for s in range(4):
@@ -885,23 +902,26 @@ def _step_wide(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
         if any_hit:
             alive = alive & ~accept
 
-    # Internal: 8 child slab tests; nearest (= first in the per-octant
-    # storage order) hit child wins, else the miss link.
-    miss = row[:, _W_MISS].astype(jnp.int32)
+    # Internal: 8 child slab tests in STORAGE slot order; the hit child
+    # with minimal per-octant position (iperm 3-bit field) wins — exactly
+    # the near-to-far first-hit of the former octant-sorted copies.
     nxt_int = miss
+    best_pos = jnp.full_like(cur, WIDE_ARITY)
     limit = jnp.minimum(t_best, tmax_eff)
-    for k in range(WIDE_ARITY - 1, -1, -1):
+    for k in range(WIDE_ARITY):
         t0 = (row[:, 6 * k:6 * k + 3] - o) * inv_d
         t1 = (row[:, 6 * k + 3:6 * k + 6] - o) * inv_d
         tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
         tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), limit)
         cid = row[:, _W_CHILD + k].astype(jnp.int32)
-        hit_k = (tn <= tf) & (cid >= 0)
+        pos = (iperm >> (3 * k)) & 7
+        hit_k = (tn <= tf) & (cid >= 0) & (pos < best_pos)
+        best_pos = jnp.where(hit_k, pos, best_pos)
         nxt_int = jnp.where(hit_k, cid, nxt_int)
 
     nxt = jnp.where(leaf, miss, nxt_int)
     alive = alive & (nxt >= 0)
-    cur = jnp.where(alive, nxt - okt_off, 0)
+    cur = jnp.where(alive, nxt, 0)
     return cur, t_best, best_tri, uo, vo, alive
 
 
@@ -1030,12 +1050,13 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
                             jnp.where(directions >= 0, 1e-12, -1e-12))
     tmax_eff = tmax - tmin
     rows = bvh.rows
-    links = None if (bvh.merged or bvh.wide) else bvh.links
+    # wide: links = the (8N, 2) i32 thread table (iperm, miss); geo rows
+    # are octant-invariant so n_per indexes the THREAD table only.
+    links = None if bvh.merged else bvh.links
 
-    # Direction octant selects the ordered link set (links are global
-    # okt*N + node; cur stays local).
-    n_per = rows.shape[0] // 8 if (bvh.merged or bvh.wide) \
-        else rows.shape[0]
+    # Direction octant selects the ordered link/thread set (links are
+    # global okt*N + node; cur stays local).
+    n_per = rows.shape[0] // 8 if bvh.merged else rows.shape[0]
     okt_off = n_per * ((directions[:, 0] < 0).astype(jnp.int32)
                        + 2 * (directions[:, 1] < 0).astype(jnp.int32)
                        + 4 * (directions[:, 2] < 0).astype(jnp.int32))

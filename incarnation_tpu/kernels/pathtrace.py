@@ -175,11 +175,12 @@ def _tangent_mul(v3, t, b, n):
     return v3[..., 0:1] * t + v3[..., 1:2] * b + v3[..., 2:3] * n
 
 
-def _direct_radiance(light_i, lights, wp, base, metallic, roughness, n, v,
-                     shadow_fn):
-    """GetDirectRadiance for one light with shadow ray
-    (ref: lighting/common.hlsli:8-145; PATH_TRACING traces shadows for all
-    light types)."""
+def _direct_light_sample(light_i, lights, wp):
+    """Visibility-independent part of GetDirectRadiance for one light:
+    (l, radiance_in) at wp (ref: lighting/common.hlsli:8-145). The shadow
+    ray itself is traced BATCHED with the bounce's other shadow rays —
+    small-wavefront traversal gathers have a per-step latency floor, so
+    one K*R-ray trace beats K R-ray traces."""
     lt = lights.type[light_i]
     xform = lights.transform[light_i]
     inten = lights.intensity[light_i]
@@ -199,16 +200,23 @@ def _direct_radiance(light_i, lights, wp, base, metallic, roughness, n, v,
     l = jnp.where(is_dir, l_dir, l_pn)
     radiance_in = jnp.where(is_dir, jnp.broadcast_to(rad_dir, wp.shape),
                             rad_pn)
-    vis = ~shadow_fn(wp, l)
+    return l, radiance_in
+
+
+def _direct_radiance_apply(l, radiance_in, vis, base, metallic, roughness,
+                           n, v):
+    """BRDF response once the batched shadow ray resolved `vis`."""
     return shading.brdf_response(base, metallic, roughness, n, v, l,
                                  radiance_in,
                                  visibility=vis[..., None].astype(jnp.float32))
 
 
-def _sky_radiance_term(shadow_fn, probe, sky_brightness, u2, wp, base,
-                       metallic, roughness, n, v, sky_rot3=None):
+def _sky_sample_term(probe, sky_brightness, u2, base, metallic, roughness,
+                     n, v, sky_rot3=None):
     """GetSkyRadiance with the reference's cosine-sample quirk
-    (ref: pathtracing.hlsl:246-251, lighting/common.hlsli:147-202).
+    (ref: pathtracing.hlsl:246-251, lighting/common.hlsli:147-202),
+    SPLIT from its shadow ray (traced batched): returns
+    (sample_dir, term) with term missing only the visibility factor.
 
     sky_rot3: bvh-space -> world rotation (scene rotation): the sky stays
     fixed in world space while geometry rotates, so the hemisphere sample
@@ -218,7 +226,6 @@ def _sky_radiance_term(shadow_fn, probe, sky_brightness, u2, wp, base,
     radiance_in = sky_brightness * ibl.sample_cube(probe.envmap, sample_w)
     sample_dir = sample_w if sky_rot3 is None else sample_w @ sky_rot3.T
     no_l = jnp.clip(jnp.sum(n * sample_dir, -1, keepdims=True), 0.0, 1.0)
-    vis = ~shadow_fn(wp, sample_dir)
     f0 = metallic[..., None] * base + (1 - metallic[..., None]) * 0.04
     albedo = (1 - metallic[..., None]) * base
     h = mu.normalize(sample_dir + v)
@@ -230,11 +237,10 @@ def _sky_radiance_term(shadow_fn, probe, sky_brightness, u2, wp, base,
     g = shading.g_smith_direct(no_v, no_l, roughness[..., None])
     fr = (d * f * g) / jnp.maximum(4.0 * no_v * no_l, 1e-3)
     fd = albedo * mu.INV_PI
-    out = (fr + (1.0 - f) * fd) * radiance_in * no_l \
-        * vis[..., None].astype(jnp.float32)
+    out = (fr + (1.0 - f) * fd) * radiance_in * no_l
     out = jnp.where(no_l > 0.0, out, 0.0)
     pdf = sampling.cosine_hemisphere_pdf(sample_w[..., 2:3])
-    return out / jnp.where(jnp.abs(pdf) > 1e-8, pdf, 1.0)
+    return sample_dir, out / jnp.where(jnp.abs(pdf) > 1e-8, pdf, 1.0)
 
 
 def _indirect_ray(u2, n, t, b, v, base, metallic, roughness):
@@ -333,13 +339,23 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
     # pixel stratification instead of an uncorrelated hash.
     masked = scene.meta.has_masked
 
-    def shadow_fn(o, d, _seed=[0]):
+    def shadow_batch(wp, dirs, _seed=[0]):
+        """ONE any-hit trace for all of a bounce's shadow rays (K lists of
+        (R, 3)): the traversal's per-step gather cost has a latency floor
+        at small wavefronts, so a K*R-ray trace is much cheaper than K
+        R-ray traces. Returns K occlusion masks."""
+        k = len(dirs)
         _seed[0] += 1
-        return _trace_alpha(scene, bvh, o, d, 0.1, 1000.0,
-                            sidx * jnp.uint32(131) + jnp.uint32(_seed[0]),
-                            any_hit=True,
-                            noise_u=(sample_point(sidx)[..., 0] if masked
-                                     else None))["tri"] >= 0
+        o_all = jnp.concatenate([wp] * k, 0)
+        d_all = jnp.concatenate(dirs, 0)
+        noise = (jnp.concatenate(
+            [sample_point(sidx)[..., 0] for _ in range(k)], 0)
+            if masked else None)
+        occ = _trace_alpha(scene, bvh, o_all, d_all, 0.1, 1000.0,
+                           sidx * jnp.uint32(131) + jnp.uint32(_seed[0]),
+                           any_hit=True, noise_u=noise)["tri"] >= 0
+        rn = wp.shape[0]
+        return [occ[i * rn:(i + 1) * rn] for i in range(k)]
 
     for bounce in range(MAX_BOUNCES):
         hit = _trace_alpha(scene, bvh, origin, direction, RAY_OFFSET, 1e4,
@@ -397,37 +413,52 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         # sets keep the exact all-lights loop (preserves crosspath parity);
         # larger sets pick ONE light uniformly per ray per bounce and weight
         # by the count (pdf 1/L) so cost stays at one shadow trace instead
-        # of L full BVH passes.
+        # of L full BVH passes. ALL of the bounce's shadow rays (NEE + sky
+        # sample) go through ONE batched any-hit trace (shadow_batch).
         nl = scene.meta.num_lights
+        shadow_dirs = []
+        appliers = []       # vis -> radiance contribution
+
+        def add_nee(li, gate, weight=1.0):
+            l, rad_in = _direct_light_sample(li, scene.lights, wp)
+            shadow_dirs.append(l)
+
+            def apply(occ, l=l, rad_in=rad_in, gate=gate, weight=weight):
+                contrib = _direct_radiance_apply(
+                    l, rad_in, ~occ, m["base_color"], m["metallic"],
+                    m["roughness"], n, v)
+                return jnp.where(gate[..., None], beta * contrib * weight,
+                                 0.0)
+            appliers.append(apply)
+
         if 0 < nl <= 4:
             for li in range(nl):
-                on = li < scene.lights.count
-                contrib = _direct_radiance(li, scene.lights, wp,
-                                           m["base_color"], m["metallic"],
-                                           m["roughness"], n, v, shadow_fn)
-                radiance = radiance + jnp.where(
-                    (alive & on)[..., None], beta * contrib, 0.0)
+                add_nee(li, alive & (li < scene.lights.count))
         elif nl > 4:
             cnt = scene.lights.count
             cnt_f = cnt.astype(jnp.float32)
             u_l = sample_point(sidx)[..., 0]
             li = jnp.minimum((u_l * cnt_f).astype(jnp.int32),
                              jnp.maximum(cnt - 1, 0))
-            contrib = _direct_radiance(li, scene.lights, wp,
-                                       m["base_color"], m["metallic"],
-                                       m["roughness"], n, v, shadow_fn)
-            radiance = radiance + jnp.where(
-                (alive & (cnt > 0))[..., None], beta * contrib * cnt_f, 0.0)
+            add_nee(li, alive & (cnt > 0), weight=cnt_f)
 
-        # sky sample
         if probe is not None:
             u_sky = sample_point(sidx)
-            sky_term = _sky_radiance_term(
-                shadow_fn, probe, fc.sky_brightness, u_sky, wp,
+            sky_dir, sky_term = _sky_sample_term(
+                probe, fc.sky_brightness, u_sky,
                 m["base_color"], m["metallic"], m["roughness"], n, v,
                 sky_rot3=sky_rot3)
-            radiance = radiance + jnp.where(alive[..., None],
-                                            beta * sky_term, 0.0)
+            shadow_dirs.append(sky_dir)
+
+            def apply_sky(occ):
+                t = sky_term * (~occ)[..., None].astype(jnp.float32)
+                return jnp.where(alive[..., None], beta * t, 0.0)
+            appliers.append(apply_sky)
+
+        if shadow_dirs:
+            occs = shadow_batch(wp, shadow_dirs)
+            for occ, apply in zip(occs, appliers):
+                radiance = radiance + apply(occ)
 
         if bounce + 1 < MAX_BOUNCES:
             u_b = sample_point(sidx)

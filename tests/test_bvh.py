@@ -101,17 +101,14 @@ def test_backface_culling():
 
 
 def make_wide_bvh(tris, double_sided=True):
-    rows8, leaf_tri = bvh_mod.build_wide(tris)
-    n_rows = rows8.shape[0] // 8
-    r8 = rows8.reshape(8, n_rows, bvh_mod.WIDE_LANES)
+    geo, thread, leaf_tri = bvh_mod.build_wide(tris)
     ds = 1.0 if double_sided else 0.0
     for s in range(bvh_mod.LEAF_K):
         ok = leaf_tri[:, s] >= 0
         lane = 11 if s == 0 else bvh_mod._DS1_OFF + s - 1
-        r8[:, ok, lane] = ds
-    return bvh_mod.SceneBVH(
-        rows=jnp.asarray(r8.reshape(8 * n_rows, bvh_mod.WIDE_LANES)),
-        links=jnp.zeros((1, 2), jnp.float32), wide=True)
+        geo[ok, lane] = ds
+    return bvh_mod.SceneBVH(rows=jnp.asarray(geo),
+                            links=jnp.asarray(thread), wide=True)
 
 
 def test_wide_closest_hit_matches_brute_force(rng):

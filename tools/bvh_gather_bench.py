@@ -72,5 +72,51 @@ def main():
               f" MB): {ms:7.3f} ms ({ms * 1e6 / n_rays:6.1f} ns/idx)")
 
 
-if __name__ == "__main__":
+
+
+def loop_carried():
+    """The traversal regime: a fori_loop whose NEXT index comes from the
+    CURRENT gather (serial dependence — no cross-iteration pipelining).
+    Compares data-dependent vs loop-invariant indices at 48 steps."""
+    from incarnation_tpu.utils import jaxinit
+    jaxinit.setup()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tools.microbench import device_time_ms
+
+    rng = np.random.default_rng(0)
+    n_rays = 230_400
+    for n_rows, label in ((105_596, "27 MB"), (844_768, "216 MB")):
+        tbl = jnp.asarray(
+            rng.integers(0, n_rows, (n_rows, 64), dtype=np.int32))
+        idx0 = jnp.asarray(rng.integers(0, n_rows, n_rays, dtype=np.int32))
+
+        @jax.jit
+        def dep(i0, t=tbl):
+            def body(_, i):
+                row = t[i]
+                return (row[:, 0] ^ row[:, 17] ^ row[:, 63]) % t.shape[0]
+            return jax.lax.fori_loop(0, 48, body, i0).sum()
+
+        @jax.jit
+        def indep(i0, t=tbl):
+            def body(_, acc):
+                row = t[i0]
+                return acc + row[:, 0] + row[:, 17] + row[:, 63]
+            return jax.lax.fori_loop(0, 48, body,
+                                     jnp.zeros_like(i0)).sum()
+
+        for name, f in (("data-dependent", dep), ("loop-invariant", indep)):
+            ms = device_time_ms(f, idx0, n=4, warmup=1)
+            print(f"{label} {name:15s}: {ms:8.2f} ms / 48 gathers "
+                  f"({ms / 48:6.3f} ms/step)")
+
+
+if __name__ == "__main__" and "--loop" in sys.argv:
+    loop_carried()
+    sys.exit(0)
+
+
+if __name__ == "__main__" and "--loop" not in sys.argv:
     main()
