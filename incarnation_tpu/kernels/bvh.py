@@ -447,11 +447,13 @@ class SceneBVH:
     rows: jnp.ndarray        # (N, 48) f32 threaded rows (module docstring);
     #                          merged=True: (8N, 48) per-octant copies with
     #                          (hit, miss) links inline at lanes 13/14;
-    #                          wide=True: (N, 64) octant-INVARIANT 8-wide
-    #                          geo rows (boxes + local child ids + leaves)
-    links: jnp.ndarray       # binary: (8N, 2) f32 per-octant (hit, miss)
-    #                          links ((1, 2) dummy when merged);
-    #                          wide: (8N, 2) i32 thread rows [iperm, miss]
+    #                          wide=True: (N, 80) octant-INVARIANT rows —
+    #                          boxes + local child ids + leaves (0..63)
+    #                          and all 8 octants' [iperm, miss] thread
+    #                          words (64..79) — ONE gather per step
+    links: jnp.ndarray       # binary split layout only: (8N, 2) f32
+    #                          per-octant (hit, miss) links ((1, 2) dummy
+    #                          when merged or wide)
     merged: bool = dataclasses.field(metadata=dict(static=True),
                                      default=False)
     wide: bool = dataclasses.field(metadata=dict(static=True),
@@ -464,10 +466,11 @@ class SceneBVH:
 _MERGE_LIMIT = 1 << 21
 
 
-WIDE_LANES = 64
+WIDE_LANES = 80
 _W_FLAG = 48          # 1.0 = quad leaf, 0.0 = 8-wide internal
-_W_MISS = 49          # per-octant miss link (global okt*N + row)
-_W_CHILD = 50         # 8 per-octant child row ids (global)
+_W_MISS = 49          # unused (pre-r4 layout relic; kept for alignment)
+_W_CHILD = 50         # 8 LOCAL child row ids (storage slot order)
+_W_THREAD = 64        # 8 octants x (iperm word, miss link) packed as f32
 WIDE_ARITY = 8
 
 
@@ -525,9 +528,8 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
         row = np.zeros((1, WIDE_LANES), np.float32)
         row[:, :ROW_LANES] = _leaf_rows_for(tri_verts, quad)
         row[:, _W_FLAG] = 1.0
-        thread = np.zeros((8, 2), np.int32)
-        thread[:, 1] = -1
-        return row, thread, quad
+        row[:, _W_THREAD + 1:_W_THREAD + 16:2] = -1.0    # all-octant miss
+        return row, quad
 
     if method == "sah":
         left, right, quad_tri = _sah_topology(tri_verts, LEAF_K)
@@ -623,12 +625,15 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
     leaf_tri = np.concatenate(
         [np.full((n_wide, LEAF_K), -1, np.int64), quad_tri])
 
-    # GEO table: octant-INVARIANT (boxes + local child ids + leaf payload),
-    # stored ONCE — the former per-octant 8x replication put the atrium
-    # traversal table at 216 MB, where random row gathers measured
-    # 127 ns/idx vs 21 ns at <= 72 MB (tools/bvh_gather_bench.py). Only
-    # the traversal ORDER is per-octant: a packed slot->position word +
-    # the threaded miss link (THREAD table, 8 B/row/octant).
+    # ONE octant-invariant table: boxes + LOCAL child ids + leaf payload
+    # (lanes 0..63) plus all 8 octants' traversal words packed into lanes
+    # 64..79 — the former per-octant 8x row replication put the atrium
+    # table at 216 MB where random row gathers measured 127 ns/idx vs 21
+    # at <= 72 MB, and a SEPARATE thread table costs a second full
+    # per-step gather (~7.3 ms at 230k rays) — row BYTES are nearly free,
+    # extra GATHERS are not (tools/bvh_gather_bench.py). Per octant the
+    # word pair is [iperm (8 x 3-bit slot->position), miss link]; both
+    # fit f32 exactly (< 2^24).
     geo = np.zeros((n_rows, WIDE_LANES), np.float32)
     boxes = np.concatenate([ch_lo, ch_hi], axis=-1)      # (n_wide, 8, 6)
     geo[:n_wide, :48] = boxes.reshape(n_wide, 48)
@@ -637,7 +642,6 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
     geo[n_wide:, :ROW_LANES] = leaf_base
     geo[n_wide:, _W_FLAG] = 1.0
 
-    thread = np.zeros((8, n_rows, 2), np.int32)
     for okt in range(8):
         sign = np.array([1.0 if not (okt >> a) & 1 else -1.0
                          for a in range(3)], np.float32)
@@ -652,7 +656,7 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
         iperm = np.zeros(n_wide, np.int64)
         for s in range(WIDE_ARITY):
             iperm |= inv_full[:, s].astype(np.int64) << (3 * s)
-        thread[okt, :n_wide, 0] = iperm.astype(np.int32)
+        geo[:n_wide, _W_THREAD + 2 * okt] = iperm.astype(np.float32)
 
         # threading: parent-before-child level sweep; child k's miss =
         # next octant-ordered sibling, last child inherits parent's miss
@@ -673,8 +677,8 @@ def build_wide(tri_verts: np.ndarray, method: str = "sah"):
                 -2)                                       # -2 = inherit
             inherit = nxt_row == -2
             miss[sel] = np.where(inherit, miss[pw], nxt_row)
-        thread[okt, :, 1] = miss.astype(np.int32)
-    return geo, thread.reshape(8 * n_rows, 2), leaf_tri
+        geo[:, _W_THREAD + 2 * okt + 1] = miss.astype(np.float32)
+    return geo, leaf_tri
 
 
 def _leaf_rows_for(tri_verts, quads):
@@ -729,18 +733,18 @@ def build_scene_bvh(scene, method: str = "sah",
         h = hashlib.sha1()
         h.update(tris.tobytes())
         h.update(ds.tobytes())
-        h.update(f"bvh-v4-{method}-{LEAF_K}-{int(wide)}".encode())
+        h.update(f"bvh-v5-{method}-{LEAF_K}-{int(wide)}".encode())
         cache_file = cache_mod.CACHE_DIR / f"bvh-{h.hexdigest()[:20]}.npz"
         if cache_file.exists():
             z = np.load(cache_file)
             if wide:
                 return SceneBVH(rows=jnp.asarray(z["rows"]),
-                                links=jnp.asarray(z["thread"]),
+                                links=jnp.zeros((1, 2), jnp.float32),
                                 merged=False, wide=True)
             return _finish_bvh(z["rows"], z["links"])
 
     if wide:
-        geo, thread, leaf_tri = build_wide(tris, method=method)
+        geo, leaf_tri = build_wide(tris, method=method)
         # Per-slot double-sided flags (geo is octant-invariant: once)
         for s in range(LEAF_K):
             tid = leaf_tri[:, s]
@@ -749,9 +753,9 @@ def build_scene_bvh(scene, method: str = "sah",
             geo[ok, lane] = ds[tid[ok]].astype(np.float32)
         if cache_file is not None:
             cache_file.parent.mkdir(exist_ok=True)
-            np.savez(cache_file, rows=geo, thread=thread)
+            np.savez(cache_file, rows=geo)
         return SceneBVH(rows=jnp.asarray(geo),
-                        links=jnp.asarray(thread),
+                        links=jnp.zeros((1, 2), jnp.float32),
                         merged=False, wide=True)
 
     rows, links, leaf_tri = build_lbvh(tris, method=method)
@@ -863,23 +867,45 @@ def _step(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
     return cur, t_best, best_tri, uo, vo, alive
 
 
-def _step_wide(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
+def _row_lanes(row, n_lanes: int):
+    """Gathered (R, n_lanes) row -> per-lane (R,) arrays, consumed through
+    a 3-D reshape. Measured (r4, /tmp lane experiments + commit log):
+    slicing a gather's output directly costs ~0.45 ms PER LANE per 230k
+    rows (each slice re-reads the materialized gather), while slicing the
+    RESHAPED buffer is vector-rate — 24 lanes: 18.2 -> 7.4 ms/step."""
+    assert n_lanes % 16 == 0
+    r3 = row.reshape(row.shape[0], n_lanes // 16, 16)
+    return [r3[:, i // 16, i % 16] for i in range(n_lanes)]
+
+
+def _step_wide(rows, links, okt, o, d, inv_d, tmax_eff, state,
                any_hit: bool, alpha_of=None):
     """One 8-wide traversal step: leaf rows intersect the 4-triangle quad
-    exactly like the binary walk; internal rows test the 8 child boxes
-    (octant-invariant GEO row, stored once) and jump STRAIGHT to the hit
-    child with minimal per-octant POSITION — the near-to-far order comes
-    from the THREAD row's packed slot->position word (`links` carries the
-    (8N, 2) i32 thread table: [iperm, miss]). Two small-table gathers
-    (27 + 6.8 MB on the atrium) replace the former one 216 MB-table
-    gather, which measured 6x slower per index (bvh_gather_bench)."""
+    exactly like the binary walk; internal rows test the 8 child boxes in
+    STORAGE slot order and jump STRAIGHT to the hit child with minimal
+    per-octant POSITION (the near-to-far order) from the row's packed
+    per-octant thread words. ONE gather per step (`links` unused; `okt`
+    carries each ray's octant 0..7): row bytes are nearly free, extra
+    gathers are not (tools/bvh_gather_bench.py)."""
+    del links
     cur, t_best, best_tri, uo, vo, alive = state
     safe = jnp.maximum(cur, 0)
-    row = rows[safe]                                     # (R, 64) gather
-    th = links[safe + okt_off]                           # (R, 2) gather
-    iperm = th[..., 0]
-    miss = th[..., 1]
-    leaf = row[:, _W_FLAG] > 0.5
+    lanes = _row_lanes(rows[safe], WIDE_LANES)           # ONE (R, 80) gather
+    leaf = lanes[_W_FLAG] > 0.5
+
+    # own octant's [iperm, miss] from the packed thread lanes (dense
+    # 8-way select — a per-ray dynamic lane index would be a gather)
+    iperm_f = lanes[_W_THREAD]
+    miss_f = lanes[_W_THREAD + 1]
+    for k in range(1, 8):
+        sel = okt == k
+        iperm_f = jnp.where(sel, lanes[_W_THREAD + 2 * k], iperm_f)
+        miss_f = jnp.where(sel, lanes[_W_THREAD + 2 * k + 1], miss_f)
+    iperm = iperm_f.astype(jnp.int32)
+    miss = miss_f.astype(jnp.int32)
+
+    def stack9(o9):
+        return jnp.stack([lanes[o9 + i] for i in range(9)], axis=-1)
 
     for s in range(4):
         if s == 0:
@@ -888,9 +914,9 @@ def _step_wide(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
             o9 = _TRI1_OFF[s - 1]
             oid = _ID1_OFF + s - 1
             ods = _DS1_OFF + s - 1
-        cull = row[:, ods] < 0.5
-        t_hit, u, v = _tri_intersect(row[:, o9:o9 + 9], o, d, cull)
-        tri = row[:, oid].astype(jnp.int32)
+        cull = lanes[ods] < 0.5
+        t_hit, u, v = _tri_intersect(stack9(o9), o, d, cull)
+        tri = lanes[oid].astype(jnp.int32)
         accept = (leaf & alive & (tri >= 0) & (t_hit < t_best)
                   & (t_hit <= tmax_eff))
         if alpha_of is not None:
@@ -909,11 +935,14 @@ def _step_wide(rows, links, okt_off, o, d, inv_d, tmax_eff, state,
     best_pos = jnp.full_like(cur, WIDE_ARITY)
     limit = jnp.minimum(t_best, tmax_eff)
     for k in range(WIDE_ARITY):
-        t0 = (row[:, 6 * k:6 * k + 3] - o) * inv_d
-        t1 = (row[:, 6 * k + 3:6 * k + 6] - o) * inv_d
-        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
-        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), limit)
-        cid = row[:, _W_CHILD + k].astype(jnp.int32)
+        tn = jnp.zeros_like(t_best)
+        tf = limit
+        for a in range(3):
+            t0 = (lanes[6 * k + a] - o[:, a]) * inv_d[:, a]
+            t1 = (lanes[6 * k + 3 + a] - o[:, a]) * inv_d[:, a]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        cid = lanes[_W_CHILD + k].astype(jnp.int32)
         pos = (iperm >> (3 * k)) & 7
         hit_k = (tn <= tf) & (cid >= 0) & (pos < best_pos)
         best_pos = jnp.where(hit_k, pos, best_pos)
@@ -1050,16 +1079,17 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
                             jnp.where(directions >= 0, 1e-12, -1e-12))
     tmax_eff = tmax - tmin
     rows = bvh.rows
-    # wide: links = the (8N, 2) i32 thread table (iperm, miss); geo rows
-    # are octant-invariant so n_per indexes the THREAD table only.
-    links = None if bvh.merged else bvh.links
+    links = None if (bvh.merged or bvh.wide) else bvh.links
 
-    # Direction octant selects the ordered link/thread set (links are
-    # global okt*N + node; cur stays local).
+    # Direction octant selects the ordered link/thread set. Binary layouts
+    # address per-octant tables (okt_off = okt * N, cur stays local); the
+    # wide layout packs all octants' thread words into its single row, so
+    # okt_off carries the RAW octant 0..7.
     n_per = rows.shape[0] // 8 if bvh.merged else rows.shape[0]
-    okt_off = n_per * ((directions[:, 0] < 0).astype(jnp.int32)
-                       + 2 * (directions[:, 1] < 0).astype(jnp.int32)
-                       + 4 * (directions[:, 2] < 0).astype(jnp.int32))
+    okt_scale = 1 if bvh.wide else n_per
+    okt_off = okt_scale * ((directions[:, 0] < 0).astype(jnp.int32)
+                           + 2 * (directions[:, 1] < 0).astype(jnp.int32)
+                           + 4 * (directions[:, 2] < 0).astype(jnp.int32))
     if any_hit and profile != "primary":
         profile = "anyhit"
     sched = _SCHEDULES_WIDE if bvh.wide else _SCHEDULES

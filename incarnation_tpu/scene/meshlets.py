@@ -68,6 +68,54 @@ def ritter_sphere(points: np.ndarray) -> tuple[np.ndarray, float]:
     return center.astype(np.float32), float(radius)
 
 
+def _circumsphere(pts: list) -> tuple[np.ndarray, float]:
+    """Minimal sphere THROUGH 0-4 boundary points (center in their affine
+    hull; least-norm solve handles collinear/coplanar degeneracy)."""
+    if not pts:
+        return np.zeros(3), 0.0
+    p0 = pts[0]
+    if len(pts) == 1:
+        return p0.copy(), 0.0
+    a = np.stack([p - p0 for p in pts[1:]])          # (m, 3)
+    b = 0.5 * (a * a).sum(axis=1)
+    x, *_ = np.linalg.lstsq(a, b, rcond=None)
+    c = p0 + x
+    return c, float(np.sqrt(((c - p0) ** 2).sum()))
+
+
+def welzl_sphere(points: np.ndarray) -> tuple[np.ndarray, float]:
+    """EXACT minimum enclosing sphere (Welzl's move-to-front algorithm) —
+    strictly no larger than ritter_sphere's, so meshlet/primitive culling
+    rejects more (the reference ships the Ritter expanding sphere it calls
+    MinimumBoundingSphere, ref: mesh-utils.cpp:114-180; this goes one step
+    further). Falls back to Ritter if the recursion degenerates."""
+    pts = np.unique(points.astype(np.float64), axis=0)
+    rng = np.random.default_rng(12345)
+    rng.shuffle(pts)
+    eps = 1e-9 * (1.0 + np.abs(pts).max())
+
+    import sys
+    sys.setrecursionlimit(max(10000, sys.getrecursionlimit()))
+
+    def mb(n, boundary):
+        if n == 0 or len(boundary) == 4:
+            return _circumsphere(boundary)
+        c, r = mb(n - 1, boundary)
+        p = pts[n - 1]
+        if ((p - c) ** 2).sum() <= (r + eps) ** 2:
+            return c, r
+        return mb(n - 1, boundary + [p])
+
+    try:
+        c, r = mb(len(pts), [])
+        d = np.sqrt(((pts - c) ** 2).sum(axis=1)).max()
+        if not np.isfinite(r) or d > r * (1 + 1e-6) + 1e-7:
+            raise ValueError("welzl did not cover")
+        return c.astype(np.float32), float(max(r, d))
+    except (ValueError, RecursionError):
+        return ritter_sphere(points)
+
+
 def _edge_adjacency(tv: np.ndarray, positions: np.ndarray):
     """Triangle adjacency across shared (position-welded) edges.
 
@@ -231,7 +279,7 @@ def meshletize(positions: np.ndarray, tri_vtx: np.ndarray,
             counts_all.append(int(c))
             pts = positions[np.unique(
                 tri_vtx[g_order[start:start + int(c)]])]
-            c0, r = ritter_sphere(pts)
+            c0, r = welzl_sphere(pts)
             spheres.append(np.concatenate([c0, [r]]))
             meshes.append(prim_mesh[prim])
             start += int(c)

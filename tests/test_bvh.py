@@ -101,14 +101,14 @@ def test_backface_culling():
 
 
 def make_wide_bvh(tris, double_sided=True):
-    geo, thread, leaf_tri = bvh_mod.build_wide(tris)
+    geo, leaf_tri = bvh_mod.build_wide(tris)
     ds = 1.0 if double_sided else 0.0
     for s in range(bvh_mod.LEAF_K):
         ok = leaf_tri[:, s] >= 0
         lane = 11 if s == 0 else bvh_mod._DS1_OFF + s - 1
         geo[ok, lane] = ds
     return bvh_mod.SceneBVH(rows=jnp.asarray(geo),
-                            links=jnp.asarray(thread), wide=True)
+                            links=jnp.zeros((1, 2), jnp.float32), wide=True)
 
 
 def test_wide_closest_hit_matches_brute_force(rng):

@@ -41,3 +41,23 @@ def test_meshlet_vis_encoding(content_dir):
     # round trip: meshlet id and 7-bit local tri
     assert ((enc >> 7) == tab.tri_meshlet).all()
     assert ((enc & 0x7F) < 127).all()
+
+
+def test_welzl_no_larger_than_ritter_and_covers():
+    """welzl_sphere is the EXACT minimum enclosing sphere: always covers
+    and never beats-by-losing vs the reference's Ritter expanding sphere
+    (ref: mesh-utils.cpp:114-180 'MinimumBoundingSphere' is Ritter)."""
+    from incarnation_tpu.scene.meshlets import ritter_sphere, welzl_sphere
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 4, 5, 16, 64, 130):
+        for trial in range(3):
+            pts = rng.normal(size=(n, 3)).astype(np.float32)
+            if trial == 1:
+                pts[:, 2] = 0.0                      # coplanar
+            if trial == 2 and n >= 2:
+                pts = np.repeat(pts[: max(n // 2, 1)], 2, 0)[:n]  # dupes
+            cw, rw = welzl_sphere(pts)
+            cr, rr = ritter_sphere(pts)
+            d = np.sqrt(((pts - cw) ** 2).sum(-1)).max()
+            assert d <= rw * (1 + 1e-5) + 1e-6       # covers
+            assert rw <= rr * (1 + 1e-5) + 1e-6      # never larger

@@ -80,9 +80,8 @@ def main():
         def curve(o_, d_):
             inv = 1.0 / jnp.where(jnp.abs(d_) > 1e-12, d_,
                                   jnp.where(d_ >= 0, 1e-12, -1e-12))
-            n_per = (bvh.rows.shape[0] if bvh.wide
-                     else bvh.rows.shape[0] // 8)
-            links = bvh.links if bvh.wide else None
+            n_per = 1 if bvh.wide else bvh.rows.shape[0] // 8
+            links = None
             okt = n_per * ((d_[:, 0] < 0).astype(jnp.int32)
                            + 2 * (d_[:, 1] < 0).astype(jnp.int32)
                            + 4 * (d_[:, 2] < 0).astype(jnp.int32))
