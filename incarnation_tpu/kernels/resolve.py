@@ -227,7 +227,8 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
                     mip_dither=None, uv_dither: bool = False,
                     return_normal3: bool = False,
                     max_aniso: float = 16.0,
-                    coverage_capacity: int | None = None):
+                    coverage_capacity: int | None = None,
+                    checker_parity=None):
     """tri: (H, W) int32 global triangle indices (-1 = background);
     interp: (16, H, W) f32 per-pixel attributes emitted by the raster
     kernel's attribute-select pass (raster.INTERP_CHANNELS layout:
@@ -238,6 +239,12 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
     uv_dither: additionally jitter the bilinear footprint so the whole
     material stack is ONE texel gather per pixel (requires mip_dither + TAA
     to converge — stochastic texture filtering);
+    checker_parity: optional (frame & 1) enabling the checkerboard
+    half-rate STACK fetch (kernels/checker.py — the fetch is index-rate
+    bound, so half the indices is half the 2M-px gather cost; the skipped
+    parity takes the horizontal tent of its gathered neighbors in storage
+    space and TAA alternates parity, same estimator family as the probe
+    and shadow checkerboards);
     return_normal3: also return the mapped world normal as 3 channels
     without the octahedral round trip (the forward path shades from this,
     matching the reference's forward PS which never encodes the normal,
@@ -297,6 +304,15 @@ def resolve_gbuffer(tri, depth, scene, interp, inv_view_proj,
             lod=sel[..., 2], trilinear=trilinear,
             jitter=(sel[..., 4:6] if jitter is not None else None))
         chans = _chunk_scatter(cid, chans_k, tri.shape)
+    elif (checker_parity is not None and jitter is not None
+          and tri.shape[1] % 2 == 0):
+        from . import checker
+        cp = checker_parity
+        chans = checker.expand(cp, tex_mod.sample_material_stack(
+            scene.mat_stack,
+            checker.compact(cp, mat_id), checker.compact(cp, uv),
+            lod=checker.compact(cp, lod), trilinear=trilinear,
+            jitter=checker.compact(cp, jitter)))
     else:
         chans = tex_mod.sample_material_stack(scene.mat_stack, mat_id, uv,
                                               lod=lod, trilinear=trilinear,

@@ -234,16 +234,24 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             m_tri, m_depth, m_interp = raster.rasterize_tiles(
                 layer_bins[masked_idx], params, z_limit=zlim,
                 name="raster_peel")
+            # Deeper peels cover fewer pixels (measured atrium coverage:
+            # 35/27/19% of chunks for peels 0/1/2), so their compacted
+            # alpha gathers get DECLINING capacities — the gather is
+            # index-rate bound, capacity*128 indices each. Overflow is
+            # counted and the CLI adapts, as before.
+            lcap = (peel_cap if layer == 0
+                    else (13 * peel_cap) // 16 if layer == 1
+                    else (5 * peel_cap) // 8)
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
                 uv_dither=(config.stochastic_bilinear and stoch),
                 max_aniso=float(config.max_anisotropy),
-                coverage_capacity=(peel_cap if use_chunks else None))
+                coverage_capacity=(lcap if use_chunks else None))
             if use_chunks:
                 peel_chunk_overflow = jnp.maximum(
                     peel_chunk_overflow,
-                    resolve.chunk_overflow(m_tri >= 0, peel_cap))
+                    resolve.chunk_overflow(m_tri >= 0, lcap))
             hit = m_tri >= 0
             passed = hit & (alpha >= thresh)
             newly = passed & (acc_tri < 0)
@@ -269,20 +277,28 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     # temporal resolve realizes the filtered expectation); single-shot
     # frames keep exact trilinear.
     n3 = None
+    # Checkerboard half-rate parity shared by the index-bound full-screen
+    # gathers (stack fetch here; probe + shadow in _shade_surface).
+    resolve_cp = None
+    if stoch and config.checkerboard_gathers and config.stochastic_bilinear \
+            and params.width % 2 == 0:
+        resolve_cp = fc.frame_index.astype(jnp.int32) & 1
     if config.forward_lighting:
         gb, n3 = resolve.resolve_gbuffer(
             tri, depth, scene, interp, fc.inv_view_proj,
             params.width, params.height,
             mip_dither=(fc.frame_index if stoch else None),
             uv_dither=(config.stochastic_bilinear and stoch),
-            return_normal3=True, max_aniso=float(config.max_anisotropy))
+            return_normal3=True, max_aniso=float(config.max_anisotropy),
+            checker_parity=resolve_cp)
     else:
         gb = resolve.resolve_gbuffer(
             tri, depth, scene, interp, fc.inv_view_proj,
             params.width, params.height,
             mip_dither=(fc.frame_index if stoch else None),
             uv_dither=(config.stochastic_bilinear and stoch),
-            max_aniso=float(config.max_anisotropy))
+            max_aniso=float(config.max_anisotropy),
+            checker_parity=resolve_cp)
 
     # Decal pass (ref: render-jobs/gbuffer-raster-pass.inl:126-191): decal
     # meshes raster on top with GREATER_EQUAL depth against the scene,

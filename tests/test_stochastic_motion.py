@@ -84,7 +84,9 @@ def test_joint_stochastic_psnr_under_motion():
     mse = np.mean((a - b) ** 2)
     psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     # Steady-state joint error bound at frame 12 of a moving orbit —
-    # fails if ANY estimator regresses materially. Run with -s to see the
-    # current value (printed below) when recalibrating.
+    # fails if ANY estimator regresses materially. Measured 2026-08-20
+    # (all estimators incl. the stack checkerboard): 57.9 dB here;
+    # 36.6 dB at bench scale (tools/stochastic_motion.py, 1080p atrium,
+    # with matching stoch-vs-exact temporal deltas 22.6 vs 22.3 dB).
     print(f"joint stochastic-vs-exact PSNR under motion: {psnr:.1f} dB")
     assert psnr > 30.0, f"joint stochastic drift under motion: {psnr:.1f} dB"
