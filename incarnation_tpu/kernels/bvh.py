@@ -1020,9 +1020,13 @@ _SCHEDULES_WIDE = {
     (False, "incoherent"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
     (False, "anyhit"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
     (True, "primary"): (48, ((2, 16), (4, 16), (6, None))),
-    (True, "incoherent"): (24, ((1, 8), (2, 16), (4, 16), (6, None))),
+    # 40% of atrium incoherent rays die after ONE step (interior rays hit
+    # immediately — bvh_curve: 60% @1 / 41% @24 / 18% @32); a long full-
+    # width seg0 pays ~8 ms/step for mostly-dead lanes, so compact almost
+    # immediately (overflow is recovered by the tail, r4)
+    (True, "incoherent"): (8, ((1, 16), (2, 16), (4, 16), (6, None))),
     # any-hit rays die on FIRST accepted hit — earlier compaction
-    (True, "anyhit"): (16, ((1, 8), (2, 16), (4, None))),
+    (True, "anyhit"): (8, ((1, 8), (2, 16), (4, None))),
 }
 
 

@@ -339,14 +339,17 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
     # pixel stratification instead of an uncorrelated hash.
     masked = scene.meta.has_masked
 
-    def shadow_batch(wp, dirs, _seed=[0]):
+    def shadow_batch(wp, dirs, alive, _seed=[0]):
         """ONE any-hit trace for all of a bounce's shadow rays (K lists of
         (R, 3)): the traversal's per-step gather cost has a latency floor
         at small wavefronts, so a K*R-ray trace is much cheaper than K
-        R-ray traces. Returns K occlusion masks."""
+        R-ray traces. DEAD pixels' rays park at 1e29 (they die on their
+        first traversal step, so they never reach the compaction tiers or
+        tails). Returns K occlusion masks."""
         k = len(dirs)
         _seed[0] += 1
-        o_all = jnp.concatenate([wp] * k, 0)
+        wp_p = jnp.where(alive[..., None], wp, 1e29)
+        o_all = jnp.concatenate([wp_p] * k, 0)
         d_all = jnp.concatenate(dirs, 0)
         noise = (jnp.concatenate(
             [sample_point(sidx)[..., 0] for _ in range(k)], 0)
@@ -358,6 +361,12 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         return [occ[i * rn:(i + 1) * rn] for i in range(k)]
 
     for bounce in range(MAX_BOUNCES):
+        if bounce > 0:
+            # DEAD rays (escaped to the sky on an earlier bounce) park at
+            # 1e29: they miss every box on their first step and walk the
+            # root's miss chain out immediately, so they never survive
+            # into the compaction tiers or while-tails.
+            origin = jnp.where(alive[..., None], origin, 1e29)
         hit = _trace_alpha(scene, bvh, origin, direction, RAY_OFFSET, 1e4,
                            sidx * jnp.uint32(17) + jnp.uint32(bounce),
                            noise_u=(sample_point(sidx)[..., 0] if masked
@@ -456,7 +465,7 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
             appliers.append(apply_sky)
 
         if shadow_dirs:
-            occs = shadow_batch(wp, shadow_dirs)
+            occs = shadow_batch(wp, shadow_dirs, alive)
             for occ, apply in zip(occs, appliers):
                 radiance = radiance + apply(occ)
 
