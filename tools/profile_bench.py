@@ -45,7 +45,7 @@ def main():
         key=f"sky:{sun.round(4).tolist()}:{cfg.turbidity}:"
             f"{cfg.envmap_resolution}")
     env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 19,
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 18,
                           bin_max_span=8)
     view = bench._bench_view(host, width, height)
     jitters = np.asarray(mu.halton_jitter_table(16))

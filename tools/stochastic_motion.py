@@ -49,7 +49,7 @@ def main():
         key=f"sky:{sun.round(4).tolist()}:{cfg_s.turbidity}:"
             f"{cfg_s.envmap_resolution}")
     env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 19,
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 18,
                           bin_max_span=8)
     base_view = bench._bench_view(host, width, height)
     shadow_bounds = (host.bounds_center,

@@ -30,7 +30,7 @@ def main():
     host, name = bench.load_bench_scene()
     scene = host.scene
     cfg = Config()
-    params = RasterParams(width=width, height=height, pair_capacity=1 << 19,
+    params = RasterParams(width=width, height=height, pair_capacity=1 << 18,
                           bin_max_span=8)
     view = bench._bench_view(host, width, height)
     vp = jnp.asarray(view.view_proj())
