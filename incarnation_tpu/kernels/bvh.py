@@ -1020,13 +1020,17 @@ _SCHEDULES_WIDE = {
     (False, "incoherent"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
     (False, "anyhit"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
     (True, "primary"): (48, ((2, 16), (4, 16), (6, None))),
-    # 40% of atrium incoherent rays die after ONE step (interior rays hit
-    # immediately — bvh_curve: 60% @1 / 41% @24 / 18% @32); a long full-
-    # width seg0 pays ~8 ms/step for mostly-dead lanes, so compact almost
-    # immediately (overflow is recovered by the tail, r4)
-    (True, "incoherent"): (8, ((1, 16), (2, 16), (4, 16), (6, None))),
-    # any-hit rays die on FIRST accepted hit — earlier compaction
-    (True, "anyhit"): (8, ((1, 8), (2, 16), (4, None))),
+    # Tier capacities must TRACK the survival curve (bvh_curve incoherent:
+    # 60% @1 / 41% @24 / 18% @32 / 4.5% @48): an r4 experiment with seg0=8
+    # and tight tiers overflowed into the FULL-WIDTH recovery while
+    # (352 ms at 230k in profile_pt) — overflow is correct but ruinously
+    # slow, so each tier keeps headroom over the curve at its entry step.
+    (True, "incoherent"): (16, ((1, 24), (2, 24), (3, 24), (5, None))),
+    # Any-hit wavefronts MIX fast-dying NEE rays with sky-sample rays that
+    # must exit the whole interior to report a miss (~40% alive deep into
+    # the walk) — capacities sized for the sky tail (the r4 (8,(1,8)...)
+    # trim put a 694 ms full-width recovery in the profile).
+    (True, "anyhit"): (16, ((1, 32), (2, 32), (3, None))),
 }
 
 
