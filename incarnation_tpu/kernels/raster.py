@@ -42,8 +42,8 @@ from ..core import mathutils as mu
 _SETUP_ROWS = 12
 _W_EPS = 1e-3  # clip-w epsilon: triangles with ALL w <= eps are culled;
 #                triangles CROSSING w = eps rasterize unclipped via the 2D
-#                homogeneous edge forms (Olano-Greer) with a full-screen
-#                bbox (they route to the big-triangle list) — the kernel's
+#                homogeneous edge forms (Olano-Greer) with the EXACT bbox
+#                of their w >= eps clipped polygon — the kernel's
 #                z <= 1 bound supplies the near-plane clip.
 
 
@@ -56,6 +56,14 @@ class RasterParams(NamedTuple):
     pair_capacity: int = 1 << 20  # total (tile, triangle) pairs per frame
     bin_max_span: int = 16
     big_tri_capacity: int = 512
+    bin_mid_span: int = 64    # triangles spanning (bin_max_span, mid] tiles
+    #                           bin exactly via a second compacted expansion
+    #                           (capacity mid_tri_capacity) instead of the
+    #                           every-tile big list — at 1080p the big list
+    #                           saturated at 512 triangles and its broadcast
+    #                           evaluation was ~20 ms of the honest frame.
+    #                           <= bin_max_span disables the mid tier.
+    mid_tri_capacity: int = 1024
     chunk: int = 128          # triangles per kernel DMA chunk (multiple of 8)
     interpret: bool = None    # force Pallas interpret mode (None = auto by
     #                           the default device; set by the band sharder
@@ -190,18 +198,37 @@ def triangle_setup(clip, scene, prim_visible, params: RasterParams,
     z = jnp.stack([c0[:, 2], c1[:, 2], c2[:, 2]], axis=-1) * inv_det[:, None]
     zplane = e0 * z[:, 0:1] + e1 * z[:, 1:2] + e2 * z[:, 2:3]
 
-    # Pixel bbox from projected verts (w > eps where not crossing).
+    # Pixel bbox. Near-plane-crossing triangles get the EXACT bbox of the
+    # w >= eps clipped polygon (in-front vertices + the two crossing-edge
+    # intersections at w = eps) instead of the former conservative
+    # full-screen bbox — a camera inside foliage put hundreds of crossing
+    # triangles on the every-tile big list (~2 ms/pass of broadcast
+    # evaluation each at 1080p). The raster itself stays unclipped 2DH.
     sp = jnp.stack([p0, p1, p2], axis=1)              # (T, 3, 3)
-    xy = sp[..., :2] / jnp.maximum(sp[..., 2:3], _W_EPS)
-    mn = jnp.floor(jnp.min(xy, axis=1)).astype(jnp.int32)
-    mx = jnp.floor(jnp.max(xy, axis=1)).astype(jnp.int32)
-    x0 = jnp.where(crossing, 0, jnp.clip(mn[:, 0], 0, w - 1))
-    y0 = jnp.where(crossing, 0, jnp.clip(mn[:, 1], 0, h - 1))
-    x1 = jnp.where(crossing, w - 1, jnp.clip(mx[:, 0], 0, w - 1))
-    y1 = jnp.where(crossing, h - 1, jnp.clip(mx[:, 1], 0, h - 1))
+    ws = sp[..., 2]
+    in_front = ws > _W_EPS
+    xy_v = sp[..., :2] / jnp.maximum(ws, _W_EPS)[..., None]
+    nxt = jnp.roll(sp, -1, axis=1)
+    w_a, w_b = ws, jnp.roll(ws, -1, axis=1)
+    cross_e = in_front != (w_b > _W_EPS)
+    den = w_a - w_b
+    te = (w_a - _W_EPS) / jnp.where(jnp.abs(den) > 1e-20, den, 1.0)
+    xy_e = (sp[..., :2] + te[..., None] * (nxt[..., :2] - sp[..., :2])) \
+        / _W_EPS
+    cand = jnp.concatenate([xy_v, xy_e], axis=1)      # (T, 6, 2)
+    cok = jnp.concatenate([in_front, cross_e], axis=1)[..., None]
+    big_f = jnp.float32(2.0e6)
+    mn = jnp.min(jnp.where(cok, cand, big_f), axis=1)
+    mx = jnp.max(jnp.where(cok, cand, -big_f), axis=1)
+    mn = jnp.floor(jnp.clip(mn, -big_f, big_f)).astype(jnp.int32)
+    mx = jnp.floor(jnp.clip(mx, -big_f, big_f)).astype(jnp.int32)
+    x0 = jnp.clip(mn[:, 0], 0, w - 1)
+    y0 = jnp.clip(mn[:, 1], 0, h - 1)
+    x1 = jnp.clip(mx[:, 0], 0, w - 1)
+    y1 = jnp.clip(mx[:, 1], 0, h - 1)
     onscreen = ((mx[:, 0] >= 0) & (mn[:, 0] <= w - 1)
                 & (mx[:, 1] >= 0) & (mn[:, 1] <= h - 1))
-    valid &= onscreen | crossing
+    valid &= onscreen
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (prim.shape[0], 1), 0)[:, 0]
 
@@ -378,7 +405,27 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
     span = span_w * span_h
 
     small = valid & (span <= span_cap)
-    big = valid & (span > span_cap)
+    # Mid tier: spans in (span_cap, mid_span] are compacted to
+    # mid_tri_capacity slots and expanded exactly (mid_cap x mid_span
+    # candidate keys joining the same sort) — only spans > mid_span (a
+    # handful of near-plane-crossing / giant triangles) pay the every-tile
+    # big list. Mids beyond capacity fall back to the big list (counted in
+    # its overflow), never dropped.
+    use_mid = p.bin_mid_span > span_cap
+    if use_mid:
+        mid_cap = p.mid_tri_capacity
+        mid = valid & (span > span_cap) & (span <= p.bin_mid_span)
+        mpos = jnp.cumsum(mid.astype(jnp.int32)) - 1
+        mid_fit = mid & (mpos < mid_cap)
+        big = valid & ((span > p.bin_mid_span) | (mid & ~mid_fit))
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
+        dest = jnp.where(mid_fit, mpos, mid_cap)
+        mid_tri = jnp.full((mid_cap + 1,), t, jnp.int32).at[dest].set(
+            iota_t, mode="drop")[:mid_cap]
+        mid_ok = mid_tri < t
+        safe_mt = jnp.minimum(mid_tri, t - 1)
+    else:
+        big = valid & (span > span_cap)
 
     # (T, span_cap) candidate tile keys. Bucket layout after the sort:
     # buckets 0..L-1 = big triangles per layer (span > cap — every tile of
@@ -404,6 +451,24 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
     tri_iota2 = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), (t, span_cap))
 
+    n_mid_pairs = jnp.int32(0)
+    if use_mid:
+        # (mid_cap, mid_span) candidate keys for the compacted mid tris —
+        # same bucket formula, original triangle ids.
+        km = jax.lax.broadcasted_iota(jnp.int32, (mid_cap, p.bin_mid_span), 1)
+        m_sw = span_w[safe_mt][:, None]
+        dym = km // m_sw
+        dxm = km - dym * m_sw
+        tile_m = ((ty0[safe_mt][:, None] + dym) * p.tiles_x
+                  + tx0[safe_mt][:, None] + dxm)
+        mid_ok2 = mid_ok[:, None] & (km < span[safe_mt][:, None])
+        bucket_m = jnp.where(mid_ok2,
+                             nl + lyr2[safe_mt] * p.num_tiles + tile_m,
+                             sentinel)
+        tri_m = jnp.broadcast_to(safe_mt[:, None],
+                                 (mid_cap, p.bin_mid_span))
+        n_mid_pairs = jnp.sum(mid_ok2)
+
     # Pack (bucket, tri) into one int32 key when the bits fit — a
     # single-array non-stable sort is substantially cheaper than a
     # key-value sort (no materialized iota companion).
@@ -411,19 +476,26 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
     tile_bits = int(np.ceil(np.log2(sentinel + 1)))
     if tri_bits + tile_bits <= 31:
         packed = ((bucket << tri_bits) | tri_iota2).reshape(-1)
+        if use_mid:
+            packed = jnp.concatenate(
+                [packed, ((bucket_m << tri_bits) | tri_m).reshape(-1)])
         keys_s = jax.lax.sort(packed, is_stable=False)
         tri_s = keys_s & ((1 << tri_bits) - 1)
         tile_keys = keys_s >> tri_bits
     else:
-        tile_keys, tri_s = jax.lax.sort_key_val(bucket.reshape(-1),
-                                                tri_iota2.reshape(-1))
+        bucket_all = bucket.reshape(-1)
+        tri_all = tri_iota2.reshape(-1)
+        if use_mid:
+            bucket_all = jnp.concatenate([bucket_all, bucket_m.reshape(-1)])
+            tri_all = jnp.concatenate([tri_all, tri_m.reshape(-1)])
+        tile_keys, tri_s = jax.lax.sort_key_val(bucket_all, tri_all)
 
     # Truncate the sorted pair list at pair_capacity (valid pairs sort
     # before the sentinel, so truncation only drops pairs when the total
     # exceeds the capacity; dropped pairs are counted in `overflow`).
     cap_pairs = p.pair_capacity
     n_big = jnp.sum(big)
-    n_pairs = jnp.sum(pair_ok) + n_big
+    n_pairs = jnp.sum(pair_ok) + n_mid_pairs + n_big
     overflow = jnp.maximum(n_pairs - cap_pairs, 0)
     total = tri_s.shape[0]
     if total >= cap_pairs:
@@ -679,22 +751,28 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
     zb, vb = jax.lax.fori_loop(
         0, nch, chunk_body, (jnp.zeros((1, n), jnp.float32), clear))
 
+    # Big triangles broadcast to every tile; with the mid-tier binning the
+    # list is a handful of rows, so its loop granularity is 8 (the sublane
+    # height) — a 128-row chunk would cost every tile a full chunk of
+    # evaluation even for bigcnt == 1.
+    kb = 8
+
     def big_body(c, carry):
         zb, vb = carry
-        base = c * k
-        rows = big_setup_ref[pl.ds(base, k), :]
-        rid = big_ids_ref[pl.ds(base, k), :]
-        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        base = c * kb
+        rows = big_setup_ref[pl.ds(base, kb), :]
+        rid = big_ids_ref[pl.ds(base, kb), :]
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (kb, 1), 0)
                   < bigcnt - base)
-        best_z = jnp.full((k, n), -1.0, jnp.float32)
-        best_id = jnp.full((k, n), -1.0, jnp.float32)
+        best_z = jnp.full((kb, n), -1.0, jnp.float32)
+        best_id = jnp.full((kb, n), -1.0, jnp.float32)
         best_z, best_id = eval_slab(
-            jnp.concatenate([rows, jnp.zeros((k, 1), jnp.float32)], axis=1),
+            jnp.concatenate([rows, jnp.zeros((kb, 1), jnp.float32)], axis=1),
             rid, row_ok, best_z, best_id)
         return merge(best_z, best_id, zb, vb)
 
     zb, vb = jax.lax.fori_loop(
-        0, pl.cdiv(bigcnt, k), big_body, (zb, vb))
+        0, pl.cdiv(bigcnt, kb), big_body, (zb, vb))
 
     tri_ref[:, :] = vb.reshape(p.tile_h, p.tile_w).astype(jnp.int32)
     z_ref[:, :] = zb.reshape(p.tile_h, p.tile_w)
@@ -738,10 +816,10 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         0, anch, attr_chunk, jnp.zeros((_APAIR_STRIDE, n), jnp.float32))
 
     def big_attr_body(c, coeffs):
-        base = c * k
-        rows = big_attr_ref[pl.ds(base, k), :]    # (K, 32)
+        base = c * kb
+        rows = big_attr_ref[pl.ds(base, kb), :]   # (kb, 32)
         rid = rows[:, _ID_LANE:_ID_LANE + 1]
-        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (kb, 1), 0)
                   < bigcnt - base)
         match = ((rid == vb) & row_ok).astype(jnp.float32)
         # precision=HIGHEST: exact f32 row select (see attr_chunk above).
@@ -751,7 +829,7 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
             precision=jax.lax.Precision.HIGHEST)
 
     coeffs = jax.lax.fori_loop(
-        0, pl.cdiv(bigcnt, k), big_attr_body, coeffs)
+        0, pl.cdiv(bigcnt, kb), big_attr_body, coeffs)
 
     # Evaluate the selected planes once per pixel.
     def lin(o):
@@ -1078,23 +1156,44 @@ def prepare_geometry(scene, scene_rotation, view_proj, prim_visible,
     z0, z1, z2 = c0[2] * inv_det, c1[2] * inv_det, c2[2] * inv_det
     zplane = tuple(e0[c] * z0 + e1[c] * z1 + e2[c] * z2 for c in range(3))
 
-    wsafe = [jnp.maximum(pp[2], _W_EPS) for pp in (p0, p1, p2)]
-    xs = [pp[0] / ws for pp, ws in zip((p0, p1, p2), wsafe)]
-    ys = [pp[1] / ws for pp, ws in zip((p0, p1, p2), wsafe)]
-    mnx = jnp.floor(jnp.minimum(jnp.minimum(xs[0], xs[1]), xs[2])) \
-        .astype(jnp.int32)
-    mxx = jnp.floor(jnp.maximum(jnp.maximum(xs[0], xs[1]), xs[2])) \
-        .astype(jnp.int32)
-    mny = jnp.floor(jnp.minimum(jnp.minimum(ys[0], ys[1]), ys[2])) \
-        .astype(jnp.int32)
-    mxy = jnp.floor(jnp.maximum(jnp.maximum(ys[0], ys[1]), ys[2])) \
-        .astype(jnp.int32)
+    # Exact clipped bbox for near-plane-crossing triangles (see
+    # triangle_setup): candidates = in-front vertex projections + the
+    # crossing-edge intersections at w = eps.
+    big_f = jnp.float32(2.0e6)
+    mnx = jnp.full_like(p0[0], big_f)
+    mxx = jnp.full_like(p0[0], -big_f)
+    mny = jnp.full_like(p0[0], big_f)
+    mxy = jnp.full_like(p0[0], -big_f)
+
+    def acc(x, y, ok):
+        nonlocal mnx, mxx, mny, mxy
+        mnx = jnp.where(ok, jnp.minimum(mnx, x), mnx)
+        mxx = jnp.where(ok, jnp.maximum(mxx, x), mxx)
+        mny = jnp.where(ok, jnp.minimum(mny, y), mny)
+        mxy = jnp.where(ok, jnp.maximum(mxy, y), mxy)
+
+    ps = (p0, p1, p2)
+    for i in range(3):
+        wv = ps[i][2]
+        wsafe = jnp.maximum(wv, _W_EPS)
+        acc(ps[i][0] / wsafe, ps[i][1] / wsafe, wv > _W_EPS)
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        wa, wb = ps[i][2], ps[j][2]
+        oke = (wa > _W_EPS) != (wb > _W_EPS)
+        den = wa - wb
+        te = (wa - _W_EPS) / jnp.where(jnp.abs(den) > 1e-20, den, 1.0)
+        acc((ps[i][0] + te * (ps[j][0] - ps[i][0])) / _W_EPS,
+            (ps[i][1] + te * (ps[j][1] - ps[i][1])) / _W_EPS, oke)
+    mnx = jnp.floor(jnp.clip(mnx, -big_f, big_f)).astype(jnp.int32)
+    mxx = jnp.floor(jnp.clip(mxx, -big_f, big_f)).astype(jnp.int32)
+    mny = jnp.floor(jnp.clip(mny, -big_f, big_f)).astype(jnp.int32)
+    mxy = jnp.floor(jnp.clip(mxy, -big_f, big_f)).astype(jnp.int32)
     onscreen = ((mxx >= 0) & (mnx <= w - 1) & (mxy >= 0) & (mny <= h - 1))
-    valid &= onscreen | crossing
-    bbox = jnp.stack([jnp.where(crossing, 0, jnp.clip(mnx, 0, w - 1)),
-                      jnp.where(crossing, 0, jnp.clip(mny, 0, h - 1)),
-                      jnp.where(crossing, w - 1, jnp.clip(mxx, 0, w - 1)),
-                      jnp.where(crossing, h - 1, jnp.clip(mxy, 0, h - 1))],
+    valid &= onscreen
+    bbox = jnp.stack([jnp.clip(mnx, 0, w - 1),
+                      jnp.clip(mny, 0, h - 1),
+                      jnp.clip(mxx, 0, w - 1),
+                      jnp.clip(mxy, 0, h - 1)],
                      axis=-1)
 
     t = ctab.shape[1]

@@ -308,13 +308,19 @@ def taa_resolve(current_hdr, history, depth, inv_view_proj, prev_view_proj,
         # lax.cond so camera motion falls back to the exact kernel.
         mn = m / m[3, 3]
         # Thresholds sized so accepted error stays < 0.05 px at the screen
-        # edge while tolerating f32 matrix-inversion noise (~1e-7).
+        # edge while tolerating f32 matrix-inversion noise. The z-column
+        # entries (mn[2, *]) carry the largest f32 inversion noise (the
+        # reverse-Z infinite projection has ~1e3 dynamic range); a static
+        # camera measures |mn[2, 3]| ~ 1e-6, which perturbs prev_w by
+        # < 1e-6 * z — far below a subpixel — so its bound matches the
+        # other z-row entries (the former 1e-7 bound silently disabled
+        # this path for every static-camera frame, ~5 ms/frame at 1080p).
         is_shift = ((jnp.abs(mn[0, 0] - 1.0) < 1e-6)
                     & (jnp.abs(mn[1, 1] - 1.0) < 1e-6)
                     & (jnp.abs(mn[0, 1]) < 1e-6) & (jnp.abs(mn[1, 0]) < 1e-6)
                     & (jnp.abs(mn[2, 0]) < 1e-5) & (jnp.abs(mn[2, 1]) < 1e-5)
                     & (jnp.abs(mn[0, 3]) < 1e-7) & (jnp.abs(mn[1, 3]) < 1e-7)
-                    & (jnp.abs(mn[2, 3]) < 1e-7))
+                    & (jnp.abs(mn[2, 3]) < 1e-5))
         # ndc translation -> pixel shift (u = 0.5x + 0.5, v = -0.5y + 0.5)
         sx = 0.5 * mn[3, 0] * width
         sy = -0.5 * mn[3, 1] * height
