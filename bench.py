@@ -151,31 +151,40 @@ def load_bench_scene():
 
 
 def bench_pathtrace(host, name, cfg, probe, frame_mod):
-    """Progressive PT throughput at 360p on the bench scene."""
+    """Progressive PT throughput at 360p on the bench scene.
+
+    Two samples per call ride ONE 460k-ray wavefront (trace_sample's
+    vector mode — wider wavefronts amortize the traversal gather's
+    per-index latency), and the metric divides COUNTED rays (alive
+    entries of every closest/shadow trace, reported by the tracer) by
+    wall time — the r4 nominal-ray count misranked compaction wins
+    (VERDICT r4 'switch to counted rays')."""
     import jax.numpy as jnp
     from incarnation_tpu.kernels import bvh as bvh_mod
     w, h = 640, 360
+    spc = 2     # samples per call (one batched wavefront)
     bvh = bvh_mod.build_scene_bvh(host.scene)
     history = jnp.zeros((h, w, 3))
     out = None
-    n = 6
+    n = 3       # timed calls -> n * spc progressive samples
+    rays = []
     t0 = time.time()
-    for s in range(n + 1):
+    for i in range(n + 1):
+        idx = jnp.arange(i * spc, (i + 1) * spc, dtype=jnp.uint32)
         out = frame_mod.render_pathtrace_jit(
             host.scene, bvh, _pt_fc(host, cfg, w, h, frame_mod), history,
-            jnp.asarray(s, jnp.uint32), cfg, w, h, probe)
+            idx, cfg, w, h, probe)
         history = out["history"]
-        if s == 0:
+        if i == 0:
             out["color"].block_until_ready()
             progress("pathtrace compiled; timing")
             t0 = time.time()
+        else:
+            rays.append(out["rays"])
     out["color"].block_until_ready()
-    dt = (time.time() - t0) / n
-    # rays per sample-pixel: 4 bounce + 4 sky-shadow + NEE shadows
-    # (all-lights loop for <= 4 lights; ONE stochastic light above)
-    nl = host.scene.meta.num_lights
-    nee = 4 * min(nl, 4) if nl <= 4 else 4
-    mrays = w * h * (8 + nee) / dt / 1e6
+    dt = time.time() - t0
+    total_rays = float(sum(float(np.asarray(x)) for x in rays))
+    mrays = total_rays / dt / 1e6
     emit(f"{name}_360p_pathtrace_mrays", mrays, "Mray/s", TARGET_MRAYS)
 
 
@@ -215,6 +224,14 @@ def _frame_loop(run, make_fc, history0, n, what):
               "peel_chunk_overflow", "decal_overflow"):
         if stats.get(k, 0) > 0:
             progress(f"WARNING: {k}={stats[k]}")
+    # The benchmark frame must be CORRECT: a truncated peel ladder leaves
+    # counted-wrong pixels (alpha-failed fragments falling through to the
+    # opaque winner). Flag it as a bench error so it can never regress
+    # silently (VERDICT r4 item 3) — the run still completes so the
+    # number is captured alongside the violation.
+    if stats.get("peel_overflow", 0) > 0:
+        emit_error(f"peel_overflow={stats['peel_overflow']} != 0 — "
+                   "frame has truncated alpha peels")
     fcs = []
     prev_vp = np.asarray(fc.view_proj)
     for i in range(1, n + 1):
@@ -252,10 +269,13 @@ def main():
     progress(f"scene '{name}' loaded: {host.scene.meta.num_triangles} tris, "
              f"{host.scene.meta.num_lights} lights")
 
-    # CLI-default feature set + the adaptive peel count the CLI applies
-    # when peel_overflow is nonzero (the atrium's foliage clumps need 3
-    # layers; the reference's clip never truncates)
-    cfg = Config(sun_shadow_mode="map", masked_depth_peels=3)
+    # CLI-default feature set, with enough masked depth peels that the
+    # frame has ZERO peel_overflow (the reference's clip never truncates,
+    # visibility-pass.hlsl:101 — a perf number on a frame with counted
+    # wrong pixels is not a result; VERDICT r4 item 3). The in-kernel
+    # certainly-transparent rejection makes 8 layers reach 0 on the
+    # atrium's foliage; _frame_loop asserts it stays 0.
+    cfg = Config(sun_shadow_mode="map", masked_depth_peels=8)
     assert cfg.texture_max_dim == TEX_DIM
 
     import jax
@@ -292,7 +312,7 @@ def main():
     # later stall still leaves a captured metric (VERDICT r3 item 1a). ---
     stage("heartbeat-512", 420)
     hb_w, hb_h = 512, 512
-    hb_cfg = cfg.replace(sun_shadow_mode="off", masked_depth_peels=2)
+    hb_cfg = cfg.replace(sun_shadow_mode="off")
     hb_params = RasterParams(width=hb_w, height=hb_h,
                              pair_capacity=1 << 17, bin_max_span=8)
     hb_view = _bench_view(host, hb_w, hb_h)

@@ -103,11 +103,12 @@ class Config:
     # GPU atomic-append of indirect draws (ref: culling/batch-culling.hlsl).
     pair_capacity: int = 1 << 20
     # Pair capacity for the SUN SHADOW depth pass. The ortho sun view bins
-    # far fewer pairs than the camera (measured: ~150k at 2048^2 on the
-    # 289k-tri atrium vs ~170k camera pairs at 1080p) and Pallas raster
-    # cost scales with capacity, so it gets its own, tighter bound.
+    # far fewer pairs than the camera (measured: 125k at 1024^2 on the
+    # 289k-tri atrium vs ~155k camera pairs at 1080p), and both the
+    # capacity-sized pair-row gather and the Pallas raster scale with
+    # capacity, so it gets its own, tighter bound (1.3x headroom).
     # Overflow shows up in the shadow_bin_overflow stat.
-    shadow_pair_capacity: int = 1 << 18
+    shadow_pair_capacity: int = 163840
     # Max screen tiles a single binned triangle may span before it is routed
     # to the per-frame "big triangle" list that every tile processes.
     bin_max_span: int = 16

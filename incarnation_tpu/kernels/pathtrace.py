@@ -93,6 +93,7 @@ def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
         return res
     r = o.shape[0]
     peel_cap = max(r >> 2, 8)
+    keys = sorted(res.keys())
     for peel in range(ALPHA_PEELS):
         tri = res["tri"]
         hit = tri >= 0
@@ -103,20 +104,34 @@ def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
         # re-trace so the peel doesn't pay a full-width traversal schedule
         # for the (few) see-through rays; beyond-capacity transparents
         # (needs >25% of rays on a cutout texel simultaneously) keep the
-        # opaque hit — same class of bound as ALPHA_PEELS itself
+        # opaque hit — same class of bound as ALPHA_PEELS itself.
+        # The whole re-trace sits under lax.cond: a wavefront with ZERO
+        # transparent hits (most shadow batches) skips the peel traversal
+        # entirely instead of tracing parked rays (NEXT.md r4 item 1c).
         t_cont = jnp.where(transparent, res["t"] + RAY_OFFSET, 0.0)
         o2 = o + t_cont[..., None] * d
-        orig, ok, packed, _ = bvh_mod._compact(
-            transparent, peel_cap, [o2, d])
-        p_o, p_d = packed
-        p_o = jnp.where(ok[..., None], p_o, 1e29)  # park empty slots
-        res2 = bvh_mod.trace(bvh, p_o, p_d, tmin=0.0, tmax=tmax,
-                             any_hit=any_hit, profile="anyhit")
-        scattered = {
-            k: res[k].at[orig].set(res2[k], mode="drop")
-            if res[k].ndim else res[k] for k in res}
-        res = {k: (jnp.where(transparent, scattered[k], res[k])
-                   if res[k].ndim else res[k]) for k in res}
+
+        def do_peel(args, transparent=transparent, res=res):
+            o2, d = args
+            orig, ok, packed, _ = bvh_mod._compact(
+                transparent, peel_cap, [o2, d])
+            p_o, p_d = packed
+            p_o = jnp.where(ok[..., None], p_o, 1e29)  # park empty slots
+            res2 = bvh_mod.trace(bvh, p_o, p_d, tmin=0.0, tmax=tmax,
+                                 any_hit=any_hit, profile="anyhit")
+            scattered = {
+                k: res[k].at[orig].set(res2[k], mode="drop")
+                if res[k].ndim else res[k] for k in res}
+            return tuple(
+                jnp.where(transparent, scattered[k], res[k])
+                if res[k].ndim else res[k] for k in keys)
+
+        def skip_peel(args, res=res):
+            return tuple(res[k] for k in keys)
+
+        merged = jax.lax.cond(transparent.any(), do_peel, skip_peel,
+                              (o2, d))
+        res = dict(zip(keys, merged))
     # rays whose last peel still failed count as misses through the cutout
     tri = res["tri"]
     hit = tri >= 0
@@ -283,8 +298,20 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
                  sample_index, width: int, height: int,
                  sqrt_sample_count: int = 16, dynamic_sky: bool = True,
                  turbidity: float = 2.0, viewmode: int = 0,
-                 sky_rot3=None, sun_dir_world=None):
-    """One progressive sample for every pixel -> (H, W, 3) radiance.
+                 sky_rot3=None, sun_dir_world=None, return_rays=False):
+    """Progressive sample(s) for every pixel -> (H, W, 3) radiance.
+
+    sample_index: scalar index, or a (S,) vector — S samples are traced
+    as ONE S*H*W-ray wavefront (per-sample results bit-identical to S
+    scalar calls: the CMJ patterns depend only on (pixel, set), the index
+    rides per-ray). Traversal-gather cost per index FALLS with wavefront
+    width (tools/gather_width.py: the per-step latency amortizes), so
+    batching samples is the cheap way to buy throughput at small frames.
+    Returns (S, H, W, 3) for vector input.
+
+    return_rays=True: also return the COUNTED number of rays traced
+    (alive rays entering each closest/shadow trace — dead/parked rays and
+    alpha re-peels excluded, a conservative count for the Mray/s metric).
 
     viewmode 2/3/4/5 return roughness/metallic/basecolor/emissive at the
     primary hit (ref: pathtracing.hlsl VIEWMODE early returns).
@@ -295,11 +322,15 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
     stay in world space and sun_dir_world for the analytic sky — the
     BVH never rebuilds (the reference instead rebuilds its TLAS,
     ref: render-jobs/update-tlas.inl)."""
-    r = width * height
-    pixel = jnp.arange(r, dtype=jnp.uint32)
+    wh = width * height
+    scalar_index = jnp.ndim(sample_index) == 0
+    sidx_v = jnp.atleast_1d(jnp.asarray(sample_index, jnp.uint32))
+    s = sidx_v.shape[0]
+    r = wh * s
+    pixel = jnp.tile(jnp.arange(wh, dtype=jnp.uint32), s)
     px = (pixel % width).astype(jnp.float32)
     py = (pixel // width).astype(jnp.float32)
-    num_pixels = np.uint32(r)
+    num_pixels = np.uint32(wh)
 
     set_counter = [np.uint32(0)]
 
@@ -308,7 +339,8 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         set_counter[0] = np.uint32(set_counter[0] + 1)
         return sampling.cmj_sample2d(sidx, pattern, sqrt_sample_count)
 
-    sidx = jnp.asarray(sample_index, jnp.uint32)
+    sidx = jnp.repeat(sidx_v, wh)
+    n_rays = [jnp.zeros((), jnp.float32)]
     subpix = sample_point(sidx)
     aperture_u = sample_point(sidx)
 
@@ -348,6 +380,7 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         tails). Returns K occlusion masks."""
         k = len(dirs)
         _seed[0] += 1
+        n_rays[0] = n_rays[0] + k * jnp.sum(alive.astype(jnp.float32))
         wp_p = jnp.where(alive[..., None], wp, 1e29)
         o_all = jnp.concatenate([wp_p] * k, 0)
         d_all = jnp.concatenate(dirs, 0)
@@ -367,6 +400,8 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
             # root's miss chain out immediately, so they never survive
             # into the compaction tiers or while-tails.
             origin = jnp.where(alive[..., None], origin, 1e29)
+        n_rays[0] = n_rays[0] + (jnp.float32(r) if bounce == 0
+                                 else jnp.sum(alive.astype(jnp.float32)))
         hit = _trace_alpha(scene, bvh, origin, direction, RAY_OFFSET, 1e4,
                            sidx * jnp.uint32(17) + jnp.uint32(bounce),
                            noise_u=(sample_point(sidx)[..., 0] if masked
@@ -402,8 +437,10 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
                     3: m["metallic"][..., None].repeat(3, -1),
                     4: m["base_color"],
                     5: m["emissive"]}[viewmode]
-            return jnp.where(alive[..., None], chan, 0.0) \
-                .reshape(height, width, 3)
+            img = jnp.where(alive[..., None], chan, 0.0)
+            img = (img.reshape(height, width, 3) if scalar_index
+                   else img.reshape(s, height, width, 3))
+            return (img, n_rays[0]) if return_rays else img
 
         # emissive + scattering damping (ref: pathtracing.hlsl:210-212)
         radiance = radiance + jnp.where(alive[..., None],
@@ -478,11 +515,21 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
             direction = l
             alive = alive & (jnp.max(beta, -1) > 1e-3)
 
-    return radiance.reshape(height, width, 3)
+    img = (radiance.reshape(height, width, 3) if scalar_index
+           else radiance.reshape(s, height, width, 3))
+    return (img, n_rays[0]) if return_rays else img
 
 
 def integrate(history, current, sample_index):
     """Progressive accumulation (ref: pathtrace-integrate.hlsl:16-31):
-    history' = ((n-1) * history + current) / n with n = sample_index + 1."""
+    history' = ((n-1) * history + current) / n with n = sample_index + 1.
+
+    current may be a BATCH (S, H, W, 3) of consecutive samples starting at
+    sample_index (trace_sample's vector mode) — the same rule applied S
+    times collapses to ((n-1) * history + sum(cur)) / (n-1+S)."""
+    if jnp.ndim(current) == 4:
+        n0 = jnp.asarray(sample_index).astype(jnp.float32)
+        sb = current.shape[0]
+        return (history * n0 + current.sum(0)) / (n0 + sb)
     n = (sample_index + 1).astype(jnp.float32)
     return (history * (n - 1.0) + current) / n

@@ -357,6 +357,16 @@ class Bins(NamedTuple):
     big_count: jnp.ndarray    # (1,) i32
     overflow: jnp.ndarray     # () i32 — dropped pairs (pair_capacity hit)
     big_overflow: jnp.ndarray  # () i32 — dropped big triangles
+    # masked-layer mode (emit_amask=True): per-pair [U(3), V(3), D(3),
+    # matid] planes at the setup stream's 8-pairs-per-row packing, for the
+    # kernel's in-race certainly-transparent rejection; (1, 128) dummies
+    # otherwise. tile_mat: the tile's PRIMARY material (its first pair's)
+    # — the kernel reads that one amask row with a scalar dynamic-slice
+    # and only rejects fragments whose pair material matches (fragments
+    # of minority materials in a mixed tile conservatively keep).
+    amask: jnp.ndarray = None         # (P_cap/8 + pad, 128) f32
+    big_amask: jnp.ndarray = None     # (BIG, 16) f32
+    tile_mat: jnp.ndarray = None      # (NT,) i32
 
 
 def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
@@ -373,7 +383,8 @@ def bin_triangles(setup_t, ids, valid, bbox, params: RasterParams,
 
 def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
                           attr_flat=None, layer=None,
-                          n_layers: int = 1) -> list:
+                          n_layers: int = 1,
+                          emit_amask: bool = False) -> list:
     """Layered binning: ONE candidate expansion + ONE sort + ONE pair-row
     gather shared by every raster layer of the frame (opaque, masked depth
     peels, decals, forward-blend). The layers are disjoint triangle sets,
@@ -419,9 +430,14 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
         mid_fit = mid & (mpos < mid_cap)
         big = valid & ((span > p.bin_mid_span) | (mid & ~mid_fit))
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
-        dest = jnp.where(mid_fit, mpos, mid_cap)
-        mid_tri = jnp.full((mid_cap + 1,), t, jnp.int32).at[dest].set(
-            iota_t, mode="drop")[:mid_cap]
+        # Compact fitting mids to the head via ONE key sort (fits keep
+        # index order; non-fits sort behind as t + i) — a scatter here
+        # profiled 1.35 ms per binning at 290k triangles vs ~0.25 for the
+        # sort.
+        mkeys = jnp.where(mid_fit, iota_t, t + iota_t)
+        if t < mid_cap:
+            mkeys = jnp.pad(mkeys, (0, mid_cap - t), constant_values=2 * t)
+        mid_tri = jax.lax.sort(mkeys, is_stable=False)[:mid_cap]
         mid_ok = mid_tri < t
         safe_mt = jnp.minimum(mid_tri, t - 1)
     else:
@@ -551,6 +567,18 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
         aflat = row48[:, _PAIR_STRIDE:].reshape(
             cap_pairs // _APAIRS_PER_ROW, _APAIRS_PER_ROW * _APAIR_STRIDE)
         aflat = jnp.pad(aflat, ((0, p.chunk // _APAIRS_PER_ROW + 1), (0, 0)))
+    uflat = jnp.zeros((1, _PAIRS_PER_ROW * 16), jnp.float32)
+    if emit_amask and not p.depth_only:
+        # Masked-layer side stream: [U(3), V(3), D(3), matid] per pair —
+        # slices of the already-gathered attr columns repacked at the
+        # setup stream's 8-pairs-per-row layout (sequential, vector-rate).
+        um16 = jnp.concatenate([
+            row48[:, _PAIR_STRIDE:_PAIR_STRIDE + 9],
+            row48[:, _PAIR_STRIDE + ATTR_ROWS - 1:_PAIR_STRIDE + ATTR_ROWS],
+            jnp.zeros((row48.shape[0], 6), jnp.float32)], axis=-1)
+        uflat = um16.reshape(cap_pairs // _PAIRS_PER_ROW,
+                             _PAIRS_PER_ROW * 16)
+        uflat = jnp.pad(uflat, ((0, p.chunk // _PAIRS_PER_ROW + 1), (0, 0)))
 
     # Big-triangle lists = buckets 0..L-1 at the head of the sorted stream:
     # per-layer slices of the already-gathered rows (no cumsum/scatter
@@ -582,14 +610,27 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
         else:
             big_attr = jnp.where(big_slot_ok[:, None],
                                  br[:, _PAIR_STRIDE:], 0.0)
+        big_amask = jnp.zeros((1, 16), jnp.float32)
+        starts_l = starts[l * p.num_tiles:(l + 1) * p.num_tiles]
+        tile_mat = jnp.zeros((1,), jnp.int32)
+        if emit_amask and not p.depth_only:
+            big_amask = jnp.where(big_slot_ok[:, None], jnp.concatenate([
+                br[:, _PAIR_STRIDE:_PAIR_STRIDE + 9],
+                br[:, _PAIR_STRIDE + ATTR_ROWS - 1:
+                   _PAIR_STRIDE + ATTR_ROWS],
+                jnp.zeros((cap, 6), jnp.float32)], axis=-1), 0.0)
+            tile_mat = row48[
+                jnp.minimum(starts_l, cap_pairs - 1),
+                _PAIR_STRIDE + ATTR_ROWS - 1].astype(jnp.int32)
         out.append(Bins(
             setup=flat, attr=aflat,
-            starts=starts[l * p.num_tiles:(l + 1) * p.num_tiles],
+            starts=starts_l,
             counts=counts[l * p.num_tiles:(l + 1) * p.num_tiles],
             big_setup=big_setup, big_ids=big_ids, big_attr=big_attr,
             big_count=big_count.reshape(1).astype(jnp.int32),
             overflow=overflow if l == 0 else zero,
-            big_overflow=big_total - big_count))
+            big_overflow=big_total - big_count,
+            amask=uflat, big_amask=big_amask, tile_mat=tile_mat))
     return out
 
 
@@ -598,7 +639,8 @@ def bin_triangles_layered(setup_t, ids, valid, bbox, params: RasterParams,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
-                   params: RasterParams, has_zlim: bool = False):
+                   params: RasterParams, has_zlim: bool = False,
+                   masked: bool = False, has_zfloor: bool = False):
     """Per-tile fine raster + attribute select. The CSR pair arrays stay in
     HBM; each tile streams its contiguous slice with double-buffered async
     DMA (the Pallas analogue of ExecuteIndirect consuming GPU-built draw
@@ -616,27 +658,46 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
     the masked-geometry depth-peel layers use it to find the next fragment
     behind a failed alpha test.
 
+    masked: alpha-masked-layer mode. A third per-pair stream carries the
+    pair's UV / denominator planes + material id; each covered fragment
+    tests its UV cell's bit in the material's conservative
+    certainly-transparent bitplane (scene/textures.py
+    MaterialTextureStack.amask) and drops IN the race when set. The
+    reference alpha-clips every fragment in its PS (ref:
+    visibility-pass.hlsl:101-111); rejecting certain cells in-kernel keeps
+    the depth-peel ladder off the (deep) stacks of fully-transparent
+    fragments — only fragments that might pass are peeled and
+    alpha-tested exactly by the caller.
+
     params.depth_only statically drops pass 2: no attribute inputs, interp
     output, or attribute DMA exist (shadow-map rendering)."""
+    assert not (masked and params.depth_only)
+    zlim_ref = None
+    amask_hbm = mask_table_ref = big_amask_ref = None
+    amask_scratch = msems = None
     if params.depth_only:
         setup_hbm, big_setup_ref, big_ids_ref, *rest = refs
         attr_hbm = big_attr_ref = None
         if has_zlim:
-            zlim_ref, tri_ref, z_ref, setup_scratch, sems = rest
-        else:
-            tri_ref, z_ref, setup_scratch, sems = rest
-            zlim_ref = None
+            zlim_ref, *rest = rest
+        tri_ref, z_ref, setup_scratch, sems = rest
         interp_ref = attr_scratch = asems = None
+    elif masked:
+        (tile_mat_ref, setup_hbm, attr_hbm, amask_hbm, big_setup_ref,
+         big_ids_ref, big_attr_ref, big_amask_ref, mask_table_ref,
+         *rest) = refs
+        if has_zlim:
+            zlim_ref, *rest = rest
+        (tri_ref, z_ref, interp_ref,
+         setup_scratch, attr_scratch, amask_scratch,
+         sems, asems, msems) = rest
     else:
         (setup_hbm, attr_hbm, big_setup_ref, big_ids_ref, big_attr_ref,
          *rest) = refs
         if has_zlim:
-            (zlim_ref, tri_ref, z_ref, interp_ref,
-             setup_scratch, attr_scratch, sems, asems) = rest
-        else:
-            (tri_ref, z_ref, interp_ref,
-             setup_scratch, attr_scratch, sems, asems) = rest
-            zlim_ref = None
+            zlim_ref, *rest = rest
+        (tri_ref, z_ref, interp_ref,
+         setup_scratch, attr_scratch, sems, asems) = rest
     p = params
     k = p.chunk
     ti = pl.program_id(0)
@@ -674,8 +735,8 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
     kr = k // _PAIRS_PER_ROW                      # rows per chunk
     nch = pl.cdiv(count + row_off, k)
 
-    def eval_slab(rows13, rid, slot_ok, best_z, best_id):
-        """rows13: (K/8, 13) one pair-slab; rid: (K/8, 1) float ids."""
+    def slab_geom(rows13, slot_ok):
+        """rows13: (rows, 13) one pair-slab -> (z, cov)."""
         e0 = rows13[:, 0:1] * colf + rows13[:, 1:2] * rowf + rows13[:, 2:3]
         e1 = rows13[:, 3:4] * colf + rows13[:, 4:5] * rowf + rows13[:, 5:6]
         e2 = rows13[:, 6:7] * colf + rows13[:, 7:8] * rowf + rows13[:, 8:9]
@@ -687,9 +748,16 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0) & slot_ok
         if zlim_ref is not None:
             cov &= z < zlim
+        return z, cov
+
+    def race(z, cov, rid, best_z, best_id):
         mz = jnp.where(cov, z, -1.0)
         upd = mz > best_z
         return jnp.where(upd, mz, best_z), jnp.where(upd, rid, best_id)
+
+    def eval_slab(rows13, rid, slot_ok, best_z, best_id):
+        z, cov = slab_geom(rows13, slot_ok)
+        return race(z, cov, rid, best_z, best_id)
 
     def merge(best_z, best_id, zb, vb):
         zc = jnp.max(best_z, axis=0, keepdims=True)
@@ -698,10 +766,59 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         passed = (zc >= 0.0) & (zc >= zb)
         return (jnp.where(passed, zc, zb), jnp.where(passed, idc, vb))
 
+    if masked:
+        # The tile's PRIMARY material row, read ONCE with a scalar
+        # dynamic-slice (a per-fragment material select was thousands of
+        # tiny latency-bound MXU matmuls per masked pass). Fragments of
+        # other materials in the tile conservatively keep.
+        tmat = tile_mat_ref[ti]
+        mrow = mask_table_ref[pl.ds(tmat, 1), :][0]   # (AMASK_LANES,) i32
+        addr_mode = mrow[32]
+
+        def mask_reject(usl):
+            """usl: (rows, 16) [U(3), V(3), D(3), matid] pair-slab ->
+            (rows, n) bool: fragment certainly fails the alpha test
+            (module docstring). The word pick is a 32-way select against
+            the tile row's scalar words; the bit extract a per-pixel
+            variable shift."""
+            d = usl[:, 6:7] * colf + usl[:, 7:8] * rowf + usl[:, 8:9]
+            inv = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, 0.0)
+            u = (usl[:, 0:1] * colf + usl[:, 1:2] * rowf + usl[:, 2:3]) * inv
+            v = (usl[:, 3:4] * colf + usl[:, 4:5] * rowf + usl[:, 5:6]) * inv
+
+            def addr01(x):
+                wrap = x - jnp.floor(x)
+                clamp = jnp.clip(x, 0.0, 1.0 - 1e-6)
+                period = x - 2.0 * jnp.floor(0.5 * x)
+                mir = jnp.where(period < 1.0, period, 2.0 - period)
+                return jnp.where(addr_mode == 1, clamp,
+                                 jnp.where(addr_mode == 2,
+                                           jnp.clip(mir, 0.0, 1.0 - 1e-6),
+                                           wrap))
+
+            cu = jnp.clip((addr01(u) * 32.0).astype(jnp.int32), 0, 31)
+            cv = jnp.clip((addr01(v) * 32.0).astype(jnp.int32), 0, 31)
+            cell = cv * 32 + cu
+            w = cell >> 5
+            word = jnp.zeros_like(cell)
+            for wi in range(32):
+                word = jnp.where(w == wi, mrow[wi], word)
+            bit = (word >> (cell & 31)) & 1
+            same = usl[:, 9:10].astype(jnp.int32) == tmat
+            return same & (bit > 0)
+
     def dma(slot, c):
         return pltpu.make_async_copy(
             setup_hbm.at[pl.ds(row_start + c * kr, kr), :],
             setup_scratch.at[slot], sems.at[slot])
+
+    if masked:
+        def mdma(slot, c):
+            # uv/mask pair stream: same 8-pairs-per-row packing and row
+            # addressing as the setup stream
+            return pltpu.make_async_copy(
+                amask_hbm.at[pl.ds(row_start + c * kr, kr), :],
+                amask_scratch.at[slot], msems.at[slot])
 
     # Pass-2 DMA plumbing is declared here so its FIRST chunk can prefetch
     # during pass-1 compute (the per-tile DMA latency was serialized
@@ -720,6 +837,8 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
     @pl.when(nch > 0)
     def _():
         dma(0, 0).start()
+        if masked:
+            mdma(0, 0).start()
 
     if not params.depth_only:
         @pl.when(anch > 0)
@@ -733,9 +852,14 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         @pl.when(c + 1 < nch)
         def _():
             dma(1 - slot, c + 1).start()
+            if masked:
+                mdma(1 - slot, c + 1).start()
 
         dma(slot, c).wait()
         rows = setup_scratch[slot]                # (K/8, 128)
+        if masked:
+            mdma(slot, c).wait()
+            urows = amask_scratch[slot]
         riota = jax.lax.broadcasted_iota(jnp.int32, (kr, 1), 0)
         best_z = jnp.full((kr, n), -1.0, jnp.float32)
         best_id = jnp.full((kr, n), -1.0, jnp.float32)
@@ -744,8 +868,10 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
             rid = sl[:, 12:13]
             gidx = c * k + riota * _PAIRS_PER_ROW + j
             slot_ok = (gidx >= row_off) & (gidx < row_off + count)
-            best_z, best_id = eval_slab(sl[:, :13], rid, slot_ok,
-                                        best_z, best_id)
+            z, cov = slab_geom(sl[:, :13], slot_ok)
+            if masked:
+                cov &= ~mask_reject(urows[:, 16 * j:16 * j + 16])
+            best_z, best_id = race(z, cov, rid, best_z, best_id)
         return merge(best_z, best_id, zb, vb)
 
     zb, vb = jax.lax.fori_loop(
@@ -764,11 +890,14 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
         rid = big_ids_ref[pl.ds(base, kb), :]
         row_ok = (jax.lax.broadcasted_iota(jnp.int32, (kb, 1), 0)
                   < bigcnt - base)
+        rows13 = jnp.concatenate(
+            [rows, jnp.zeros((kb, 1), jnp.float32)], axis=1)
+        z, cov = slab_geom(rows13, row_ok)
+        if masked:
+            cov &= ~mask_reject(big_amask_ref[pl.ds(base, kb), :])
         best_z = jnp.full((kb, n), -1.0, jnp.float32)
         best_id = jnp.full((kb, n), -1.0, jnp.float32)
-        best_z, best_id = eval_slab(
-            jnp.concatenate([rows, jnp.zeros((kb, 1), jnp.float32)], axis=1),
-            rid, row_ok, best_z, best_id)
+        best_z, best_id = race(z, cov, rid, best_z, best_id)
         return merge(best_z, best_id, zb, vb)
 
     zb, vb = jax.lax.fori_loop(
@@ -856,22 +985,37 @@ def _raster_kernel(starts_ref, counts_ref, bigcount_ref, *refs,
 
 
 def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None,
-                    name: str = "fine_raster"):
+                    name: str = "fine_raster", mask_table=None):
     """Run the fine-raster kernel. Returns (tri (H,W) i32 global triangle
     index, -1 = no geometry; depth (H,W) f32; interp (16, H, W) f32
     per-pixel attribute channels) cropped to the resolution.
 
     z_limit: optional (H, W) f32 — per-pixel strict depth upper bound
     (depth-peel layer support for alpha-masked geometry).
+    mask_table: optional (M, AMASK_LANES) per-material certainly-
+    transparent cell bitplane (MaterialTextureStack.amask) — masked-layer
+    mode: fragments in certainly-transparent UV cells drop in the race
+    (bins must carry the amask stream, bin_triangles_layered
+    emit_amask=True).
     name: kernel name shown in profiler traces (per-layer attribution)."""
     p = params
+    masked = mask_table is not None
+    assert not (masked and p.depth_only)
     tile_spec = pl.BlockSpec((p.tile_h, p.tile_w),
                              lambda i, *_: (i // p.tiles_x, i % p.tiles_x))
+
+    def _pad_screen(x):
+        return jnp.pad(x, ((0, p.padded_height - p.height),
+                           (0, p.padded_width - p.width)))
+
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]   # setup pairs (HBM)
     inputs = [bins.setup]
     if not p.depth_only:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # attr pairs
         inputs.append(bins.attr)
+    if masked:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # amask pairs
+        inputs.append(bins.amask)
     in_specs += [
         pl.BlockSpec((p.big_tri_capacity, _SETUP_ROWS),
                      lambda i, *_: (0, 0)),
@@ -882,35 +1026,49 @@ def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None,
         in_specs.append(pl.BlockSpec((p.big_tri_capacity, _APAIR_STRIDE),
                                      lambda i, *_: (0, 0)))
         inputs.append(bins.big_attr)
+    if masked:
+        in_specs.append(pl.BlockSpec((p.big_tri_capacity, 16),
+                                     lambda i, *_: (0, 0)))
+        inputs.append(bins.big_amask)
+        mt = jnp.asarray(mask_table, jnp.int32)
+        in_specs.append(pl.BlockSpec(mt.shape, lambda i, *_: (0, 0)))
+        inputs.append(mt)
     if z_limit is not None:
         in_specs.append(tile_spec)
-        zl = jnp.pad(z_limit, ((0, p.padded_height - p.height),
-                               (0, p.padded_width - p.width)))
-        inputs.append(zl)
+        inputs.append(_pad_screen(z_limit))
     out_specs = [tile_spec, tile_spec]
     out_shape = [
         jax.ShapeDtypeStruct((p.padded_height, p.padded_width), jnp.int32),
         jax.ShapeDtypeStruct((p.padded_height, p.padded_width), jnp.float32),
     ]
+    if not p.depth_only:
+        out_specs.append(pl.BlockSpec(
+            (INTERP_CHANNELS, p.tile_h, p.tile_w),
+            lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (INTERP_CHANNELS, p.padded_height, p.padded_width), jnp.float32))
     scratch_shapes = [
         pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
                     _PAIRS_PER_ROW * _PAIR_STRIDE), jnp.float32),
     ]
     if not p.depth_only:
-        out_specs.append(
-            pl.BlockSpec((INTERP_CHANNELS, p.tile_h, p.tile_w),
-                         lambda i, *_: (0, i // p.tiles_x, i % p.tiles_x)))
-        out_shape.append(
-            jax.ShapeDtypeStruct((INTERP_CHANNELS, p.padded_height,
-                                  p.padded_width), jnp.float32))
         scratch_shapes.append(
             pltpu.VMEM((2, p.chunk // _APAIRS_PER_ROW,
                         _APAIRS_PER_ROW * _APAIR_STRIDE), jnp.float32))
+    if masked:
+        scratch_shapes.append(
+            pltpu.VMEM((2, p.chunk // _PAIRS_PER_ROW,
+                        _PAIRS_PER_ROW * 16), jnp.float32))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
     if not p.depth_only:
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+    if masked:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+    scalar_args = [bins.starts, bins.counts, bins.big_count]
+    if masked:
+        scalar_args.append(bins.tile_mat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scalar_args),
         grid=(p.num_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -918,13 +1076,14 @@ def rasterize_tiles(bins: Bins, params: RasterParams, z_limit=None,
     )
     out = pl.pallas_call(
         functools.partial(_raster_kernel, params=p,
-                          has_zlim=z_limit is not None),
+                          has_zlim=z_limit is not None,
+                          masked=masked),
         grid_spec=grid_spec,
         out_shape=out_shape,
         name=name,
         interpret=(p.interpret if p.interpret is not None
                    else _should_interpret()),
-    )(bins.starts, bins.counts, bins.big_count, *inputs)
+    )(*scalar_args, *inputs)
     if p.depth_only:
         tri, depth = out
         return tri[:p.height, :p.width], depth[:p.height, :p.width], None

@@ -122,6 +122,13 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
         if max_aniso > 1.0:
             lod, major = _interp_lod_aniso(scene, mat_id, interp, max_aniso)
             xi = _frame_noise(tri.shape, mip_dither, 2428444049)
+            # The stochastic aniso tap for MASKED fragments is clamped to
+            # HALF an alpha-classification cell (1/64 uv) so the kernel's
+            # conservative reject bitplane (textures.py amask, half-cell
+            # dilation) stays a sound bound on where this test can sample.
+            from ..scene.textures import AMASK_CELLS
+            half_cell = 0.5 / AMASK_CELLS
+            major = jnp.clip(major, -half_cell, half_cell)
             uv = uv + major * (xi - 0.5)[..., None]
         else:
             lod = _interp_lod(scene, mat_id, interp)
@@ -132,6 +139,17 @@ def masked_alpha(scene, tri, interp, mip_dither=None, uv_dither=False,
                  _frame_noise(tri.shape, mip_dither, 3267000013)], axis=-1)
     else:
         lod = _interp_lod(scene, mat_id, interp)
+    # Clamp the alpha-test mip to texels no coarser than HALF an alpha-
+    # classification cell: the kernel's conservative in-race reject
+    # bitplane (textures.py amask) only covers those mips — coarser ones
+    # would smear every cell's max. Distant foliage alpha thus samples a
+    # slightly sharper mip than its footprint; TAA integrates the residual
+    # aliasing.
+    from ..scene.textures import AMASK_CELLS as _AC
+    _meta = tex_mod.stack_meta_lookup(scene.mat_stack, mat_id)
+    _lod_max = jnp.log2(jnp.maximum(
+        _meta[..., 1].astype(jnp.float32) / (2.0 * _AC), 1.0))
+    lod = jnp.minimum(lod, _lod_max)
     # Peel layers cover only the masked-geometry pixels; compact them at
     # CHUNK granularity (128-px rows, see _chunk_compact) so the
     # alpha-mirror gather costs capacity*128 indices, not H*W.

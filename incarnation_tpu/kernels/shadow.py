@@ -55,9 +55,13 @@ def sun_view_proj(sun_dir, center, radius) -> np.ndarray:
 
 def shadow_params(resolution: int, config) -> raster_mod.RasterParams:
     """Raster params for the sun depth pass (square, depth-only)."""
+    # tile_h 16 (not the config's display tile height): the depth pass is
+    # VPU-bound in pairs x tile-pixels, and the sun view's pair lists are
+    # dense enough that halving the tile beats halving the grid (measured
+    # 4.75 -> ~3 ms at 1024^2 with ~125k pairs).
     return raster_mod.RasterParams(
         width=resolution, height=resolution,
-        tile_h=config.raster_tile_h, tile_w=config.raster_tile_w,
+        tile_h=16, tile_w=config.raster_tile_w,
         pair_capacity=config.shadow_pair_capacity,
         bin_max_span=config.bin_max_span,
         big_tri_capacity=config.big_tri_capacity,

@@ -197,7 +197,7 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     layer_bins = raster.bin_triangles_layered(
         prep.setup_t, prep.ids, prep.valid, prep.bbox, params,
         prep.attr_flat, layer=(lyr if n_layers > 1 else None),
-        n_layers=n_layers)
+        n_layers=n_layers, emit_amask=scene.meta.has_masked)
 
     tri, depth, interp = raster.rasterize_tiles(layer_bins[0], params,
                                             name="raster_opaque")
@@ -208,15 +208,24 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
     stats["peel_overflow"] = jnp.zeros((), jnp.int32)
     stats["peel_chunk_overflow"] = jnp.zeros((), jnp.int32)
     if scene.meta.has_masked:
-        # Alpha-masked geometry (ref: visibility-pass.hlsl:101-111 clip):
-        # opaque prims raster normally; MASK/BLEND prims raster as depth
-        # peels — each peel takes the closest not-yet-tested fragment,
-        # alpha-tests it against the base-color texture, and failed pixels
-        # peel again behind it. Layers come from K sequential z_limit
-        # passes: cheap z-races with the pair-stream DMA fully overlapped
-        # (a one-pass k-buffer variant was built and measured VPU-bound at
-        # 62 vs ~21 ms at 1080p/3 peels, then deleted — r3 VERDICT item 7).
+        # Alpha-masked geometry (ref: visibility-pass.hlsl:101-111 clip).
+        # The kernel tests every masked fragment against its material's
+        # conservative certainly-transparent cell bitplane (textures.py
+        # amask): certain rejects (a foliage card's ~80% transparent
+        # background — the deep fragment stacks) die IN the race, so the
+        # K-peel ladder only sorts fragments that might pass, and its
+        # winners are alpha-tested exactly as before. The peel count
+        # therefore bounds the per-pixel stack of POSSIBLY-VISIBLE
+        # fragments — peeling every fragment overflowed >100k pixels on
+        # the atrium even at 8 peels.
         total_peels = max(1, config.masked_depth_peels)
+        amask_tab = scene.mat_stack.amask
+        # The masked layer's pairs are sparse (hundreds of tiles holding a
+        # few pairs each) and the in-race rejection costs per CHUNK SLOT,
+        # so masked passes run at a quarter chunk — a tile with 3 pairs
+        # then evaluates 32 pair-slots, not 128. (The shared pair stream
+        # is padded for the main chunk size, which covers this.)
+        mparams = params._replace(chunk=min(params.chunk, 32))
         acc_tri = jnp.full_like(tri, -1)
         acc_depth = jnp.zeros_like(depth)
         acc_interp = jnp.zeros_like(interp)
@@ -232,16 +241,15 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             zlim = (jnp.full(depth.shape, 2.0, jnp.float32)
                     if layer == 0 else jnp.where(cont, m_depth, 0.0))
             m_tri, m_depth, m_interp = raster.rasterize_tiles(
-                layer_bins[masked_idx], params, z_limit=zlim,
-                name="raster_peel")
-            # Deeper peels cover fewer pixels (measured atrium coverage:
-            # 35/27/19% of chunks for peels 0/1/2), so their compacted
-            # alpha gathers get DECLINING capacities — the gather is
-            # index-rate bound, capacity*128 indices each. Overflow is
-            # counted and the CLI adapts, as before.
-            lcap = (peel_cap if layer == 0
-                    else (13 * peel_cap) // 16 if layer == 1
-                    else (5 * peel_cap) // 8)
+                layer_bins[masked_idx], mparams, z_limit=zlim,
+                name="raster_peel", mask_table=amask_tab)
+            # With certain rejects dead in the race, peel coverage decays
+            # fast (measured atrium: peel-0 covers ~40% of the former
+            # masked footprint; continuing pixels shrink ~2.5x/layer), so
+            # the compacted alpha gathers — whose cost is CAPACITY-sized,
+            # not coverage-sized — get a steeply declining ladder
+            # (overflow counted, CLI adapts).
+            lcap = max(peel_cap >> min(layer, 4), 512)
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),
@@ -701,18 +709,19 @@ def render_pathtrace(scene, bvh, fc, history, sample_index, *,
     from ..kernels import pathtrace
 
     scene_b, fc_b, world_n_v, world_t_v = pathtrace_inputs(scene, fc)
-    current = pathtrace.trace_sample(
+    current, rays = pathtrace.trace_sample(
         scene_b, bvh, world_n_v, world_t_v, fc_b, probe, sample_index,
         width, height,
         sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
         dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
         turbidity=config.turbidity, viewmode=config.viewmode,
-        sky_rot3=fc.scene_rotation[:3, :3], sun_dir_world=fc.sun_dir)
-    accumulated = pathtrace.integrate(history, current,
-                                      jnp.asarray(sample_index, jnp.float32))
+        sky_rot3=fc.scene_rotation[:3, :3], sun_dir_world=fc.sun_dir,
+        return_rays=True)
+    first = jnp.asarray(sample_index, jnp.float32).reshape(-1)[0]
+    accumulated = pathtrace.integrate(history, current, first)
     color = post.tonemap(accumulated, fc.exposure,
                          nan_check=(config.viewmode == ViewMode.NAN_CHECK))
-    return dict(color=post.to_uint8(color), history=accumulated)
+    return dict(color=post.to_uint8(color), history=accumulated, rays=rays)
 
 
 @functools.partial(jax.jit,

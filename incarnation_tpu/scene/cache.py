@@ -21,7 +21,7 @@ CACHE_DIR = pathlib.Path(__file__).resolve().parents[2] / ".content_cache"
 
 # Bump whenever the Scene pytree schema changes — stale pickles fail to
 # round-trip otherwise.
-SCHEMA_VERSION = "v12-welzl"
+SCHEMA_VERSION = "v17-amask5"
 
 
 def _key(path: pathlib.Path, texture_max_dim: int) -> str:

@@ -339,6 +339,23 @@ class MaterialTextureStack:
     # not block-quantized): alpha tests (masked peels, PT any-hit) gather
     # this 1 B/texel table with full 8-bit cutoff precision
     alpha: jnp.ndarray      # (ceil(K/16), 4) int32, 4 texels per word
+    # Conservative 32x32-cell certainly-transparent bitplane per material,
+    # consumed IN the fine-raster kernel: masked fragments whose UV cell
+    # can NEVER pass the alpha test (a foliage card's ~80% transparent
+    # background) die in the depth race itself, so the peel ladder only
+    # sorts fragments that might be visible. The reference instead
+    # alpha-clips every fragment in its PS (ref:
+    # geo-raster/visibility-pass.hlsl:101-111); on TPU the peel count is
+    # a raster-pass multiplier, so certain rejects must never enter it.
+    # Conservative across the sampled mips (masked_alpha clamps its lod
+    # to cell-sized texels) with per-mip 1-texel pre-dilation (bilinear
+    # reach) + 1-cell dilation (the cell-clamped stochastic uv jitter).
+    # int32 rows (the kernel reads its tile's row with ONE scalar
+    # dynamic-slice — a per-fragment material select was 4800 tiny
+    # latency-bound MXU matmuls per masked pass): lanes 0..31 = 32-bit
+    # words, bit set = certainly transparent (cell = cv*32+cu, word =
+    # cell>>5, bit = cell&31); lane 32: address mode; lane 33: spare.
+    amask: jnp.ndarray      # (NM, 34) int32
 
 
 def _slot_image(gltf, tex_index, size, srgb, default):
@@ -366,6 +383,7 @@ def build_material_stacks(gltf, max_dim: int = 1024,
     rows = []
     erows = []
     alpha_bytes = []
+    amask_rows = []
     meta = np.zeros((len(mats), 6), np.int32)
     offset = 0      # core blocks
     eoffset = 0     # extras blocks
@@ -448,6 +466,7 @@ def build_material_stacks(gltf, max_dim: int = 1024,
         cur_r = _vmf_r_form(nm_f, mr_f[..., 1]) if vmf else None
 
         cur = chans
+        a_mips = []
         for lvl in range(num_levels):
             if vmf and lvl > 0:
                 nrm, alpha = _vmf_resolve(cur_r)
@@ -466,6 +485,7 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                 np.clip(cur[..., 3] * 255.0 + 0.5, 0, 255)
                 .astype(np.uint32).reshape(-1))
             aoffset += alpha_bytes[-1].shape[0]
+            a_mips.append(cur[..., 3].copy())
             if has_extras:
                 store_ex = np.concatenate(
                     [_linear_to_srgb_np(cur[..., 8:11]), cur[..., 11:14]],
@@ -480,6 +500,12 @@ def build_material_stacks(gltf, max_dim: int = 1024,
                     cur_r = 0.25 * (cur_r[0::2, 0::2] + cur_r[1::2, 0::2]
                                     + cur_r[0::2, 1::2] + cur_r[1::2, 1::2])
 
+        a_mode = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}.get(
+            m.get("alphaMode", "OPAQUE"), 0)
+        amask_rows.append(_amask_words(
+            a_mips, a_mode, m.get("alphaCutoff", 0.5),
+            pbr.get("baseColorFactor", [1, 1, 1, 1])[3], address))
+
     flat_u32 = np.concatenate(rows, 0)
     extra_u32 = (np.concatenate(erows, 0) if erows
                  else np.zeros((1, _EXTRA_WORDS), np.uint32))
@@ -487,7 +513,8 @@ def build_material_stacks(gltf, max_dim: int = 1024,
         flat=jnp.asarray(flat_u32.view(np.int32)),
         extra=jnp.asarray(extra_u32.view(np.int32)),
         meta=jnp.asarray(meta),
-        alpha=jnp.asarray(_pack_alpha_bytes(np.concatenate(alpha_bytes))))
+        alpha=jnp.asarray(_pack_alpha_bytes(np.concatenate(alpha_bytes))),
+        amask=jnp.asarray(np.stack(amask_rows)))
 
 
 def make_material_stack(flat_u32: np.ndarray,
@@ -536,7 +563,88 @@ def make_material_stack(flat_u32: np.ndarray,
         flat=jnp.asarray(np.concatenate(rows).view(np.int32)),
         extra=jnp.asarray(np.concatenate(erows).view(np.int32)),
         meta=jnp.asarray(meta_out),
-        alpha=jnp.asarray(_pack_alpha_bytes((flat_u32[:, 0] >> 24))))
+        alpha=jnp.asarray(_pack_alpha_bytes((flat_u32[:, 0] >> 24))),
+        amask=jnp.asarray(_amask_default(meta_out)))
+
+
+AMASK_CELLS = 32          # cell grid per axis (cell = size/32 texels)
+AMASK_LANES = 34
+
+
+def _amask_words(alpha_mips, mode: int, cutoff: float, alpha_factor: float,
+                 address: int) -> np.ndarray:
+    """Conservative certainly-transparent cell bitplane for one material.
+
+    alpha_mips: list of (s, s) float alpha images, mip 0 first (or [] for
+    untextured). mode: 0 OPAQUE, 1 MASK, 2 BLEND. Returns (AMASK_LANES,)
+    f32 row (see MaterialTextureStack.amask).
+
+    A cell's bit is set iff NO sample the outside alpha test can draw —
+    any covered mip, any bilinear tap, any cell-clamped uv jitter — can
+    reach the material's lowest possible pass threshold. The margin of
+    1/255 absorbs the alpha mirror's u8 quantization."""
+    c = AMASK_CELLS
+    reject = np.zeros((c, c), bool)
+    if mode != 0:
+        pad_mode = {ADDRESS_WRAP: "wrap", ADDRESS_CLAMP: "edge",
+                    ADDRESS_MIRROR: "symmetric"}.get(address, "edge")
+
+        def _dilate(x):
+            cc = x.shape[0]
+            pd = np.pad(x, 1, mode=pad_mode)
+            return np.maximum.reduce([pd[i:i + cc, j:j + cc]
+                                      for i in range(3) for j in range(3)])
+
+        # Bounds are built on a 2x-fine grid (64x64) and max-pooled down,
+        # so the effective dilation is HALF a cell — a full-cell dilation
+        # plus coarse-mip pre-dilation inflated 1-2-cell foliage leaves to
+        # 6+ cells, leaving only ~43% of an 84%-transparent card
+        # rejectable.
+        c2 = 2 * c
+        mx = np.zeros((c2, c2), np.float32)
+        for mi, a in enumerate(alpha_mips):
+            if mi > 0 and a.shape[0] < c2:
+                # Mips coarser than HALF a cell are NOT sampled by the
+                # masked alpha test (masked_alpha clamps its lod to the
+                # same bound) — including them would smear every cell's
+                # max.
+                break
+            a_hi = _dilate(a)         # 1-texel pre-dilation: bilinear reach
+            s = a.shape[0]
+            if s >= c2:
+                f = s // c2
+                mx = np.maximum(
+                    mx, a_hi[:f * c2, :f * c2]
+                    .reshape(c2, f, c2, f).max(axis=(1, 3)))
+            else:
+                rep = -(-c2 // max(s, 1))
+                mx = np.maximum(mx, np.repeat(np.repeat(a_hi, rep, 0),
+                                              rep, 1)[:c2, :c2])
+        # 1-fine-cell dilation: the half-cell-clamped stochastic uv jitter
+        mx = _dilate(mx).reshape(c, 2, c, 2).max(axis=(1, 3))
+        fac = max(float(alpha_factor), 1e-8)
+        # lowest threshold the test can draw: MASK = cutoff; BLEND =
+        # max(noise, 1e-3) >= 1e-3
+        t_lo = (float(cutoff) if mode == 1 else 1e-3) / fac
+        reject = mx < t_lo - 1.0 / 255.0
+    cells = reject.reshape(-1).astype(np.uint32)    # cell = cv*32 + cu
+    words = np.zeros(32, np.uint32)
+    for k in range(32):
+        words |= cells[k::32] << np.uint32(k)
+    row = np.zeros(AMASK_LANES, np.int32)
+    row[:32] = words.view(np.int32)
+    row[32] = int(address)
+    return row
+
+
+def _amask_default(meta: np.ndarray) -> np.ndarray:
+    """Reject-nothing amask rows (exactly the pre-classification
+    behavior — every masked fragment goes through the peel ladder's alpha
+    test)."""
+    n = meta.shape[0]
+    rows = np.zeros((n, AMASK_LANES), np.int32)
+    rows[:, 32] = meta[:, 3].astype(np.int32)
+    return rows
 
 
 def _pack_alpha_bytes(a: np.ndarray) -> np.ndarray:

@@ -91,6 +91,72 @@ def test_all_opaque_front_quad_fully_covers():
     assert (prim[24:40, 56:72] == 0).all()
 
 
+def _halfplane_stack(size=64, real_amask=True):
+    """One MASK material: alpha 0 on the left half, 255 on the right.
+    real_amask=True attaches the conservative 3-state cell classification
+    (textures._amask_words); False keeps the all-partial default (the
+    pure-peel path)."""
+    from incarnation_tpu.scene import textures as tex
+    ys, xs = np.mgrid[0:size, 0:size]
+    a = np.where(xs >= size // 2, 255, 0).astype(np.uint32)
+    w0 = (np.uint32(0x00FFFFFF) | (a << np.uint32(24)))
+    rows = np.stack([
+        w0,
+        np.full_like(w0, 0xFFFF8080),
+        np.full_like(w0, 0xFFFFFFFF),
+        np.full_like(w0, 0x00FFFFFF),
+    ], axis=-1).reshape(-1, 4)
+    meta = np.asarray([[0, size, 1, tex.ADDRESS_CLAMP]], np.int32)
+    stack = tex.make_material_stack(rows.astype(np.uint32), meta)
+    if real_amask:
+        row = tex._amask_words([a.astype(np.float32) / 255.0], 1, 0.5, 1.0,
+                               tex.ADDRESS_CLAMP)
+        import dataclasses
+        import jax.numpy as jnp2
+        stack = dataclasses.replace(stack, amask=jnp2.asarray(row[None]))
+    return stack
+
+
+def test_amask_classification_matches_pure_peel():
+    """The in-kernel certainly-transparent rejection must produce the same
+    image as peeling every fragment (reject-nothing mask), and must
+    actually contain reject cells."""
+    import dataclasses
+    from incarnation_tpu.scene import textures as tex
+
+    def scene_with(stack):
+        pts = np.concatenate([_quad(4.0), _quad(8.0, s=6.0)])
+        tris = [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]]
+        uvs = np.concatenate([
+            np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32),
+            np.zeros((4, 2), np.float32)])
+        return make_scene(pts, tris, uvs=uvs, double_sided=True,
+                          tri_prim=[0, 0, 1, 1], num_prims=2,
+                          prim_tri_offset=[0, 2],
+                          prim_alpha_mode=[1, 0],
+                          prim_material=[0, 0],
+                          mat_stack=stack)
+
+    real = _halfplane_stack(real_amask=True)
+    words = np.asarray(real.amask)[0, :32].view(np.uint32)
+    bits = np.stack([(words >> np.uint32(k)) & 1 for k in range(32)],
+                    -1).reshape(-1)
+    assert (bits == 1).any() and (bits == 0).any(), \
+        "classification degenerated (no reject cells)"
+    # rejects must stay on the transparent (left) side only
+    cells = bits.reshape(32, 32)
+    assert not cells[:, 18:].any(), "reject bled into the opaque half"
+
+    out_real, _ = _render(scene_with(real))
+    out_peel, _ = _render(scene_with(_halfplane_stack(real_amask=False)))
+    assert int(out_real["stats"]["peel_overflow"]) == 0
+    assert int(out_peel["stats"]["peel_overflow"]) == 0
+    np.testing.assert_array_equal(np.asarray(out_real["tri"]),
+                                  np.asarray(out_peel["tri"]))
+    np.testing.assert_allclose(np.asarray(out_real["color"]),
+                               np.asarray(out_peel["color"]), atol=1)
+
+
 def test_aniso_lod_uses_minor_axis():
     """Stochastic anisotropic filtering: mip from the minor footprint axis
     (clamped by max aniso), tap axis = major axis."""

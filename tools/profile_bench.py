@@ -36,7 +36,8 @@ def main():
     width, height = 1920, 1088
     host, name = bench.load_bench_scene()
     scene = host.scene
-    cfg = Config(sun_shadow_mode="map", masked_depth_peels=3)
+    import os
+    cfg = Config(sun_shadow_mode="map", masked_depth_peels=int(os.environ.get("PROFILE_PEELS", "3")))
     sun = np.asarray(host.scene.sun_dir)
     probe = load_probe_cached(
         lambda: ibl.build_probe(
@@ -110,9 +111,14 @@ def main():
             shapes[n_] = ln.split(" = ")[1][:95] if " = " in ln else ln[:95]
     total = sum(v[0] for v in durs.values()) / 3.0
     print(f"matched device ops per frame ~= {total:.1f} ms")
-    for n_, (d, c) in sorted(durs.items(), key=lambda kv: -kv[1][0])[:28]:
+    shown = 0.0
+    for n_, (d, c) in sorted(durs.items(), key=lambda kv: -kv[1][0])[:70]:
+        if d / 3.0 < 0.08:
+            break
+        shown += d / 3.0
         print(f"{d / 3.0:8.2f} ms x{c // 3:<3d} {n_:26s} "
               f"{shapes.get(n_, '')[:85]}")
+    print(f"shown {shown:.1f} ms; tail {total - shown:.1f} ms")
 
 
 if __name__ == "__main__":
