@@ -114,29 +114,21 @@ def _watchdog():
 
 
 def _wait_for_chip(max_wait_s: float = 240.0):
-    """The axon TPU tunnel occasionally drops and hangs backend init with no
-    timeout. Probe it in a BOUNDED subprocess; give up after max_wait_s —
-    the bench NEVER falls back to CPU (a 1080p frame on a 1-core host is a
-    guaranteed driver timeout, VERDICT r3)."""
-    import subprocess
-    deadline = time.time() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
-                timeout=90, capture_output=True)
-            if r.returncode == 0:
-                progress(f"TPU reachable (probe {attempt})")
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() > deadline:
-            return False
-        progress(f"TPU probe {attempt} failed; retrying")
-        time.sleep(15)
+    """The axon TPU tunnel occasionally drops and hangs backend init with
+    no timeout. Probe IN-PROCESS under the stage deadline: the watchdog
+    flushes an explicit error and exits if this hangs — the bench NEVER
+    falls back to CPU (a 1080p frame on a 1-core host is a guaranteed
+    driver timeout, VERDICT r3). A subprocess probe (the r3/r4 design)
+    is WORSE: the probe child holds the tunnel's single chip lock, and
+    the main process's own backend init then waits minutes for it to
+    free (measured 300-560 s probe-build stalls, r5)."""
+    del max_wait_s
+    import jax
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception as e:                                 # noqa: BLE001
+        progress(f"TPU init failed: {e}")
+        return False
 
 
 def load_bench_scene():
@@ -153,27 +145,27 @@ def load_bench_scene():
 def bench_pathtrace(host, name, cfg, probe, frame_mod):
     """Progressive PT throughput at 360p on the bench scene.
 
-    Two samples per call ride ONE 460k-ray wavefront (trace_sample's
-    vector mode — wider wavefronts amortize the traversal gather's
-    per-index latency), and the metric divides COUNTED rays (alive
-    entries of every closest/shadow trace, reported by the tracer) by
-    wall time — the r4 nominal-ray count misranked compaction wins
-    (VERDICT r4 'switch to counted rays')."""
+    The metric divides COUNTED rays (alive entries of every closest/
+    shadow trace, reported by the tracer — dead/parked rays excluded) by
+    wall time: the r4 nominal-ray count credited rays of already-
+    terminated paths and misranked compaction wins (VERDICT r4 'switch
+    to counted rays'; r4's 0.85 nominal is ~0.32 on this basis).
+    Samples trace one per call: batching two as a 460k wavefront was
+    measured 64% SLOWER per sample (it defeats the alpha-peel elision
+    conds and the wider anyhit wavefronts gained nothing)."""
     import jax.numpy as jnp
     from incarnation_tpu.kernels import bvh as bvh_mod
     w, h = 640, 360
-    spc = 2     # samples per call (one batched wavefront)
     bvh = bvh_mod.build_scene_bvh(host.scene)
     history = jnp.zeros((h, w, 3))
     out = None
-    n = 3       # timed calls -> n * spc progressive samples
+    n = 4       # timed samples
     rays = []
     t0 = time.time()
     for i in range(n + 1):
-        idx = jnp.arange(i * spc, (i + 1) * spc, dtype=jnp.uint32)
         out = frame_mod.render_pathtrace_jit(
             host.scene, bvh, _pt_fc(host, cfg, w, h, frame_mod), history,
-            idx, cfg, w, h, probe)
+            jnp.asarray(i, jnp.uint32), cfg, w, h, probe)
         history = out["history"]
         if i == 0:
             out["color"].block_until_ready()
@@ -232,6 +224,9 @@ def _frame_loop(run, make_fc, history0, n, what):
     if stats.get("peel_overflow", 0) > 0:
         emit_error(f"peel_overflow={stats['peel_overflow']} != 0 — "
                    "frame has truncated alpha peels")
+    if stats.get("peel_chunk_overflow", 0) > 0:
+        emit_error(f"peel_chunk_overflow={stats['peel_chunk_overflow']} "
+                   "!= 0 — peel alpha fetches truncated (reads solid)")
     fcs = []
     prev_vp = np.asarray(fc.view_proj)
     for i in range(1, n + 1):
@@ -269,13 +264,19 @@ def main():
     progress(f"scene '{name}' loaded: {host.scene.meta.num_triangles} tris, "
              f"{host.scene.meta.num_lights} lights")
 
+    # BENCH_RT_SHADOW=1: price the frame with EXACT per-pixel RT sun
+    # shadows (the reference's always-on DXR ray,
+    # lighting/common.hlsli:91-116) instead of the TPU-native shadow map —
+    # tools/shadow_compare.py records the quality delta of the default.
+    rt_shadow = os.environ.get("BENCH_RT_SHADOW") == "1"
     # CLI-default feature set, with enough masked depth peels that the
     # frame has ZERO peel_overflow (the reference's clip never truncates,
     # visibility-pass.hlsl:101 — a perf number on a frame with counted
     # wrong pixels is not a result; VERDICT r4 item 3). The in-kernel
     # certainly-transparent rejection makes 8 layers reach 0 on the
     # atrium's foliage; _frame_loop asserts it stays 0.
-    cfg = Config(sun_shadow_mode="map", masked_depth_peels=8)
+    cfg = Config(sun_shadow_mode="rt" if rt_shadow else "map",
+                 masked_depth_peels=8)
     assert cfg.texture_max_dim == TEX_DIM
 
     import jax
@@ -283,7 +284,11 @@ def main():
     from incarnation_tpu.kernels import ibl, sky
     from incarnation_tpu.scene.cache import load_probe_cached
 
-    stage("probe-build", 300)
+    # Generous deadline: the FIRST real device op can wait minutes for
+    # the axon chip CLAIM when a previous TPU process exited uncleanly
+    # (claim expiry ~8 min — measured 470 s waits that then succeeded,
+    # r5). 700 s still fits the 1500 s budget with PT to spare.
+    stage("probe-build", 700)
     sun = np.asarray(host.scene.sun_dir)
     probe = load_probe_cached(
         lambda: ibl.build_probe(
@@ -291,7 +296,11 @@ def main():
             envmap_size=cfg.envmap_resolution),
         key=f"sky:{sun.round(4).tolist()}:{cfg.turbidity}:"
             f"{cfg.envmap_resolution}")
+    progress("probe ready")
     env_brdf = ibl.pack_env_brdf(ibl.env_brdf_lut(128))
+    import jax as _jax
+    _jax.block_until_ready(env_brdf)
+    progress("env BRDF ready")
     view = _bench_view(host, 1920, 1088)
     sun_ci = [1.0, 1.0, 1.0, 100.0]
     shadow_bounds = (host.bounds_center,
@@ -352,14 +361,20 @@ def main():
             from incarnation_tpu.dist import sharding
             mesh = sharding.make_mesh(devices=tpus[:n_chips])
 
+    rt_bvh = None
+    if rt_shadow:
+        from incarnation_tpu.kernels import bvh as bvh_mod
+        rt_bvh = bvh_mod.build_scene_bvh(host.scene)
+
     def run(fc, history):
         if mesh is not None:
             from incarnation_tpu.dist import sharding
             return sharding.render_frame_sharded_jit(
                 host.scene, fc, cfg, params, mesh, probe=probe,
-                env_brdf=env_brdf, history=history)
+                env_brdf=env_brdf, history=history, scene_bvh=rt_bvh)
         return frame_mod.render_frame_jit(host.scene, fc, cfg, params,
-                                          probe, env_brdf, history)
+                                          probe, env_brdf, history,
+                                          scene_bvh=rt_bvh)
 
     fps = _frame_loop(run, fc_maker(view, cfg, width, height),
                       jnp.zeros((height, width, 3)), 10, "primary-1080p")

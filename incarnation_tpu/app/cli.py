@@ -215,6 +215,11 @@ def main(argv=None):
         from ..kernels import bvh as bvh_mod
         t0 = time.time()
         bvh = bvh_mod.build_scene_bvh(host.scene)
+        # hidden meshes must not trace (ref: update-tlas.inl:24 rebuilds
+        # the TLAS over the visible list every frame; visibility changes
+        # rarely here, so the leaf re-emit happens on change instead)
+        bvh = bvh_mod.apply_mesh_visibility(bvh, host.scene,
+                                            host.scene.mesh_visible)
         print(f"[bvh] LBVH over {host.scene.meta.num_triangles} tris: "
               f"{time.time() - t0:.1f}s")
         cfg = cfg.replace(max_sample_count=max(args.spp, 1))
@@ -276,7 +281,9 @@ def main(argv=None):
     if args.shadows == "rt" or args.hbao:
         from ..kernels import bvh as bvh_mod
         t0 = time.time()
-        scene_bvh = bvh_mod.build_scene_bvh(host.scene)
+        scene_bvh = bvh_mod.apply_mesh_visibility(
+            bvh_mod.build_scene_bvh(host.scene), host.scene,
+            host.scene.mesh_visible)
         print(f"[bvh] LBVH for shadows/AO: {time.time() - t0:.1f}s")
 
     # TAA loop: subsequent frames jitter the camera by Halton(2,3) and

@@ -141,6 +141,61 @@ def render_frame_sharded_jit(scene, fc, config, params, mesh, axis="band",
              scene_bvh=scene_bvh)
 
 
+def pathtrace_band_sharded(scene, bvh, fc, history, sample_index, *,
+                           config, width: int, height: int, mesh: Mesh,
+                           axis: str = "band", probe=None):
+    """Pixel-band-sharded progressive path tracing: device i traces rows
+    [i*H/n, (i+1)*H/n) of every sample, with FULL-frame pixel ids / CMJ
+    patterns / NDC (trace_sample pixel_base + full_height), so the result
+    is BIT-identical per sample to the single-device trace — rays are
+    embarrassingly parallel, the only cross-band traffic is the counted-
+    ray psum. sample_index may be a (S,) vector (batched wavefront).
+    Returns dict(history, rays)."""
+    from ..kernels import pathtrace
+    from ..config import EnvSkyMode
+    n_dev = mesh.shape[axis]
+    if height % n_dev != 0:
+        raise ValueError(f"height {height} must divide into {n_dev} bands")
+    hb = height // n_dev
+
+    def body(scene, bvh, fc, history_band, probe):
+        idx = jax.lax.axis_index(axis)
+        scene_b, fc_b, world_n_v, world_t_v = frame_mod.pathtrace_inputs(
+            scene, fc)
+        cur, rays = pathtrace.trace_sample(
+            scene_b, bvh, world_n_v, world_t_v, fc_b, probe,
+            jnp.asarray(sample_index, jnp.uint32), width, hb,
+            sqrt_sample_count=int(np.sqrt(config.max_sample_count)),
+            dynamic_sky=(config.env_sky_mode == EnvSkyMode.DYNAMIC_SKY),
+            turbidity=config.turbidity,
+            sky_rot3=fc.scene_rotation[:3, :3], sun_dir_world=fc.sun_dir,
+            return_rays=True,
+            pixel_base=idx.astype(jnp.uint32) * jnp.uint32(hb * width),
+            full_height=height)
+        first = jnp.asarray(sample_index, jnp.float32).reshape(-1)[0]
+        new_hist = pathtrace.integrate(history_band, cur, first)
+        return dict(history=new_hist, rays=jax.lax.psum(rays, axis))
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(), P(axis), P()),
+                   out_specs=dict(history=P(axis), rays=P()),
+                   check_vma=False)
+    return fn(scene, bvh, fc, history, probe)
+
+
+@functools.lru_cache(maxsize=4)
+def _pt_band_jit(config, width, height, mesh, axis):
+    return jax.jit(functools.partial(
+        pathtrace_band_sharded, config=config, width=width, height=height,
+        mesh=mesh, axis=axis))
+
+
+def pathtrace_band_sharded_jit(scene, bvh, fc, history, sample_index,
+                               config, width, height, mesh, axis="band",
+                               probe=None):
+    f = _pt_band_jit(config, width, height, mesh, axis)
+    return f(scene, bvh, fc, history, sample_index, probe=probe)
+
+
 def pathtrace_spp_sharded(scene, bvh, fc, history, base_sample_index, *,
                           config, width: int, height: int, mesh: Mesh,
                           axis: str = "spp", probe=None):

@@ -772,6 +772,39 @@ def build_scene_bvh(scene, method: str = "sah",
     return _finish_bvh(rows, links)
 
 
+def apply_mesh_visibility(bvh: SceneBVH, scene, mesh_visible) -> SceneBVH:
+    """Re-emit the BVH's leaf slots with hidden meshes' triangles
+    degenerated — the TPU-native equivalent of the reference's per-frame
+    TLAS rebuild over its visible list (ref:
+    render-jobs/update-tlas.inl:24 m_visibleList[meshIndex]): a mesh
+    hidden in the scene no longer produces PT hits, shadow-ray occlusion,
+    or HBAO occlusion. Host-side numpy over the cached rows (the visible
+    set changes rarely — a viewer toggle); interior boxes stay
+    conservative, costing only traversal steps, never correctness.
+
+    mesh_visible: (num_meshes,) 0/1. Returns a new SceneBVH sharing the
+    layout; with everything visible, returns `bvh` unchanged."""
+    vis = np.asarray(mesh_visible)
+    if vis.astype(bool).all():
+        return bvh
+    tri_prim = np.asarray(scene.tri_prim)
+    prim_mesh = np.asarray(scene.prim_mesh)
+    tri_hidden = ~vis.astype(bool)[
+        np.maximum(prim_mesh[np.maximum(tri_prim, 0)], 0)]
+    rows = np.asarray(bvh.rows).copy()
+    # Leaf slot lanes: (id lane, geometry base) per quad slot — identical
+    # in the binary and wide layouts (module docstring).
+    slots = [(10, 0)] + [(_ID1_OFF + s, _TRI1_OFF[s]) for s in range(3)]
+    leaf = (rows[:, _W_FLAG] > 0.5) if bvh.wide else (rows[:, 12] > 0.5)
+    for lane, o9 in slots:
+        tid = rows[:, lane].astype(np.int64)
+        hide = leaf & (tid >= 0) \
+            & tri_hidden[np.clip(tid, 0, tri_hidden.shape[0] - 1)]
+        rows[hide, lane] = -1.0
+        rows[hide, o9:o9 + 9] = 0.0     # degenerate: det 0, never accepted
+    return dataclasses.replace(bvh, rows=jnp.asarray(rows))
+
+
 def _finish_bvh(rows: np.ndarray, links: np.ndarray) -> SceneBVH:
     n_total = rows.shape[0]
     if n_total <= _MERGE_LIMIT:
@@ -1010,26 +1043,31 @@ _SCHEDULES = {
     (True, "anyhit"): (16, ((1, 16), (2, 32), (3, 48), (5, None))),
 }
 # 8-wide trees reach matched survival in ~half the binary steps.
-# Measured (tools/bvh_curve.py --atrium, wide, scene camera): primaries
-# 100% alive @16 / 98% @24 / 69% @32 / 22% @48 / 5.8% @64 / 0.03% @96;
-# incoherent 60% @1 / 41% @24 / 18% @32 / 4.5% @48 / 1.2% @64. Tiers keep
-# >= 1.1x capacity headroom over the curve; overflow is recovered by the
-# full-width tail.
+# Tier capacities may be FRACTIONS of the wavefront (floats) — the real
+# bounce/shadow survival curves decay too slowly for power-of-two caps.
+# Measured on the REAL path-tracer populations (tools/bvh_curve.py
+# --atrium: bounce rays spawned at primary hits with parked misses, and
+# the NEE+sky shadow mix — NOT synthetic box-interior rays, which die 2x
+# faster and mis-sized the r4 ladder into a 123 ms full-width overflow
+# recovery per trace):
+#   primary:    98% @24 / 69% @32 / 22% @48 / 5.8% @64 / 0.03% @96
+#   bounce:     81% flat to 16 / 73% @24 / 58% @32 / 23% @48 / 7% @64
+#   shadow mix: 82% to 16 / 70% @24 / 57% @32 / 31% @48 / 12% @64
+# Each tier keeps >= 1.1x capacity headroom over the curve at its entry
+# step; overflow is still recovered (correct, just slow).
 _SCHEDULES_WIDE = {
     (False, "primary"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
     (False, "incoherent"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
     (False, "anyhit"): (_SEG0, ((1, 8), (2, 12), (3, 16), (5, None))),
+    # NOTE (r5, measured): a "safe" ladder tracking the real curves with
+    # fractional caps — (16, ((0.9, 8), (0.82, 16), (0.48, 16),
+    # (0.18, None))) — benched ~20% SLOWER than these nominally-
+    # overflowing caps: rays that miss a tier ride their parent buffers
+    # to the single end-of-ladder recovery (compacted r/4 while), which
+    # amortizes better than carrying 0.8-width tiers for everyone. Keep
+    # the overflow-recovery design; treat these caps as the tuned point.
     (True, "primary"): (48, ((2, 16), (4, 16), (6, None))),
-    # Tier capacities must TRACK the survival curve (bvh_curve incoherent:
-    # 60% @1 / 41% @24 / 18% @32 / 4.5% @48): an r4 experiment with seg0=8
-    # and tight tiers overflowed into the FULL-WIDTH recovery while
-    # (352 ms at 230k in profile_pt) — overflow is correct but ruinously
-    # slow, so each tier keeps headroom over the curve at its entry step.
     (True, "incoherent"): (16, ((1, 24), (2, 24), (3, 24), (5, None))),
-    # Any-hit wavefronts MIX fast-dying NEE rays with sky-sample rays that
-    # must exit the whole interior to report a miss (~40% alive deep into
-    # the walk) — capacities sized for the sky tail (the r4 (8,(1,8)...)
-    # trim put a 694 ms full-width recovery in the profile).
     (True, "anyhit"): (16, ((1, 32), (2, 32), (3, None))),
 }
 
@@ -1138,7 +1176,12 @@ def trace(bvh: SceneBVH, origins, directions, tmin=0.0, tmax=1e30,
     cur_o, cur_d, cur_inv, cur_off, cur_alive = (o, directions, inv_d,
                                                  okt_off, alive)
     for shift, steps in tiers:
-        cap = max(r >> shift, 1)
+        # int = width shift (legacy); float = fraction of the wavefront,
+        # rounded up to a whole 8-sublane group
+        if isinstance(shift, float):
+            cap = max((int(r * shift) + 7) & ~7, 8)
+        else:
+            cap = max(r >> shift, 1)
         orig, ok, packed, ov = _compact(
             cur_alive, cap,
             list(cur_bufs[:5]) + [cur_o, cur_d, cur_inv, cur_off])

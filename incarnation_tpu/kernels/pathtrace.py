@@ -83,10 +83,10 @@ def _peel_noise(seed, peel, tri, noise_u):
 
 
 def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
-                 noise_u=None, profile="incoherent"):
+                 noise_u=None, profile="incoherent", peels=ALPHA_PEELS):
     """bvh.trace with alpha-masked continuation: a hit on a MASK/BLEND prim
     that fails the opacity test is skipped by re-tracing from just past it
-    (up to ALPHA_PEELS times). Zero cost for scenes without masked prims."""
+    (up to `peels` times). Zero cost for scenes without masked prims."""
     res = bvh_mod.trace(bvh, o, d, tmin=tmin, tmax=tmax, any_hit=any_hit,
                         profile=profile)
     if not scene.meta.has_masked:
@@ -94,7 +94,7 @@ def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
     r = o.shape[0]
     peel_cap = max(r >> 2, 8)
     keys = sorted(res.keys())
-    for peel in range(ALPHA_PEELS):
+    for peel in range(peels):
         tri = res["tri"]
         hit = tri >= 0
         noise = _peel_noise(seed, peel, tri, noise_u)
@@ -135,7 +135,7 @@ def _trace_alpha(scene, bvh, o, d, tmin, tmax, seed, any_hit=False,
     # rays whose last peel still failed count as misses through the cutout
     tri = res["tri"]
     hit = tri >= 0
-    noise = _peel_noise(seed, ALPHA_PEELS, tri, noise_u)
+    noise = _peel_noise(seed, peels, tri, noise_u)
     accept = _alpha_at_hit(scene, tri, res["u"], res["v"], noise)
     bad = hit & ~accept
     res["tri"] = jnp.where(bad, -1, res["tri"])
@@ -298,8 +298,16 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
                  sample_index, width: int, height: int,
                  sqrt_sample_count: int = 16, dynamic_sky: bool = True,
                  turbidity: float = 2.0, viewmode: int = 0,
-                 sky_rot3=None, sun_dir_world=None, return_rays=False):
+                 sky_rot3=None, sun_dir_world=None, return_rays=False,
+                 pixel_base=0, full_height: int = None):
     """Progressive sample(s) for every pixel -> (H, W, 3) radiance.
+
+    pixel_base/full_height: band-sharded tracing (dist/sharding.py
+    pathtrace_band_sharded) — this call covers `height` rows of a
+    `full_height`-row frame starting at linear pixel index `pixel_base`
+    (may be traced, e.g. axis_index * band_pixels). Pixel ids, CMJ
+    patterns, and camera NDC all use FULL-frame coordinates, so each
+    pixel's sample is BIT-identical to the single-device trace.
 
     sample_index: scalar index, or a (S,) vector — S samples are traced
     as ONE S*H*W-ray wavefront (per-sample results bit-identical to S
@@ -323,14 +331,17 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
     BVH never rebuilds (the reference instead rebuilds its TLAS,
     ref: render-jobs/update-tlas.inl)."""
     wh = width * height
+    if full_height is None:
+        full_height = height
     scalar_index = jnp.ndim(sample_index) == 0
     sidx_v = jnp.atleast_1d(jnp.asarray(sample_index, jnp.uint32))
     s = sidx_v.shape[0]
     r = wh * s
-    pixel = jnp.tile(jnp.arange(wh, dtype=jnp.uint32), s)
+    pixel = (jnp.tile(jnp.arange(wh, dtype=jnp.uint32), s)
+             + jnp.asarray(pixel_base, jnp.uint32))
     px = (pixel % width).astype(jnp.float32)
     py = (pixel // width).astype(jnp.float32)
-    num_pixels = np.uint32(wh)
+    num_pixels = jnp.uint32(width * full_height)
 
     set_counter = [np.uint32(0)]
 
@@ -347,7 +358,7 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
     # Thin-lens camera ray (ref: GenerateCameraRay)
     xy = jnp.stack([px, py], -1) + subpix + 0.5
     screen = jnp.stack([2.0 * xy[..., 0] / width - 1.0,
-                        -(2.0 * xy[..., 1] / height - 1.0)], -1)
+                        -(2.0 * xy[..., 1] / full_height - 1.0)], -1)
     ndc = jnp.concatenate([screen, jnp.full((r, 1), 1e-4),
                            jnp.ones((r, 1))], -1)
     world = jnp.matmul(ndc, fc.inv_view_proj,
@@ -387,9 +398,14 @@ def trace_sample(scene, bvh, world_n_v, world_t_v, fc, probe,
         noise = (jnp.concatenate(
             [sample_point(sidx)[..., 0] for _ in range(k)], 0)
             if masked else None)
+        # Shadow occlusion needs ONE opaque-enough hit, so a single alpha
+        # peel suffices (a ray crossing 2+ failing cutout layers before an
+        # occluder reads occluded — a small conservative bias the
+        # progressive accumulation dithers; the 4 extra 460k-wide peel
+        # re-traces were ~0.25 s/sample in profile_pt).
         occ = _trace_alpha(scene, bvh, o_all, d_all, 0.1, 1000.0,
                            sidx * jnp.uint32(131) + jnp.uint32(_seed[0]),
-                           any_hit=True, noise_u=noise)["tri"] >= 0
+                           any_hit=True, noise_u=noise, peels=1)["tri"] >= 0
         rn = wp.shape[0]
         return [occ[i * rn:(i + 1) * rn] for i in range(k)]
 

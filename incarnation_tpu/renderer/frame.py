@@ -249,7 +249,9 @@ def render_frame(scene, fc: FrameConstants, *, config: Config,
             # the compacted alpha gathers — whose cost is CAPACITY-sized,
             # not coverage-sized — get a steeply declining ladder
             # (overflow counted, CLI adapts).
-            lcap = max(peel_cap >> min(layer, 4), 512)
+            lcap = (peel_cap if layer == 0
+                    else (2 * peel_cap) // 3 if layer == 1
+                    else max((5 * peel_cap) >> (layer + 2), 512))
             alpha, thresh = resolve.masked_alpha(
                 scene, m_tri, m_interp,
                 mip_dither=(fc.frame_index if stoch else None),

@@ -175,3 +175,52 @@ def test_scene_bvh_build(rng):
                         jnp.asarray([[0.0, 0.0, 1.0]]))
     assert int(out["tri"][0]) == 0
     np.testing.assert_allclose(float(out["t"][0]), 20.0, rtol=1e-5)
+
+
+def test_mesh_visibility_filters_bvh():
+    """Hiding a mesh removes its PT hits and shadow occlusion (the
+    reference rebuilds its TLAS over the visible list per frame,
+    ref: render-jobs/update-tlas.inl:24)."""
+    import dataclasses
+    import numpy as np
+    from scene_util import make_scene
+
+    def quad(z):
+        return np.array([[-2, -2, z], [2, -2, z], [2, 2, z], [-2, 2, z]],
+                        np.float32)
+
+    pts = np.concatenate([quad(4.0), quad(8.0)])
+    tris = [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]]
+    scene = make_scene(pts, tris, double_sided=True,
+                       tri_prim=[0, 0, 1, 1], num_prims=2,
+                       prim_tri_offset=[0, 2])
+    eye4 = np.eye(4, dtype=np.float32)
+    scene = dataclasses.replace(
+        scene,
+        prim_mesh=jnp.asarray([0, 1], jnp.int32),
+        mesh_visible=jnp.asarray([1, 1], jnp.int32),
+        mesh_transforms=jnp.asarray(np.stack([eye4, eye4])))
+    bvh = bvh_mod.build_scene_bvh(scene, use_cache=False)
+
+    o = jnp.asarray(np.tile([[0.0, 0.0, 0.0]], (16, 1)), jnp.float32)
+    d = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (16, 1)), jnp.float32)
+
+    full = bvh_mod.trace(bvh, o, d)
+    tp = np.asarray(scene.tri_prim)
+    assert (tp[np.asarray(full["tri"])] == 0).all()   # front quad wins
+
+    # everything visible: apply is the identity object
+    assert bvh_mod.apply_mesh_visibility(bvh, scene, [1, 1]) is bvh
+
+    hid = bvh_mod.apply_mesh_visibility(bvh, scene, [0, 1])
+    part = bvh_mod.trace(hid, o, d)
+    assert (tp[np.asarray(part["tri"])] == 1).all()   # back quad now wins
+    # shadow rays no longer occluded by the hidden front quad
+    occ = bvh_mod.occluded(hid, o, d, tmin=0.1, tmax=6.0)
+    assert not bool(np.asarray(occ).any())
+    occ_full = bvh_mod.occluded(bvh, o, d, tmin=0.1, tmax=6.0)
+    assert bool(np.asarray(occ_full).all())
+
+    both_hidden = bvh_mod.apply_mesh_visibility(bvh, scene, [0, 0])
+    none = bvh_mod.trace(both_hidden, o, d)
+    assert (np.asarray(none["tri"]) == -1).all()

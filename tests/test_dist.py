@@ -235,3 +235,40 @@ def test_band_sharded_taa_moving_camera_seam_bound(cpu_devices):
     # whole frame, seams included: the dolly reprojects ~5 rows, well
     # inside the 16-row history halo; residual is band-projection FP noise
     np.testing.assert_allclose(band, single, rtol=1e-2, atol=2e-2)
+
+
+def test_band_sharded_pathtrace_bit_exact(cpu_devices):
+    """Pixel-band-sharded path tracing is BIT-identical per sample to the
+    single-device trace (VERDICT r4 item 8): full-frame pixel ids / CMJ
+    patterns / NDC ride trace_sample's pixel_base + full_height, and rays
+    are device-independent."""
+    import dataclasses
+    from incarnation_tpu.kernels import bvh as bvh_mod, pathtrace
+    from incarnation_tpu.kernels import resolve as resolve_mod
+
+    w, h = 16, 8
+    pts = np.array([[-6, -4, 5], [6, -4, 5], [6, 4, 5], [-6, 4, 5]],
+                   np.float32)
+    scene = make_scene(pts, [[0, 1, 2], [0, 2, 3]])
+    mp = np.array(scene.mat_params)
+    mp[:, 0:3] = 0.001   # emissive so rays carry signal
+    scene = dataclasses.replace(scene, mat_params=jnp.asarray(mp))
+    bvh = bvh_mod.build_scene_bvh(scene, use_cache=False)
+    cfg = Config(env_sky_mode=EnvSkyMode.ENVIRONMENT_MAP,
+                 max_sample_count=16)
+    fc = frame_mod.FrameConstants.make(View.default(aspect=w / h), cfg)
+
+    wn, wt = resolve_mod.vertex_world_attributes(scene, fc.scene_rotation)
+    cur = pathtrace.trace_sample(scene, bvh, wn, wt, fc, None,
+                                 jnp.asarray(0, jnp.uint32), w, h,
+                                 sqrt_sample_count=4, dynamic_sky=False)
+    single = pathtrace.integrate(jnp.zeros((h, w, 3)), cur,
+                                 jnp.asarray(0.0))
+
+    mesh = sharding.make_mesh(devices=cpu_devices[:2])
+    out = sharding.pathtrace_band_sharded(
+        scene, bvh, fc, jnp.zeros((h, w, 3)), jnp.asarray([0], jnp.uint32),
+        config=cfg, width=w, height=h, mesh=mesh, probe=None)
+    np.testing.assert_array_equal(np.asarray(out["history"]),
+                                  np.asarray(single))
+    assert float(out["rays"]) > 0

@@ -74,7 +74,35 @@ def main():
     di = rng.normal(size=(r, 3)).astype(np.float32)
     di /= np.linalg.norm(di, axis=-1, keepdims=True)
 
-    for label, oo, dd in (("primary", o, d), ("incoherent", oi, di)):
+    # The REAL path-tracer populations: bounce wavefronts spawn at primary
+    # hits (misses PARK at 1e29 — they ride the wavefront until the ladder
+    # compacts), and shadow batches mix one NEE ray (dies on any hit...
+    # measured here as closest, close enough for survival) with one
+    # cosine sky ray per alive pixel. These curves, not the synthetic
+    # random-ray one, size the ladder caps.
+    pr = bvh_mod.trace(bvh, jnp.asarray(o), jnp.asarray(d),
+                       profile="primary")
+    hit_mask = np.asarray(pr["tri"]) >= 0
+    t_hit = np.nan_to_num(np.asarray(pr["t"]), posinf=0.0)
+    wp = o + t_hit[:, None] * d
+    ob = np.where(hit_mask[:, None], wp, 1e29).astype(np.float32)
+    db = rng.normal(size=(r, 3)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    # sky rays: upper-hemisphere cosine-ish; NEE rays: toward a random
+    # point light in the interior
+    lp = (c + rng.uniform(-.35, .35, (r, 3)) * ext).astype(np.float32)
+    dn = lp - wp
+    dn /= np.maximum(np.linalg.norm(dn, axis=-1, keepdims=True), 1e-8)
+    dsky = rng.normal(size=(r, 3)).astype(np.float32)
+    dsky[:, 1] = np.abs(dsky[:, 1])
+    dsky /= np.linalg.norm(dsky, axis=-1, keepdims=True)
+    osh = np.concatenate([ob, ob])
+    dsh = np.concatenate([dn.astype(np.float32), dsky])
+
+    pops = (("primary", o, d), ("incoherent", oi, di),
+            ("bounce", ob, db), ("shadow-mix", osh[:r], dsh[:r]),
+            ("shadow-mix2", osh[r:], dsh[r:]))
+    for label, oo, dd in pops:
         oo, dd = jnp.asarray(oo), jnp.asarray(dd)
 
         def curve(o_, d_):
